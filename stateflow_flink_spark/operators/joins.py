@@ -1,0 +1,244 @@
+"""Join operators: equi / broadcast / outer / semi / anti / theta /
+multiway / as-of.
+
+The reference has no joins (SURVEY.md §2A: "zero relational operators");
+this module is the §2B declared join surface.  Scale posture per query:
+
+  * dims (region, nation, supplier, part) are broadcast — no shuffle of
+    the fact side; asserted via an explicit ``broadcast()`` hint where
+    the optimizer could not know the dim stays small at 100 TB.
+  * fact⋈fact joins (orders⋈lineitem) shuffle on the join key; AQE
+    handles skew splitting at runtime (session.py).
+  * the theta join is dim×dim only — a bounded BNLJ; never do this on
+    facts.
+  * the as-of join is expressed as equi-join + per-event rank, so the
+    only shuffle is hash-by-custkey; at 100 TB you would additionally
+    bucket both sides by the key to make it shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load
+from ..numerics import exact_sum, sql_sum
+from ..plans.registry import query
+
+
+@query(
+    "q_join_inner",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, c.c_custkey, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    return orders.join(customer, orders.o_custkey == customer.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join: the 5-row region dim never shuffles."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return nation.join(broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "q_join_left",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with an extra join-side predicate (kept in the ON clause
+    so non-matching customers survive — the classic outer-join trap)."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = (orders.o_custkey == customer.c_custkey) & (orders.o_totalprice > 400000)
+    return customer.join(orders, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_custkey
+    FROM customer c FULL JOIN orders o
+      ON o.o_custkey = c.c_custkey AND c.c_acctbal > 0 AND o.o_totalprice > 100000
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join; predicates in ON preserve both null-extended sides."""
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    cond = (
+        (orders.o_custkey == customer.c_custkey)
+        & (customer.c_acctbal > 0)
+        & (orders.o_totalprice > 100000)
+    )
+    return customer.join(orders, cond, "full").select(
+        "c_custkey", "c_name", "o_orderkey", "o_custkey"
+    )
+
+
+@query(
+    "q_join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    big_orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return customer.join(
+        big_orders, customer.c_custkey == big_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "q_join_theta",
+    """
+    SELECT s.s_suppkey, s.s_name, c.c_custkey, s.s_acctbal, c.c_acctbal
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    """,
+)
+def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) predicate rides on an equi key, so Spark still
+    plans a hash join on nationkey with the range as a post-filter —
+    never a pure cartesian."""
+    supplier = load(spark, sf_dir, "supplier")
+    customer = load(spark, sf_dir, "customer")
+    cond = (supplier.s_nationkey == customer.c_nationkey) & (
+        supplier.s_acctbal > customer.c_acctbal
+    )
+    return supplier.join(customer, cond).select(
+        "s_suppkey", "s_name", "c_custkey", "s_acctbal", "c_acctbal"
+    )
+
+
+# The flagship query (M1): TPC-H Q3 shape — scan, pushdown filters, two
+# equi-joins, hash aggregate, exact-decimal revenue, deterministic top-10.
+_Q3_ORACLE = f"""
+    SELECT l.l_orderkey,
+           {sql_sum("l.l_extendedprice * (1 - l.l_discount)")} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+"""
+
+
+@query("q_join_multiway", _Q3_ORACLE)
+def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem, filtered, aggregated, top-10 revenue.
+
+    Plan shape to preserve at scale: customer filter broadcast into
+    orders (small side after segment filter), orders⋈lineitem shuffled
+    on orderkey, partial hash agg before the final top-k
+    (TakeOrderedAndProject — no global sort materialization).
+    """
+    customer = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        lineitem.join(
+            orders.join(
+                broadcast(customer.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            lineitem.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_join_asof",
+    """
+    SELECT event_id, user_id, ts, o_orderkey, o_orderdate
+    FROM (
+        SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+               o.o_orderkey, o.o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e
+        JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest order of the same customer at/before each event.
+
+    Spark has no native ASOF JOIN; the scalable formulation is an
+    equi-join on the entity key (one hash shuffle) + per-event rank,
+    never a range cross-join.  Tie-break on o_orderkey makes the pick
+    deterministic when two orders share a date.
+    """
+    events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    joined = events.join(
+        orders,
+        (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+    )

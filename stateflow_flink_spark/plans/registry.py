@@ -1,0 +1,71 @@
+"""Query registry — the single source of truth for the declared surface.
+
+Every operator module registers its queries here with the ``@query``
+decorator; ``__spark_entry__.queries()`` / ``oracle_sql()`` simply
+re-export these dicts.  A registered query is a callable
+``(spark, sf_dir) -> DataFrame``; its oracle (optional, for
+non-SQL-expressible ops) is an equivalent DuckDB SQL string over the
+pre-registered fixture views.
+
+Alias discipline (driver contract): the Spark DataFrame column names and
+the oracle SQL output column names must match EXACTLY — the driver sorts
+columns by name before hashing values.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLE: dict[str, str] = {}
+
+
+def query(name: str, oracle_sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query (and optionally its DuckDB oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name}")
+        QUERIES[name] = fn
+        if oracle_sql is not None:
+            ORACLE[name] = oracle_sql
+        return fn
+
+    return deco
+
+
+def oracle(name: str, sql: str) -> None:
+    """Attach/replace oracle SQL for an already-registered query."""
+    if name not in QUERIES:
+        raise KeyError(f"oracle for unregistered query: {name}")
+    ORACLE[name] = sql
+
+
+def load_all_modules() -> None:
+    """Import every operator module so registrations run (idempotent)."""
+    from ..operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        joins,
+        scans,
+        setops,
+        similarity,
+        sorts,
+        stateful,
+        text,
+        windows,
+    )
+    from ..functions import (  # noqa: F401
+        arrays,
+        dates,
+        jsons,
+        maps,
+        maths,
+        strings,
+        udfs,
+    )
+    from ..streaming import routing, sessionization, stream_queries  # noqa: F401

@@ -1,0 +1,82 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine pins its performance-relevant runtime config in
+``StateFlowFlinkJob.java:36-40`` (pipelined shuffles, 5 s at-least-once
+checkpoints).  Our batch analog is AQE + sensible shuffle sizing; the
+streaming analog (checkpointLocation, triggers) lives in
+``stateflow_flink_spark.streaming``.
+
+All defaults here are chosen to survive a 1000-executor / 100 TB
+deployment, not just local[32]:
+
+  * AQE on: runtime coalescing of shuffle partitions, skew-join
+    splitting, and dynamic join-strategy switching replace any hand
+    scheduling.
+  * UTC session timezone: fixture timestamps are tz-naive; Spark and
+    the DuckDB oracle must agree bit-for-bit.
+  * Arrow enabled: every pandas_udf / applyInPandas crosses the
+    JVM<->Python boundary in columnar batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partition default for local test runs. On a real cluster this
+# is overridden (rule of thumb: ~2-3x total executor cores, with AQE
+# coalescing down); AQE's advisoryPartitionSizeInBytes then controls the
+# effective post-shuffle partition size regardless of this number.
+_LOCAL_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+
+def configure(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply engine defaults to any SparkSession builder.
+
+    Kept separate from :func:`get_spark` so the driver-owned session in
+    ``__spark_entry__`` and test sessions share one config surface.
+    """
+    return (
+        builder.config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", _LOCAL_SHUFFLE_PARTITIONS)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # 128m parquet split size: keeps scan tasks balanced at any SF.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Broadcast threshold: dims (region/nation/supplier/part at test
+        # SF) broadcast automatically; AQE can also convert at runtime.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        .config("spark.sql.parquet.filterPushdown", "true")
+    )
+
+
+def get_spark(app_name: str = "stateflow-flink-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(master or f"local[{cpus}]")
+    return configure(builder).getOrCreate()
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable subset of defaults to an existing session.
+
+    Used when the driver hands us a session we didn't build
+    (``__spark_entry__.entry``): static configs (shuffle service, etc.)
+    can't change post-start, but timezone / AQE / arrow can.
+    """
+    for key, value in (
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.parquet.filterPushdown", "true"),
+    ):
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - static conf on some builds
+            pass
+    return spark
