@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later milestone."""
+"""Aggregation operators: global / grouped / having / distinct / approx /
+rollup / cube / grouping sets.
+
+Catalyst plans every groupBy here as partial (map-side) + final hash
+aggregate — at 100 TB the partial agg is what keeps the shuffle small,
+so none of these queries pre-shuffle or repartition by hand.  Float
+sums go through numerics.exact_sum (order-independent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..numerics import exact_avg, exact_sum, sql_avg, sql_sum
+from ..plans.registry import query
+
+
+@query(
+    "q_agg_global",
+    f"""
+    SELECT {sql_sum("l_quantity")} AS sum_qty,
+           {sql_avg("l_extendedprice")} AS avg_price,
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_agg_groupby",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sum("l_quantity")} AS sum_qty,
+           {sql_sum("l_extendedprice")} AS sum_base_price,
+           {sql_sum("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+           {sql_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
+           {sql_avg("l_quantity")} AS avg_qty,
+           {sql_avg("l_extendedprice")} AS avg_price,
+           {sql_avg("l_discount")} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the classic partial+final hash aggregate."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum("l_extendedprice").alias("sum_base_price"),
+        exact_sum(disc_price).alias("sum_disc_price"),
+        exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+        exact_avg("l_quantity").alias("avg_qty"),
+        exact_avg("l_extendedprice").alias("avg_price"),
+        exact_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_agg_having",
+    """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 3)
+    )
+
+
+@query(
+    "q_agg_distinct",
+    """
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query("q_agg_approx")  # approximate → rows-only check (no oracle)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
+    COUNT(DISTINCT) when a shuffle-heavy exact answer isn't worth it."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "q_rollup",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           {sql_sum("c_acctbal")} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cust_geo(spark, sf_dir)
+    return df.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        exact_sum("c_acctbal").alias("sum_acctbal"),
+    )
+
+
+@query(
+    "q_cube",
+    f"""
+    SELECT c_mktsegment, o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_sum("o_totalprice")} AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY CUBE (c_mktsegment, o_orderpriority)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    return joined.cube("c_mktsegment", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice").alias("sum_price"),
+    )
+
+
+@query(
+    "q_grouping_sets",
+    f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_cust,
+           {sql_sum("c_acctbal")} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _cust_geo(spark, sf_dir)
+    df.createOrReplaceTempView("sfs_cust_geo")
+    return spark.sql(
+        f"""
+        SELECT r_name, n_name,
+               COUNT(*) AS n_cust,
+               {sql_sum("c_acctbal")} AS sum_acctbal
+        FROM sfs_cust_geo
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation ⋈ region with both dims broadcast."""
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    geo = F.broadcast(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey).select(
+            "n_nationkey", "n_name", "r_name"
+        )
+    )
+    return customer.join(geo, customer.c_nationkey == F.col("n_nationkey")).select(
+        "r_name", "n_name", "c_acctbal"
+    )

@@ -50,6 +50,7 @@ def load_all_modules() -> None:
     from ..operators import (  # noqa: F401
         aggregates,
         dedup,
+        filters,
         joins,
         scans,
         setops,
