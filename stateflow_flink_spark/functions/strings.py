@@ -30,7 +30,7 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("c_name").alias("name_upper"),
         F.substring("c_name", 10, 9).alias("name_digits"),
         F.concat(F.col("c_mktsegment"), F.lit(":"), F.col("c_name")).alias("seg_name"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.col("c_mktsegment")).alias("seg_trim"),
         F.col("c_name").like("%00001%").alias("like_1"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),

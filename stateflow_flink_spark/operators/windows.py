@@ -37,9 +37,9 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "o_totalprice",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.row_number().over(w_rn).alias("rn"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.row_number().over(w_rn).cast("long").alias("rn"),
     )
 
 
@@ -108,7 +108,7 @@ def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return customer.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
     )
 
 

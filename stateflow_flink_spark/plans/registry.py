@@ -69,4 +69,10 @@ def load_all_modules() -> None:
         strings,
         udfs,
     )
-    from ..streaming import routing, sessionization, stream_queries  # noqa: F401
+    from ..streaming import (  # noqa: F401
+        flow,
+        routing,
+        sessionization,
+        state,
+        stream_queries,
+    )

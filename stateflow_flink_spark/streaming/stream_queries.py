@@ -1,1 +1,104 @@
-"""Placeholder — populated in a later milestone."""
+"""Streaming-semantics queries: dedup, watermarking.
+
+``q_dedup``/``q_dedup_first`` are the batch-checkable forms; the true
+streaming forms (dropDuplicates / dropDuplicatesWithinWatermark over an
+unbounded source) run in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..plans.registry import query
+from .state import stream_events_dir
+
+
+@query(
+    "q_dedup",
+    """
+    SELECT event_id, user_id, event_type, value
+    FROM (
+        SELECT event_id, user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_id
+                                  ORDER BY CAST(ts AS TIMESTAMP), user_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop duplicate event_ids.  dropDuplicates keeps an ARBITRARY row
+    per key — fine when duplicates are exact copies (the usual case);
+    the deterministic keep-earliest variant is q_dedup_first."""
+    e = load(spark, sf_dir, "events")
+    return e.dropDuplicates(["event_id"]).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
+@query(
+    "q_dedup_first",
+    """
+    SELECT user_id, event_type, event_id, value
+    FROM (
+        SELECT user_id, event_type, event_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup: earliest event per (user_id, event_type) —
+    the window-rank formulation every keep-one-of-many dedup at scale
+    reduces to (one shuffle on the dedup key)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+@query(
+    "q_stream_watermark",
+    """
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT) * INTERVAL 1 SECOND
+               AS window_start,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed count under a 10-minute watermark (ref departs
+    here: the reference uses NO watermarks — processing time only,
+    StateFlowFlinkJob.java:69 — this is the §2B event-time extension).
+
+    Output mode is COMPLETE: in append mode a bounded stream never
+    emits its tail windows (the watermark only passes a window when
+    later data arrives), so the deterministic oracle-checkable form is
+    the complete table.  The actual late-drop semantics (append mode,
+    multi-batch, crafted late rows) are asserted in
+    tests/test_streaming.py.
+    """
+    events, _ = stream_events_dir(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    qy = (
+        counts.writeStream.format("memory")
+        .queryName("sfs_stream_watermark")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    return spark.table("sfs_stream_watermark")

@@ -1,0 +1,215 @@
+"""Streaming-semantics tests (SURVEY.md §5.2.4-5).
+
+The load-bearing assertions:
+  * the keyed ValueState fold equals the batch window fold — INCLUDING
+    when the stream is split across micro-batches (state must carry
+    over, ref InvokeStatefulLambda read-modify-write semantics);
+  * watermarking drops late rows in append mode;
+  * streaming session_window equals the batch gaps-and-islands analog;
+  * flow iteration terminates with exactly one reply per event.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from stateflow_flink_spark.io import load
+from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+from stateflow_flink_spark.schemas import EVENTS_RAW
+from stateflow_flink_spark.streaming.sessionization import session_window_stream
+from stateflow_flink_spark.streaming.state import apply_stateful
+
+from .conftest import SF_SMOKE
+from .parity import canonical_rows
+
+load_all_modules()
+
+
+def test_stateful_stream_equals_batch(spark):
+    batch = QUERIES["q_stateful_fold"](spark, SF_SMOKE).toPandas()
+    stream = QUERIES["q_stateful_fold_stream"](spark, SF_SMOKE).toPandas()
+    assert canonical_rows(stream) == canonical_rows(batch)
+
+
+def _write_events_chunk(stage: str, name: str, pdf) -> None:
+    tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+    ts_idx = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        ts_idx, "ts", tbl.column("ts").cast(pa.timestamp("us"))
+    )
+    pq.write_table(tbl, os.path.join(stage, name))
+
+
+def test_stateful_state_survives_micro_batches_and_restart(spark):
+    """Feed events in 3 chunks as 3 separate availableNow runs over one
+    checkpoint: the fold must equal the batch result — state carries
+    across micro-batches AND across query restarts (strictly stronger
+    than the reference's at-least-once checkpointing)."""
+    pdf = load(spark, SF_SMOKE, "events").orderBy("ts").toPandas()
+    stage = tempfile.mkdtemp(prefix="sfs_chunks_")
+    ckpt = tempfile.mkdtemp(prefix="sfs_ckpt_")
+    third = len(pdf) // 3
+    chunks = (pdf.iloc[:third], pdf.iloc[third : 2 * third], pdf.iloc[2 * third :])
+
+    out = tempfile.mkdtemp(prefix="sfs_fold_out_")
+    for i, chunk in enumerate(chunks):
+        _write_events_chunk(stage, f"chunk-{i}.parquet", chunk)
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(stage)
+        qy = (
+            apply_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas()
+    want = QUERIES["q_stateful_fold"](spark, SF_SMOKE).toPandas()
+    assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_watermark_drops_late_rows(spark):
+    """Append-mode windowed agg: a row older than the watermark arriving
+    in a later batch must not resurrect its window."""
+    stage = tempfile.mkdtemp(prefix="sfs_late_")
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(stage, name))
+
+    hour = 3600
+    ckpt = tempfile.mkdtemp(prefix="sfs_late_ckpt_")
+    out = tempfile.mkdtemp(prefix="sfs_late_out_")
+
+    def run() -> None:
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(stage)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("start_s"), "n")
+        )
+        qy = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+
+    # run 0: events in hours 0 and 1 -> watermark reaches (2h-1s) - 10min
+    write_batch("b0.parquet", [(1, 10), (2, hour + 10), (3, 2 * hour - 1)])
+    run()
+    # run 1: a LATE event back in hour 0 (behind watermark) + fresh in hour 3
+    write_batch("b1.parquet", [(4, 20), (5, 3 * hour + 10)])
+    run()
+
+    emitted = {
+        r["start_s"]: r["n"] for r in spark.read.parquet(out).collect()
+    }
+    # hour-0 window closes with ONLY the on-time event; late event 4
+    # must not resurrect it or appear anywhere.
+    assert emitted.get(0) == 1
+    assert sum(emitted.values()) <= 4  # event 4 dropped
+
+
+def test_session_window_stream_equals_batch(spark):
+    from stateflow_flink_spark.streaming.state import stream_events_dir
+
+    events, _ = stream_events_dir(spark, SF_SMOKE)
+    sessions = session_window_stream(events)
+    qy = (
+        sessions.writeStream.format("memory")
+        .queryName("sfs_sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    got = spark.table("sfs_sessions_stream").toPandas()
+    want = (
+        QUERIES["q_window_session"](spark, SF_SMOKE)
+        .select("user_id", "session_start", "n_events")
+        .toPandas()
+    )
+    assert canonical_rows(got) == canonical_rows(want)
+
+
+def test_flow_iteration_one_reply_per_event(spark):
+    result = QUERIES["q_flow_iterate"](spark, SF_SMOKE).cache()
+    n_events = load(spark, SF_SMOKE, "events").count()
+    assert result.count() == n_events
+    assert result.select("event_id").distinct().count() == n_events
+    assert result.filter(F.col("reply") != "SuccessfulInvocation").count() == 0
+    assert result.filter(~F.col("n_hops").isin(1, 2, 3)).count() == 0
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Streaming dropDuplicates: duplicate event_ids across micro-batches
+    are suppressed."""
+    stage = tempfile.mkdtemp(prefix="sfs_dup_")
+
+    def write_batch(name, ids, base_ts):
+        tbl = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(
+                    [(base_ts + i) * 1_000_000 for i in range(len(ids))],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([1] * len(ids), pa.int64()),
+                "event_type": pa.array(["click"] * len(ids)),
+                "value": pa.array([1.0] * len(ids)),
+                "props": pa.array(["{}"] * len(ids)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(stage, name))
+
+    write_batch("b0.parquet", [1, 2, 3], 1000)
+    write_batch("b1.parquet", [2, 3, 4], 2000)  # 2,3 are duplicates
+
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = stream.dropDuplicates(["event_id"]).select("event_id")
+    qy = (
+        deduped.writeStream.format("memory")
+        .queryName("sfs_stream_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.table("sfs_stream_dedup").collect())
+    assert got == [1, 2, 3, 4]
