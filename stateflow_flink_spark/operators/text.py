@@ -1,1 +1,194 @@
-"""Placeholder — populated in a later milestone."""
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are JVM built-ins (split/explode/regexp/higher-order
+functions) — at 100 TB these run inside whole-stage codegen with zero
+Python.  Heuristics (language-ID markers, quality weights) are
+deterministic and oracle-expressible by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Reusable expressions
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_LANG_MARKERS = (("query", "en"), ("join", "fr"), ("table", "de"), ("data", "es"))
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def language_id(text: Column) -> Column:
+    """Marker-token language heuristic (stand-in for an n-gram profile:
+    the decision structure — first matching marker wins — is the same;
+    swap the marker list for per-language n-gram scores in production)."""
+    toks = tokens(text)
+    expr = F.lit("und")
+    for marker, lang in reversed(_LANG_MARKERS):
+        expr = F.when(F.array_contains(toks, marker), lang).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Deterministic quality score in [0,1]: length band + stopword ratio
+    + mean token length, equally weighted."""
+    toks = tokens(text)
+    n = F.size(toks).cast("double")
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(s) for s in STOPWORDS])))
+    stop_ratio = n_stop.cast("double") / n
+    mean_tok_len = (F.length(text) - (n - 1)) / n
+    len_score = F.least(n / 100.0, F.lit(1.0))
+    return (len_score + stop_ratio + F.least(mean_tok_len / 10.0, F.lit(1.0))) / 3.0
+
+
+def fingerprint(text: Column) -> Column:
+    """Rolling polynomial hash over token lengths+first chars — a
+    deterministic document fingerprint computable by both engines
+    (aggregate/list_reduce), mod 1e9+7 to stay in exact-integer range."""
+    toks = tokens(text)
+    contrib = F.transform(
+        toks, lambda t: (F.length(t).cast("long") * 256 + F.ascii(t)) % FP_MOD
+    )
+    return F.aggregate(
+        contrib,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * FP_BASE + v) % FP_MOD,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    """
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_words
+    FROM documents GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("total_words"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    """
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token ASC LIMIT 20
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 token frequencies (explode -> partial-agg -> top-k:
+    the count shuffle moves one row per distinct token per partition,
+    not one per token occurrence)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_lang_id",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'query') THEN 'en'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'join')  THEN 'fr'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'table') THEN 'de'
+                WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data')  THEN 'es'
+                ELSE 'und' END AS lang_pred
+    FROM documents
+    """,
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
+
+
+@query(
+    "q_text_quality",
+    """
+    SELECT doc_id,
+           ROUND((
+               LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
+               + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                                    ['the', 'a', 'of', 'and', 'to']))
+                 * 1.0 / LEN(STRING_SPLIT(text, ' '))
+               + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
+                       / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
+           ) / 3.0, 6) AS quality
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    f"""
+    SELECT doc_id,
+           LIST_REDUCE(
+               LIST_PREPEND(CAST(0 AS BIGINT),
+                   LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                       t -> (LENGTH(t)::BIGINT * 256 + ORD(t[1])) % {FP_MOD})),
+               (acc, v) -> (acc * {FP_BASE} + v) % {FP_MOD}
+           ) AS fp
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "q_text_token_count",
+    """
+    SELECT doc_id,
+           LEN(STRING_SPLIT(text, ' ')) AS n_ws_tokens,
+           LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]{1,4}')) AS n_subword_tokens,
+           CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS n_char_budget
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, a BPE-ish greedy ≤4-char
+    subword regex, and the chars/4 budget rule."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]{1,4}"), 0))
+        .cast("long")
+        .alias("n_subword_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("n_char_budget"),
+    )
