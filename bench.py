@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "suite_wall_clock_sec", "value": <total>, "unit": "sec",
+     "queries": {"q_agg_groupby": 0.41, ...}, "sf": 0.1}
+
+Execution is forced with the ``noop`` batch sink — the full physical plan
+runs (scan→shuffle→agg→sort) with zero driver-side collection cost, which
+is the honest measure of engine throughput.  One warm-up query first so
+JVM/codegen startup is not billed to the first query measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+
+from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+from stateflow_flink_spark.session import apply_runtime_conf
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def sf_of(path: str) -> float:
+    tail = os.path.basename(path.rstrip("/"))
+    try:
+        return float(tail.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    load_all_modules()
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("stateflow-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    apply_runtime_conf(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        if df.isStreaming:  # registry queries return batch frames; belt & braces
+            df = spark.createDataFrame(df.collect(), df.schema)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    run("q_agg_groupby")  # warm-up: JVM, codegen, parquet footer cache
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        try:
+            timings[name] = round(run(name), 3)
+        except Exception as exc:  # a broken query must not hide the others
+            print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,8 @@ from ..io import load
 from ..plans.registry import query
 
 DIM = 64
-N_PLANES = 16
+N_PLANES = 8  # 256 buckets; tune ~log2(n_vectors / target_bucket_size) at scale
+N_PROBE_BITS = 1  # multi-probe: also search buckets within this Hamming distance
 NEAR_DUP_TAU = 0.4
 
 
@@ -177,18 +178,30 @@ def lsh_bucket(emb: Column) -> Column:
 
 @query("q_sim_ann_lsh")  # approximate -> rows-only check
 def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via LSH: score ONLY vectors in the probe's bucket.
+    """ANN via LSH: score ONLY vectors in buckets near the probe's.
 
-    At 100 TB the table is written bucketed/partitioned by `bucket`, so
-    a probe reads one partition (plus multi-probe neighbors for recall)
-    instead of the corpus.  Here the bucket column is computed on the
-    fly and the bucket-equi-join conveys the same plan shape.
+    Multi-probe (Hamming <= N_PROBE_BITS bit flips of the probe bucket)
+    trades a constant factor of extra buckets for recall — the standard
+    lever when a sign-bit bucket is sparse.  At 100 TB the table is
+    written bucketed/partitioned by `bucket`, so a probe reads
+    1 + N_PLANES partitions instead of the corpus; here the bucket
+    column is computed on the fly and the bucket-equi-join conveys the
+    same plan shape.
     """
     e = load(spark, sf_dir, "embeddings").withColumn(
         "bucket", lsh_bucket(F.col("embedding"))
     )
-    probe = e.filter(F.col("vec_id") == 0).select(
-        F.col("embedding").alias("qe"), F.col("bucket").alias("qbucket")
+    probe = (
+        e.filter(F.col("vec_id") == 0)
+        .select(
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(N_PLANES)],
+                )
+            ).alias("qbucket"),
+        )
     )
     cands = e.join(
         broadcast(probe), (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0)
