@@ -15,22 +15,17 @@ Four tiers, increasingly approximate and increasingly scalable:
                      Jaccard verifies.  All JVM built-ins (xxhash64 +
                      higher-order array functions) — no Python, no
                      pyspark.ml vector conversion.
-  * SimHash        — 64-bit bit-majority signature per doc via one
-                     Arrow-batched pandas_udf; near-dups are signatures
+  * SimHash        — 64-bit bit-majority signature per doc, computed as
+                     a pure JVM aggregation (explode tokens, xxhash64,
+                     64 conditional sums); near-dups are signatures
                      within Hamming distance r (banded exact-match join
                      here).
 """
 
 from __future__ import annotations
 
-import hashlib
-
-import numpy as np
-import pandas as pd
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
 
 from ..io import load
 from ..plans.registry import query
@@ -73,6 +68,12 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def hashed_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-word shingles, each reduced to its xxhash64 — the
+    shuffle/signature currency everywhere below."""
+    return F.array_distinct(F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
+
+
 _SHINGLE_SQL = """
         SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
                    GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
@@ -109,7 +110,10 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter.  Integer-ratio arithmetic keeps both engines bit-identical.
     """
     d = load(spark, sf_dir, "documents")
-    docsh = d.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    # hash each distinct shingle to a long ONCE: the candidate join then
+    # shuffles 8-byte keys, never the shingle strings (64-bit space ->
+    # collisions are ~n^2/2^64, irrelevant to Jaccard at any real scale)
+    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
     ds = docsh.select("doc_id", F.explode("sh").alias("s"))
     sizes = docsh.select("doc_id", F.size("sh").alias("n"))
     a = ds.alias("a")
@@ -131,9 +135,11 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
-    """k min-hashes of a shingle set: sig[i] = min over shingles of
-    xxhash64(i, shingle).  Pure JVM expression — at 100 TB this is the
-    whole trick: fixed k longs per doc instead of the shingle set."""
+    """k min-hashes of a hashed-shingle set: sig[i] = min over shingles
+    of xxhash64(i, shingle_hash).  Pure JVM expression, and the k re-
+    hashes run over 8-byte longs (strings were hashed once upstream) —
+    at 100 TB this is the whole trick: fixed k longs per doc instead of
+    the shingle set."""
     return F.array(
         *[F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s))) for i in range(k)]
     )
@@ -179,7 +185,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     full (asserted in tests), so verified output == exact output.
     """
     d = load(spark, sf_dir, "documents")
-    docsh = d.select("doc_id", shingles(F.col("text")).alias("sh")).cache()
+    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
     cands = minhash_candidates(docsh)
     ds = docsh.select("doc_id", F.explode("sh").alias("s"))
     sizes = docsh.select("doc_id", F.size("sh").alias("n"))
@@ -204,29 +210,40 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash per text (md5-based token hashes, bit-majority).
-    Deterministic across processes — no Python hash randomization."""
-    out = np.empty(len(texts), dtype=np.int64)
-    for i, text in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in set(text.split(" ")):
-            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
-            bits = np.array([(h >> k) & 1 for k in range(64)], dtype=np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        sig = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
-        out[i] = np.int64(sig - (1 << 64) if sig >= (1 << 63) else sig)
-    return pd.Series(out)
-
-
 @query("q_dedup_simhash")  # signature join is engine-specific -> rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: 4 x 16-bit bands; pairs agreeing on
-    any band (Hamming distance <= 3 w.h.p. have one)."""
-    sim = pandas_udf(simhash64, "long")
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", sim("text").alias("sig")
+    any band (Hamming distance <= 3 w.h.p. have one).
+
+    Signature = per-bit majority of xxhash64(token): explode distinct
+    tokens, one groupBy(doc_id) with 64 conditional-sum aggregates, then
+    assemble the sign bits into one long.  All JVM built-ins."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
     )
+    bit_sums = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sig = bit_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.shiftleft(
+                    F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
+                )
+                for b in range(64)
+            ],
+            F.lit(0).cast("long"),
+        ).alias("sig"),
+    )
+    d = sig
     banded = d.select(
         "doc_id",
         "sig",

@@ -52,6 +52,7 @@ def load_all_modules() -> None:
         dedup,
         filters,
         joins,
+        multimodal,
         scans,
         setops,
         similarity,
