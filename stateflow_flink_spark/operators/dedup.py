@@ -147,17 +147,22 @@ def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
 
 def minhash_candidates(docsh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
     """LSH banding: docs agreeing on any band of the signature become a
-    candidate pair (one shuffle keyed by (band, band-hash))."""
+    candidate pair (one shuffle keyed by (band, band-hash)).
+
+    Band buckets are built directly from per-band min-hashes so each
+    min-hash expression appears exactly ONCE in the projection —
+    referencing a shared signature array via element_at would inline
+    (and re-evaluate) the whole k-hash computation per reference."""
     rows = MINHASH_K // bands
-    sig = minhash_signature(F.col("sh"))
+
+    def mh(i: int) -> Column:
+        return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s)))
+
     with_bands = docsh.select(
         "doc_id",
         F.posexplode(
             F.array(
-                *[
-                    F.xxhash64(*[F.element_at(sig, b * rows + r + 1) for r in range(rows)])
-                    for b in range(bands)
-                ]
+                *[F.xxhash64(*[mh(b * rows + r) for r in range(rows)]) for b in range(bands)]
             )
         ).alias("band", "bucket"),
     )
@@ -187,24 +192,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
     cands = minhash_candidates(docsh)
-    ds = docsh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = docsh.select("doc_id", F.size("sh").alias("n"))
-    # verify candidates with exact Jaccard: count common shingles via
-    # join on (pair, shingle), then join back the set sizes
-    ds_a = ds.select(F.col("doc_id").alias("doc_a"), F.col("s"))
-    ds_b = ds.select(F.col("doc_id").alias("doc_b"), F.col("s"))
-    n_common = (
-        cands.join(ds_a, "doc_a")
-        .join(ds_b, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # verify candidates with exact Jaccard directly on the shingle-hash
+    # arrays: candidates are rare (that's the point of LSH), so fetching
+    # the two arrays per pair and intersecting JVM-side beats exploding
+    # every document's shingles into a three-way join
+    sh_a = docsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
     return (
-        n_common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
         .filter(jac >= JACCARD_TAU)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -70,6 +70,9 @@ def load_all_modules() -> None:
         strings,
         udfs,
     )
+    from ..sources import (  # noqa: F401
+        files,
+    )
     from ..streaming import (  # noqa: F401
         flow,
         routing,

@@ -1,0 +1,62 @@
+"""Physical-plan quality gates.
+
+Correctness says the answer is right; these tests say the PLAN is the
+one that survives 100 TB: filters reach the parquet scan, projections
+prune columns, small dims broadcast, top-k never does a global sort,
+and partial aggregation happens before the shuffle.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+from .conftest import SF_SMOKE
+
+load_all_modules()
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pruned_pushes_filter_and_prunes_columns(spark):
+    plan = plan_of(QUERIES["q_scan_pruned"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+    # ReadSchema must carry only the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_small_dim_join_broadcasts(spark):
+    plan = plan_of(QUERIES["q_join_broadcast"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark):
+    plan = plan_of(QUERIES["q_topk"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_groupby_aggregates_partially_before_shuffle(spark):
+    plan = plan_of(QUERIES["q_agg_groupby"](spark, SF_SMOKE))
+    # partial (map-side) agg + final agg = two HashAggregate operators
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_multiway_join_has_no_cartesian_product(spark):
+    plan = plan_of(QUERIES["q_join_multiway"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_sim_cosine_broadcasts_probe_not_corpus(spark):
+    plan = plan_of(QUERIES["q_sim_cosine"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
