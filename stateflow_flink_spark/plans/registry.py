@@ -53,11 +53,14 @@ def load_all_modules() -> None:
         filters,
         joins,
         multimodal,
+        reshape,
         scans,
         setops,
         similarity,
+        skew,
         sorts,
         stateful,
+        subqueries,
         text,
         windows,
     )
