@@ -197,3 +197,28 @@ def _cust_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(geo, customer.c_nationkey == F.col("n_nationkey")).select(
         "r_name", "n_name", "c_acctbal"
     )
+
+
+@query(
+    "q_agg_percentile",
+    """
+    SELECT l_returnflag,
+           QUANTILE_CONT(l_quantity, 0.5) AS p50_qty,
+           QUANTILE_CONT(l_quantity, 0.9) AS p90_qty,
+           MEDIAN(l_extendedprice) AS p50_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation at rank (n-1)*p — the
+    same definition in Spark `percentile` and DuckDB QUANTILE_CONT, so
+    results are bit-identical).  At 100 TB switch to
+    `approx_percentile` (t-digest) — exact percentile materializes the
+    group; the approx twin is q_agg_approx's pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("p50_qty"),
+        F.percentile("l_quantity", 0.9).alias("p90_qty"),
+        F.percentile("l_extendedprice", 0.5).alias("p50_price"),
+    )

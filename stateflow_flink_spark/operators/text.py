@@ -8,7 +8,7 @@ deterministic and oracle-expressible by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -191,4 +191,61 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_subword_tokens"),
         F.ceil(F.length("text") / 4.0).alias("n_char_budget"),
+    )
+
+
+@query(
+    "q_pipeline_corpus",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, text,
+               ROUND((
+                   LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
+                   + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                                        ['the', 'a', 'of', 'and', 'to']))
+                     * 1.0 / LEN(STRING_SPLIT(text, ' '))
+                   + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
+                           / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
+               ) / 3.0, 6) AS q
+        FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.3),
+    deduped AS (
+        SELECT doc_id, source, text, q
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                           ORDER BY doc_id) AS rn
+              FROM kept)
+        WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {{sum_q}} / COUNT(*) AS avg_quality,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+    FROM deduped
+    GROUP BY source
+    """.replace("{sum_q}", "(CAST(SUM(CAST(q * 1000000 AS DECIMAL(38,0))) AS DOUBLE) / 1000000)"),
+)
+def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the operators above composed the
+    way a training-data pipeline runs them:
+
+        quality-score -> filter (q >= 0.5) -> exact dedup (keep lowest
+        doc_id per content digest) -> per-source corpus stats.
+
+    One pass, three shuffles (dedup window, final groupBy), everything
+    JVM-side; at 100 TB insert the MinHash stage between dedup and stats
+    (same frame, `q_dedup_minhash`'s candidates as an anti-join)."""
+    from ..numerics import exact_sum
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", "text", F.round(quality_score(F.col("text")), 6).alias("q")
+    )
+    kept = scored.filter(F.col("q") >= 0.3)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = kept.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (exact_sum("q") / F.count(F.lit(1))).alias("avg_quality"),
+        F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("total_tokens"),
     )

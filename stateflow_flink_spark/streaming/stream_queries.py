@@ -102,3 +102,40 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qy.awaitTermination()
     return spark.table("sfs_stream_watermark")
+
+
+@query(
+    "q_stream_static_join",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the streaming fact joins a static
+    dimension WITHOUT stream-state — Spark re-reads (or broadcasts) the
+    static side per micro-batch, so the dim can update between batches
+    and no join state accumulates.  The canonical pattern for joining a
+    100 TB event stream to reference data."""
+    from ..io import load as load_static
+
+    events, _ = stream_events_dir(spark, sf_dir)
+    customers = load_static(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = (
+        events.join(customers, events["user_id"] == customers["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    qy = (
+        joined.writeStream.format("memory")
+        .queryName("sfs_stream_static_join")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination()
+    return spark.table("sfs_stream_static_join")
