@@ -78,6 +78,7 @@ def load_all_modules() -> None:
     )
     from ..streaming import (  # noqa: F401
         flow,
+        invoke,
         routing,
         sessionization,
         state,

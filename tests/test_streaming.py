@@ -213,3 +213,45 @@ def test_stream_dedup_within_watermark(spark):
     qy.awaitTermination()
     got = sorted(r["event_id"] for r in spark.table("sfs_stream_dedup").collect())
     assert got == [1, 2, 3, 4]
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Ref R14 (checkpointing, StateFlowFlinkJob.java:36-40), upgraded:
+    a stopped streaming aggregation restarted from its checkpoint must
+    process ONLY new files and land on exactly the batch answer — no
+    replays, no loss (Spark's offset log + state store give exactly-once
+    state where the reference settles for at-least-once)."""
+    events = load(spark, SF_SMOKE, "events").select("event_id", "event_type")
+    pdf = events.toPandas()
+    half = len(pdf) // 2
+    src = tempfile.mkdtemp(prefix="sfs_ckpt_src_")
+    ckpt = tempfile.mkdtemp(prefix="sfs_ckpt_")
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:half]), os.path.join(src, "a.parquet"))
+
+    def run_once(qname):
+        stream = spark.readStream.schema("event_id long, event_type string").parquet(src)
+        q = (
+            stream.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r["event_type"]: r["n"] for r in spark.table(qname).collect()}
+
+    first = run_once("sfs_ckpt_run1")
+    assert sum(first.values()) == half
+
+    # new data arrives while the query is down; restart from checkpoint
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[half:]), os.path.join(src, "b.parquet"))
+    second = run_once("sfs_ckpt_run2")
+
+    expected = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert second == expected
