@@ -299,3 +299,59 @@ def _gemm_block_pairs(pdf) -> "pd.DataFrame":
     va, vb = ia[r], ib[col]
     lo, hi = np.minimum(va, vb), np.maximum(va, vb)
     return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": c[r, col]})
+
+
+N_CENTROIDS = 16  # IVF coarse-quantizer cells; ~sqrt(n) per classic IVF sizing
+N_PROBE_CELLS = 2  # cells searched per probe
+
+
+@query("q_sim_ann_ivf")  # approximate -> rows-only check
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) coarse quantization.
+
+    Cells are defined by N_CENTROIDS deterministic centroids (the
+    lowest-vec_id vectors — swap in k-means centroids without touching
+    the plan); every vector is assigned to its nearest centroid by
+    cosine (one broadcast pass over the corpus), and a probe scores only
+    the vectors in its N_PROBE_CELLS nearest cells.
+
+    At 100 TB the assignment runs once at ingest and the table is
+    written partitioned by `cent_id`, so a probe reads nprobe partitions
+    — same storage story as the LSH variant, but with data-adaptive
+    cells (better recall on clustered embeddings at equal probe cost).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    scored = e.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "embedding", "cent_id"
+    )
+    probe_cells = (
+        ranked.filter((F.col("vec_id") == 0) & (F.col("rn") <= N_PROBE_CELLS))
+        .select("cent_id")
+    )
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cands = (
+        assigned.join(broadcast(probe_cells), "cent_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qe))
+    )
+    return (
+        cands.select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
