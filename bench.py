@@ -28,6 +28,7 @@ from stateflow_flink_spark.session import apply_runtime_conf
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))  # BASELINE.md medians: 3
 
 
 def sf_of(path: str) -> float:
@@ -64,7 +65,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         try:
-            timings[name] = round(run(name), 3)
+            samples = sorted(run(name) for _ in range(RUNS))
+            timings[name] = round(samples[len(samples) // 2], 3)
         except Exception as exc:  # a broken query must not hide the others
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
