@@ -56,14 +56,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Distinct n-word shingles of a document (1-based start positions
-    1..len-n+1; docs shorter than n tokens — absent from the fixture —
-    would shingle the whole doc)."""
+    1..len-n+1).  Docs shorter than n tokens shingle the whole doc:
+    `try_element_at` yields NULL past the end and `concat_ws` skips
+    NULLs — ANSI `element_at` would THROW on those rows, and short docs
+    absolutely occur in web-scale corpora even though the fixture has
+    none (caught by tests/test_edgecases.py)."""
     toks = F.split(text, " ")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
     return F.array_distinct(
         F.transform(
             starts,
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
         )
     )
 
@@ -74,10 +79,11 @@ def hashed_shingles(text: Column, n: int = 3) -> Column:
     return F.array_distinct(F.transform(shingles(text, n), lambda s: F.xxhash64(s)))
 
 
+# slice-to-available tokens == Spark's NULL-skipping concat_ws on short docs
 _SHINGLE_SQL = """
         SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
                    GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
-                   i -> t[i] || ' ' || COALESCE(t[i+1], '') || ' ' || COALESCE(t[i+2], '')
+                   i -> ARRAY_TO_STRING(t[i:LEAST(i+2, LEN(t))], ' ')
                )) AS sh
         FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
 """

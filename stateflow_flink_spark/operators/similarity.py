@@ -50,7 +50,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero vector yields NULL similarity instead of an
+    # ANSI DIVIDE_BY_ZERO exception killing the whole 100 TB job
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 _COS_SQL = """
