@@ -35,3 +35,26 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_name").like("%00001%").alias("like_1"),
         F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
     )
+
+
+@query(
+    "q_string_distance",
+    """
+    SELECT p_partkey,
+           LEVENSHTEIN(p_brand, p_type) AS brand_type_dist,
+           LEVENSHTEIN(p_type, 'PROMO BURNISHED COPPER') AS type_dist
+    FROM part
+    """,
+)
+def q_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance functions (fuzzy matching building block — entity
+    resolution joins prefilter with cheap distances before anything
+    quadratic)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.levenshtein("p_type", F.lit("PROMO BURNISHED COPPER")).cast("long").alias(
+            "type_dist"
+        ),
+    )
