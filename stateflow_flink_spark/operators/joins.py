@@ -242,3 +242,43 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
     )
+
+
+@query(
+    "q_join_range",
+    """
+    SELECT a.event_id AS err_id, b.event_id AS ctx_id, b.event_type AS ctx_type
+    FROM events a
+    JOIN events b
+      ON b.user_id = a.user_id
+     AND a.event_type = 'error'
+     AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP) - INTERVAL 10 MINUTE
+     AND CAST(b.ts AS TIMESTAMP) <  CAST(a.ts AS TIMESTAMP)
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every error event, the same user's
+    events in the preceding 10 minutes (incident context windows).
+
+    The equi key (user_id) carries the shuffle/hash join; the time band
+    is a residual predicate evaluated inside the matched bucket — the
+    plan stays a hash/SMJ join, never a cartesian.  A pure band join
+    (no equi key) would instead quantize ts into 10-minute buckets,
+    equi-join on bucket +/-1, and re-apply the band filter — same
+    composition, one derived column."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("err_user"))
+        & (F.col("ts") >= F.col("err_ts") - F.expr("INTERVAL 10 MINUTES"))
+        & (F.col("ts") < F.col("err_ts"))
+    )
+    return e.join(a, cond).select(
+        "err_id",
+        F.col("event_id").alias("ctx_id"),
+        F.col("event_type").alias("ctx_type"),
+    )
