@@ -123,29 +123,30 @@ def _byte_histogram_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Data
 @query(
     "q_mm_features",
     f"""
-    SELECT doc_id,
-           LIST_TRANSFORM(
-               GENERATE_SERIES(0, {N_HIST_BINS - 1}),
-               b -> CAST(CAST(LEN(LIST_FILTER(codes, x -> x // 16 = b)) AS DOUBLE)
-                         / LEN(codes) AS FLOAT)
-           ) AS feature
+    SELECT doc_id, CAST(b AS INT) AS bin,
+           CAST(CAST(LEN(LIST_FILTER(codes, x -> x // 16 = b)) AS DOUBLE)
+                / LEN(codes) AS FLOAT) AS weight
     FROM (
         SELECT doc_id,
                LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(text)),
                               i -> ORD(text[i])) AS codes
         FROM documents
-    )
+    ), GENERATE_SERIES(0, {N_HIST_BINS - 1}) AS bins(b)
     """,
 )
 def q_mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary → fixed-dim feature vector via mapInPandas (Arrow batches).
+    """Binary → fixed-dim feature vector via mapInPandas (Arrow batches),
+    emitted as scalar (doc_id, bin, weight) rows — the long form both
+    engines and the driver's hasher agree on.  The vector form is the
+    mapInPandas output; `posexplode` unrolls it JVM-side.
 
     Oracle note: the fixture text is pure ASCII (asserted in tests), so
     per-character ORD codes in DuckDB equal the utf-8 payload bytes."""
     m = with_payload(load(spark, sf_dir, "documents")).select("doc_id", "payload")
-    return m.mapInPandas(
+    feat = m.mapInPandas(
         _byte_histogram_batches, "doc_id long, feature array<float>"
     )
+    return feat.select("doc_id", F.posexplode("feature").alias("bin", "weight"))
 
 
 @query(
@@ -191,7 +192,18 @@ def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_mm_decode")  # stubbed codec -> rows-only contract
+@query(
+    "q_mm_decode",
+    """
+    SELECT doc_id,
+           CAST(1 + ((16 * (STRPOS('0123456789abcdef', h[1]) - 1)
+                      + (STRPOS('0123456789abcdef', h[2]) - 1)) % 128) AS INT) AS height,
+           CAST(1 + ((16 * (STRPOS('0123456789abcdef', h[3]) - 1)
+                      + (STRPOS('0123456789abcdef', h[4]) - 1)) % 128) AS INT) AS width,
+           CAST(3 AS INT) AS channels
+    FROM (SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+    """,
+)
 def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode stage with the stubbed codec: emits the deterministic fake
     decoder's dimensions per image asset.  Batch plumbing (mapInPandas,

@@ -54,12 +54,19 @@ def test_fake_decode_deterministic_and_bounded():
 
 
 def test_feature_vectors_are_normalized_histograms(spark):
-    rows = QUERIES["q_mm_features"](spark, SF_SMOKE).limit(20).collect()
+    rows = (
+        QUERIES["q_mm_features"](spark, SF_SMOKE)
+        .filter("doc_id < 20")
+        .collect()
+    )
     assert rows
+    by_doc: dict[int, list] = {}
     for r in rows:
-        assert len(r["feature"]) == N_HIST_BINS
-        assert abs(sum(r["feature"]) - 1.0) < 1e-3
-        assert all(v >= 0.0 for v in r["feature"])
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_rows in by_doc.values():
+        assert sorted(r["bin"] for r in doc_rows) == list(range(N_HIST_BINS))
+        assert abs(sum(r["weight"] for r in doc_rows) - 1.0) < 1e-3
+        assert all(r["weight"] >= 0.0 for r in doc_rows)
 
 
 def test_frame_sample_stride_and_size(spark):
