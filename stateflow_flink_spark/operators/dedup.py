@@ -24,7 +24,7 @@ Four tiers, increasingly approximate and increasingly scalable:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -33,6 +33,15 @@ from ..plans.registry import query
 JACCARD_TAU = 0.3
 MINHASH_K = 16  # signature length
 MINHASH_BANDS = 8  # 8 bands x 2 rows: catches tau >= ~0.3 pairs w.h.p.
+# Document-frequency cap for the fuzzy candidate join: a shingle shared
+# by k docs yields k^2 candidate pairs, and web corpora have boilerplate
+# shingles with k in the millions ("click here to subscribe").  Shingles
+# above the cap carry ~zero Jaccard information (they are corpus-wide
+# stopword n-grams), so dropping them bounds the worst bucket at
+# DF_CAP^2 pairs while leaving near-dup scores essentially unchanged.
+# At 100 TB keep this an absolute constant (not a corpus fraction) —
+# the quadratic cost is absolute, not relative.
+SHINGLE_DF_CAP = 256
 
 
 @query(
@@ -105,23 +114,62 @@ _FUZZY_ORACLE = f"""
     WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_TAU}
 """
 
+# Fuzzy variant: Jaccard over the DF-capped shingle universe.  The cap
+# CTE mirrors the Spark-side window filter exactly (same cap, same
+# "count docs per shingle" semantics), so both engines score pairs over
+# the identical shingle sets.
+_FUZZY_CAPPED_ORACLE = f"""
+    WITH docsh AS ({_SHINGLE_SQL}),
+    ds_all AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    ds AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ds_all
+        ) WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_TAU}
+"""
 
-@query("q_dedup_fuzzy", _FUZZY_ORACLE)
+
+@query("q_dedup_fuzzy", _FUZZY_CAPPED_ORACLE)
 def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with shingle-set Jaccard >= tau.
+    """Near-dup pairs with shingle-set Jaccard >= tau, over the DF-capped
+    shingle universe.
 
-    Plan: explode distinct shingles -> self-equi-join on shingle (the
-    candidate generator; one hash shuffle keyed by shingle) -> count
-    common shingles per pair -> join back the set sizes -> exact Jaccard
-    filter.  Integer-ratio arithmetic keeps both engines bit-identical.
+    Plan: explode distinct shingles -> window count per shingle (one
+    shuffle keyed by shingle) -> drop shingles in > SHINGLE_DF_CAP docs
+    (kills the quadratic boilerplate buckets) -> self-equi-join on
+    shingle (the candidate generator) -> count common shingles per pair
+    -> join back the capped set sizes -> exact Jaccard filter.
+    Integer-ratio arithmetic keeps both engines bit-identical.
     """
     d = load(spark, sf_dir, "documents")
     # hash each distinct shingle to a long ONCE: the candidate join then
     # shuffles 8-byte keys, never the shingle strings (64-bit space ->
     # collisions are ~n^2/2^64, irrelevant to Jaccard at any real scale)
-    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
-    ds = docsh.select("doc_id", F.explode("sh").alias("s"))
-    sizes = docsh.select("doc_id", F.size("sh").alias("n"))
+    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh"))
+    ds_all = docsh.select("doc_id", F.explode("sh").alias("s"))
+    # document-frequency cap: one window pass keyed by the same column
+    # the candidate join shuffles on; a shingle in > DF_CAP docs would
+    # alone contribute > DF_CAP^2 candidate pairs and ~zero information
+    w = Window.partitionBy("s")
+    ds = (
+        ds_all.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+        .cache()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = ds.alias("a")
     b = ds.alias("b")
     pairs = (
