@@ -224,9 +224,14 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: latest order of the same customer at/before each event.
 
     Spark has no native ASOF JOIN; the scalable formulation is an
-    equi-join on the entity key (one hash shuffle) + per-event rank,
-    never a range cross-join.  Tie-break on o_orderkey makes the pick
-    deterministic when two orders share a date.
+    equi-join on the entity key (one hash shuffle) + per-event
+    ``max_by`` aggregation.  Unlike join -> row_number -> rn=1 (which
+    materializes and sorts every (event x earlier order) pair), the
+    declarative aggregate does a partial (map-side) max per event before
+    the exchange, so an entity with deep order history reduces its pairs
+    inside the join stage instead of shuffling them all to one window
+    sort.  The struct ordering (o_orderdate, o_orderkey) tie-breaks
+    deterministically when two orders share a date.
     """
     events = load(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
@@ -234,13 +239,21 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders,
         (orders.o_custkey == events.user_id) & (orders.o_orderdate <= events.ts),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
-    )
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")
+        joined.groupBy("event_id", "user_id", "ts")
+        .agg(
+            F.max_by(
+                F.struct("o_orderkey", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("best")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("best.o_orderkey").alias("o_orderkey"),
+            F.col("best.o_orderdate").alias("o_orderdate"),
+        )
     )
 
 
