@@ -19,6 +19,8 @@ Structured Streaming cannot express cycles inside one query (SURVEY.md
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -34,25 +36,43 @@ def iterate_flow(flows: DataFrame, advance, max_steps: int = MAX_FLOW_STEPS) -> 
     ``flows`` needs columns ``current_node_type`` + whatever ``advance``
     uses; ``advance(df) -> df`` performs ONE flow step (the stateful
     apply that moves the cursor — ref §3.3 step 2) and must add 1 to
-    ``n_hops``.  Returns the union of finished rows with a
-    ``reply`` column, caching each frontier so the lineage doesn't
-    re-execute from the source every iteration.
+    ``n_hops``.  Returns the finished rows with a ``reply`` column.
+
+    Caching is bounded: at most TWO frontiers are pinned at any moment
+    (the one being advanced and its successor), and each step's finished
+    rows stream straight to a parquet staging dir (a distributed append
+    write — the batch analog of producing replies to the client topic),
+    so the returned DataFrame is a clean scan with no dependence on any
+    cached frontier.  A 64-step flow therefore holds 2 cached frontiers,
+    not 64, and nothing stays pinned after the call.
     """
-    finished: list[DataFrame] = []
+    spark = flows.sparkSession
+    stage = tempfile.mkdtemp(prefix="sfs_flow_done_")
     frontier = flows
+    prev: DataFrame | None = None
     for _ in range(max_steps):
         frontier = advance(frontier).persist()
-        done = frontier.filter(F.col("current_node_type") == "RETURN")
-        finished.append(done.withColumn("reply", F.lit("SuccessfulInvocation")))
-        frontier = frontier.filter(F.col("current_node_type") != "RETURN")
-        if frontier.isEmpty():
+        # stream this step's finished rows out; the write is the action
+        # that also materializes the frontier cache
+        (
+            frontier.filter(F.col("current_node_type") == "RETURN")
+            .withColumn("reply", F.lit("SuccessfulInvocation"))
+            .write.mode("append")
+            .parquet(stage)
+        )
+        nxt = frontier.filter(F.col("current_node_type") != "RETURN")
+        stop = nxt.isEmpty()  # reuses the cache populated just above
+        if prev is not None:
+            prev.unpersist()
+        prev = frontier
+        frontier = nxt
+        if stop:
             break
     else:
+        prev.unpersist()
         raise RuntimeError(f"flow did not terminate within {max_steps} steps")
-    out = finished[0]
-    for df in finished[1:]:
-        out = out.unionByName(df)
-    return out
+    prev.unpersist()
+    return spark.read.parquet(stage)
 
 
 @query(

@@ -255,3 +255,14 @@ def test_checkpoint_recovery_exactly_once(spark):
         for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert second == expected
+
+
+def test_flow_iteration_cache_is_bounded(spark):
+    """iterate_flow must not pin one cached frontier per step: finished
+    rows are checkpointed eagerly and every frontier is unpersisted, so
+    the persistent-RDD census returns to its starting point."""
+    before = spark.sparkContext._jsc.getPersistentRDDs().size()
+    out = QUERIES["q_flow_iterate"](spark, SF_SMOKE)
+    assert out.count() > 0
+    after = spark.sparkContext._jsc.getPersistentRDDs().size()
+    assert after <= before
