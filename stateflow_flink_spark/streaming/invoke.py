@@ -22,8 +22,10 @@ same ``StatelessFn`` signature unchanged.
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Callable, Iterator
 from concurrent.futures import ThreadPoolExecutor, as_completed
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 
 import pandas as pd
 
@@ -77,19 +79,42 @@ def invoke_stateless(
     the engine-side analog of the reference's error log + drop
     (``InvokeStatelessLambda.java:95-103``)."""
 
+    # resolve on the driver and let cloudpickle ship the callable — a
+    # worker process's registry only has import-time registrations
+    fn = get_stateless(operator_name)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = get_stateless(operator_name)
-        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+        pool = ThreadPoolExecutor(max_workers=max_in_flight)
+        try:
             for pdf in batches:
                 futures = {
                     pool.submit(fn, ev): ev["event_id"]
                     for ev in pdf.to_dict("records")
                 }
+                # batch deadline: every call gets timeout_s of wall even
+                # when queued behind max_in_flight concurrent slots
+                deadline = timeout_s * max(1, math.ceil(len(futures) / max_in_flight))
                 outs = []
-                for fut in as_completed(futures, timeout=timeout_s * len(futures)):
-                    try:
-                        outs.append(fut.result(timeout=timeout_s))
-                    except Exception:
+                pending = set(futures)
+                try:
+                    for fut in as_completed(futures, timeout=deadline):
+                        pending.discard(fut)
+                        try:
+                            outs.append(fut.result())
+                        except Exception:
+                            outs.append(
+                                {
+                                    "event_id": futures[fut],
+                                    "fun_key": None,
+                                    "reply": "FailedInvocation",
+                                }
+                            )
+                except FuturesTimeoutError:
+                    # deadline blown: every still-pending call degrades to a
+                    # per-row failure (ref: error log + drop) instead of
+                    # failing the whole Spark task
+                    for fut in pending:
+                        fut.cancel()
                         outs.append(
                             {
                                 "event_id": futures[fut],
@@ -98,6 +123,10 @@ def invoke_stateless(
                             }
                         )
                 yield pd.DataFrame(outs, columns=["event_id", "fun_key", "reply"])
+        finally:
+            # wait=False: a truly hung external call must not block task
+            # completion; its thread dies with the (reused) python worker
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return df.mapInPandas(run, _CREATE_OUT)
 

@@ -112,10 +112,13 @@ class EntityFoldProcessor(StatefulProcessor):
 
     def __init__(self, operator_name: str = "engine/Fold") -> None:
         self._operator_name = operator_name
+        # resolve driver-side: the pickled processor carries the callable,
+        # so runtime registrations work (a worker's registry only has
+        # import-time entries)
+        self._fn = get_stateful(operator_name)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState("entity_state", "blob binary")
-        self._fn = get_stateful(self._operator_name)
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
