@@ -26,25 +26,40 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# (session id, sf_dir, table) -> resolved read schema.  The footer read
+# for schema inference is a per-call driver-side file open; over an
+# 89-query suite that is ~90 redundant opens per table.  Caching the
+# *schema* (never the DataFrame — every call still gets a fresh plan
+# subtree with fresh expression IDs, so self-joins keep working) makes
+# repeat loads metadata-free.
+_SCHEMA_CACHE: dict[tuple[int, str, str], object] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table.
 
-    Schema comes from the parquet footer (it matches
-    ``schemas.TABLE_SCHEMAS`` — asserted in tests); passing an explicit
-    schema here would disable parquet schema evolution for no benefit in
-    batch.  Streaming readers pass ``schemas.EVENTS_RAW`` etc. (see
-    ``sources/stream.py``) because ``readStream`` requires a schema.
+    Schema comes from the parquet footer on first touch (it matches
+    ``schemas.TABLE_SCHEMAS`` — asserted in tests) and is cached per
+    (session, dir, table) after that.  Streaming readers pass
+    ``schemas.EVENTS_RAW`` etc. because ``readStream`` requires a schema.
 
     ``events.ts`` is physically TIMESTAMP(NANOS); Spark 4 only reads it
     as int64 nanos (legacy conf), so we convert to TimestampType (µs)
     here with truncation — identical to DuckDB ``CAST(ts AS TIMESTAMP)``.
     """
+    path = table_path(sf_dir, name)
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(table_path(sf_dir, name)).withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
-    return spark.read.parquet(table_path(sf_dir, name))
+    key = (id(spark), sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        raw = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = raw.schema
+    else:
+        raw = spark.read.schema(schema).parquet(path)
+    if name == "events":
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -46,24 +46,15 @@ def oracle(name: str, sql: str) -> None:
 
 
 def load_all_modules() -> None:
-    """Import every operator module so registrations run (idempotent)."""
-    from ..operators import (  # noqa: F401
-        aggregates,
-        dedup,
-        filters,
-        joins,
-        multimodal,
-        reshape,
-        scans,
-        setops,
-        similarity,
-        skew,
-        sorts,
-        stateful,
-        subqueries,
-        text,
-        windows,
-    )
+    """Import every operator module so registrations run (idempotent).
+
+    IMPORT ORDER IS THE DRIVER'S EXECUTION ORDER: the correctness gate
+    walks ``queries()`` in registration order under a time box, so the
+    ordering here is deliberate — cheap sub-second relational suites
+    first, the multi-second streaming/dedup suites last.  If the box
+    truncates, it truncates into the expensive tail, not into thirty
+    cheap scalar-function queries."""
+    # tier 1 — sub-second scalar/relational suites
     from ..functions import (  # noqa: F401
         arrays,
         dates,
@@ -73,13 +64,36 @@ def load_all_modules() -> None:
         strings,
         udfs,
     )
+    from ..operators import (  # noqa: F401
+        filters,
+        scans,
+        sorts,
+        setops,
+        windows,
+        reshape,
+        text,
+        subqueries,
+        aggregates,
+        joins,
+        skew,
+        stateful,
+        multimodal,
+    )
     from ..sources import (  # noqa: F401
         files,
     )
     from ..streaming import (  # noqa: F401
+        routing,
+    )
+    # tier 2 — heavier batch suites (candidate joins, block-GEMM, ANN)
+    from ..operators import (  # noqa: F401
+        dedup,
+        similarity,
+    )
+    # tier 3 — streaming queries (micro-batch + state-store startup cost)
+    from ..streaming import (  # noqa: F401
         flow,
         invoke,
-        routing,
         sessionization,
         state,
         stream_queries,
