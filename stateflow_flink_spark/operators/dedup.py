@@ -262,19 +262,38 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # signature join is engine-specific -> rows-only
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidates: 4 x 16-bit bands; pairs agreeing on
-    any band (Hamming distance <= 3 w.h.p. have one).
+# SimHash near-dup search, scale-safe candidate generation.
+#
+# The naive scheme (4 x 16-bit bands, pairs agreeing on any band) caps
+# at 4 x 2^16 buckets TOTAL: at billions of docs every bucket holds
+# ~n/65k entries and the within-bucket pairing is quadratic.  The
+# standard fix (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
+# Web Crawling", WWW'07 — the multi-permutation sorted-fingerprint
+# scheme) widens the match prefix: split the 64-bit fingerprint into
+# B = 6 blocks and key each doc by every combination of 3 blocks.
+# Pigeonhole: <= 3 differing bits touch <= 3 blocks, leaving >= 3
+# blocks clean, so SOME 3-block combination matches exactly — recall
+# for Hamming <= 3 is guaranteed, while the candidate key is now ~33
+# bits (xxhash64-folded to 64) instead of 16: the bucket space grows
+# with the corpus instead of saturating.
+SIMHASH_HAMMING_K = 3
+_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+_SIMHASH_COMBOS = [
+    (i, j, k)
+    for i in range(6)
+    for j in range(i + 1, 6)
+    for k in range(j + 1, 6)
+]  # C(6,3) = 20
 
-    Signature = per-bit majority of xxhash64(token): explode distinct
-    tokens, one groupBy(doc_id) with 64 conditional-sum aggregates, then
-    assemble the sign bits into one long.  All JVM built-ins."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc — per-bit majority of xxhash64(token):
+    explode distinct tokens, one groupBy(doc_id) with 64 conditional-sum
+    aggregates, then assemble the sign bits into one long.  All JVM
+    built-ins, one shuffle keyed by doc_id."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
     bit_sums = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -283,7 +302,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(64)
         ]
     )
-    sig = bit_sums.select(
+    return bit_sums.select(
         "doc_id",
         sum(
             [
@@ -295,20 +314,44 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("sig"),
     )
-    d = sig
-    banded = d.select(
+
+
+def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b, sig_a, sig_b) pairs agreeing exactly on
+    at least one 3-of-6 block combination — complete for Hamming <=
+    SIMHASH_HAMMING_K by the pigeonhole argument above.  One shuffle
+    keyed by (combo, bucket-hash); hash collisions can only ADD
+    candidates (killed by the exact verify), never lose one."""
+
+    def block(off: int, width: int):
+        return F.shiftright("sig", off).bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = [block(off, w) for off, w in _SIMHASH_BLOCKS]
+    # Exchange barrier: sig is typically a 64-term projection (see
+    # simhash_signatures); without the barrier CollapseProject inlines
+    # that chain into all 60 block references below — a 3,800-term
+    # codegen bomb (the Catalyst re-inline gotcha).  Shuffling 16-byte
+    # (doc_id, sig) rows is negligible at any scale and materializes the
+    # signature exactly once.
+    sig = sig.repartition("doc_id")
+    keyed = sig.select(
         "doc_id",
         "sig",
         F.posexplode(
-            F.array(*[(F.shiftright("sig", b * 16).bitwiseAND(F.lit(0xFFFF))) for b in range(4)])
-        ).alias("band", "bucket"),
+            F.array(
+                *[
+                    F.xxhash64(F.lit(ci), blocks[i], blocks[j], blocks[k])
+                    for ci, (i, j, k) in enumerate(_SIMHASH_COMBOS)
+                ]
+            )
+        ).alias("combo", "bucket"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -320,7 +363,16 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+@query("q_dedup_simhash")  # signature hash seeds are engine-specific -> rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs within Hamming distance SIMHASH_HAMMING_K of
+    each other's SimHash — exact-complete via the 3-of-6-block candidate
+    generator, exact-verified with bit_count(xor)."""
+    sig = simhash_signatures(load(spark, sf_dir, "documents"))
+    pairs = simhash_candidate_pairs(sig)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 8
+        F.col("hamming") <= SIMHASH_HAMMING_K
     )

@@ -91,3 +91,73 @@ def test_fold_fn_empty_state_initialization():
         json.dumps(st).encode(),
     )
     assert out2["running_n"] == 2 and out2["running_sum"] == 3.0
+
+
+def test_simhash_candidates_bounded_on_skewed_sigs(spark):
+    """A corpus where every fingerprint shares the same low 16 bits (the
+    old one-band bucket) but is random elsewhere must NOT go quadratic:
+    the 3-of-6-block keys always include >= 2 blocks of random bits, so
+    candidates stay near zero while the old 16-bit banding would have
+    produced all C(400,2) = 79,800 pairs from that one hot band."""
+    import random
+
+    from stateflow_flink_spark.operators.dedup import (
+        SIMHASH_HAMMING_K,
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    shared_low = 0xBEEF  # identical bits 0..15 for every doc
+    sigs = [
+        (i, (rng.getrandbits(48) << 16) | shared_low) for i in range(400)
+    ]
+    sig_df = spark.createDataFrame(
+        [(i, s - (1 << 64) if s >= 1 << 63 else s) for i, s in sigs],
+        "doc_id long, sig long",
+    )
+    n_candidates = simhash_candidate_pairs(sig_df).count()
+    assert n_candidates < 1000  # vs 79,800 for the saturated band
+
+
+def test_simhash_candidates_complete_within_k(spark):
+    """Planted pairs at Hamming 1..3 must ALWAYS be candidates (the
+    pigeonhole guarantee), and a pair at distance 10 spread over >3
+    blocks must not survive the verify."""
+    import random
+
+    from stateflow_flink_spark.operators.dedup import (
+        SIMHASH_HAMMING_K,
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    expected = set()
+    doc_id = 0
+    for k in (1, 2, 3):
+        for _ in range(30):
+            base = rng.getrandbits(63)  # keep sign bit clear for simplicity
+            flipped = base
+            for bit in rng.sample(range(63), k):
+                flipped ^= 1 << bit
+            rows += [(doc_id, base), (doc_id + 1, flipped)]
+            expected.add((doc_id, doc_id + 1))
+            doc_id += 2
+    # far pair: 10 flips spread across all six blocks
+    base = rng.getrandbits(63)
+    far = base
+    for bit in (1, 12, 23, 34, 45, 55, 5, 17, 28, 39):
+        far ^= 1 << bit
+    rows += [(doc_id, base), (doc_id + 1, far)]
+    far_pair = (doc_id, doc_id + 1)
+
+    sig_df = spark.createDataFrame(rows, "doc_id long, sig long")
+    pairs = simhash_candidate_pairs(sig_df)
+    verified = {
+        (r.doc_a, r.doc_b)
+        for r in pairs.filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= SIMHASH_HAMMING_K
+        ).collect()
+    }
+    assert expected <= verified
+    assert far_pair not in verified
