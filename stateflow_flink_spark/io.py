@@ -62,6 +62,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return raw
 
 
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Ensure compute parallelism for per-row-heavy pipelines.
+
+    The fixture tables are single-row-group parquet files, so the scan
+    yields ONE partition and any expensive per-row expression (shingle
+    hashing, SimHash folds, embedding math) runs on one core of 32.  On
+    a real cluster the same tables are thousands of row groups and the
+    scan parallelizes naturally — so this helper repartitions ONLY when
+    the scan has fewer partitions than the session's default
+    parallelism, and is a no-op (not even an exchange in the plan) at
+    scale.  Round-robin repartition, no key: the downstream op decides
+    its own shuffle keys."""
+    parts = df.rdd.getNumPartitions()
+    target = spark.sparkContext.defaultParallelism
+    if parts >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 

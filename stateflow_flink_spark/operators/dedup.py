@@ -16,10 +16,10 @@ Four tiers, increasingly approximate and increasingly scalable:
                      higher-order array functions) — no Python, no
                      pyspark.ml vector conversion.
   * SimHash        — 64-bit bit-majority signature per doc, computed as
-                     a pure JVM aggregation (explode tokens, xxhash64,
-                     64 conditional sums); near-dups are signatures
-                     within Hamming distance r (banded exact-match join
-                     here).
+                     a pure JVM projection (higher-order array fold —
+                     zero shuffle); near-dups are signatures within
+                     Hamming distance r, found via the 3-of-6-block
+                     exact-match join (Manku et al., WWW'07).
 """
 
 from __future__ import annotations
@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, spread
 from ..plans.registry import query
 
 JACCARD_TAU = 0.3
@@ -69,16 +69,27 @@ def shingles(text: Column, n: int = 3) -> Column:
     `try_element_at` yields NULL past the end and `concat_ws` skips
     NULLs — ANSI `element_at` would THROW on those rows, and short docs
     absolutely occur in web-scale corpora even though the fixture has
-    none (caught by tests/test_edgecases.py)."""
-    toks = F.split(text, " ")
-    starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
-    return F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.concat_ws(
-                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
-            ),
+    none (caught by tests/test_edgecases.py).
+
+    The token array is BOUND ONCE as a lambda variable via the
+    `element_at(transform(array(split(..)), t -> ..), 1)` wrapper.
+    Referencing a `split()` expression n+1 times per shingle position
+    instead would re-tokenize the document per reference (expressions
+    are trees, not CSE'd) — measured ~10x slower on real documents."""
+
+    def over_tokens(toks: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(
+                starts,
+                lambda i: F.concat_ws(
+                    " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+                ),
+            )
         )
+
+    return F.element_at(
+        F.transform(F.array(F.split(text, " ")), over_tokens), 1
     )
 
 
@@ -153,7 +164,7 @@ def q_dedup_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> join back the capped set sizes -> exact Jaccard filter.
     Integer-ratio arithmetic keeps both engines bit-identical.
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     # hash each distinct shingle to a long ONCE: the candidate join then
     # shuffles 8-byte keys, never the shingle strings (64-bit space ->
     # collisions are ~n^2/2^64, irrelevant to Jaccard at any real scale)
@@ -243,7 +254,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     negligible above 0.45); the fixture's planted pairs are recalled in
     full (asserted in tests), so verified output == exact output.
     """
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"), spark)
     docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
     cands = minhash_candidates(docsh)
     # verify candidates with exact Jaccard directly on the shingle-hash
@@ -287,33 +298,36 @@ _SIMHASH_COMBOS = [
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc — per-bit majority of xxhash64(token):
-    explode distinct tokens, one groupBy(doc_id) with 64 conditional-sum
-    aggregates, then assemble the sign bits into one long.  All JVM
-    built-ins, one shuffle keyed by doc_id."""
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
-    bit_sums = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(64)
-        ]
+    """64-bit SimHash per doc — per-bit majority of xxhash64(token).
+
+    SimHash is doc-local, so it is a pure PROJECTION: tokenize, hash
+    each distinct token, accumulate a 64-wide ±1 bit-count vector with
+    aggregate/zip_with, and fold the sign bits into one long inside the
+    aggregate's `finish` lambda.  Zero shuffle — the signature build
+    rides the parquet scan; the explode+groupBy alternative shuffles
+    every token of the corpus first (~200x the signature bytes).
+
+    Written as SQL lambdas over `sequence(0, 63)` rather than 64
+    unrolled Python-built terms: the loop form compiles to ~100 bytes
+    of codegen instead of a 4,000-term expression tree (the unrolled
+    variant costs ~10 s of Janino compile per plan).  The SQL layer
+    accepts a variable shift amount (`shiftright(h, b)`); only the
+    Python wrapper insists on a literal.  `acc` is a bound lambda
+    variable, so the finish fold reads it 64 times without re-inlining
+    the upstream aggregate (the Catalyst CollapseProject gotcha)."""
+    sig = F.expr(
+        """
+        aggregate(
+          transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
+          array_repeat(0, 64),
+          (acc, h) -> zip_with(acc, sequence(0, 63),
+                               (a, b) -> a + int(shiftright(h, b) & 1) * 2 - 1),
+          acc -> aggregate(sequence(0, 63), 0L,
+                           (s, b) -> s + shiftleft(if(element_at(acc, b + 1) > 0, 1L, 0L), b))
+        )
+        """
     )
-    return bit_sums.select(
-        "doc_id",
-        sum(
-            [
-                F.shiftleft(
-                    F.when(F.col(f"b{b}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long"), b
-                )
-                for b in range(64)
-            ],
-            F.lit(0).cast("long"),
-        ).alias("sig"),
-    )
+    return docs.select("doc_id", sig.alias("sig"))
 
 
 def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -370,7 +384,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within Hamming distance SIMHASH_HAMMING_K of
     each other's SimHash — exact-complete via the 3-of-6-block candidate
     generator, exact-verified with bit_count(xor)."""
-    sig = simhash_signatures(load(spark, sf_dir, "documents"))
+    sig = simhash_signatures(spread(load(spark, sf_dir, "documents"), spark))
     pairs = simhash_candidate_pairs(sig)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
