@@ -81,6 +81,7 @@ def load_all_modules() -> None:
     )
     from ..sources import (  # noqa: F401
         files,
+        wire,
     )
     from ..streaming import (  # noqa: F401
         routing,
