@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, spread
 from ..numerics import exact_avg, exact_sum, sql_avg, sql_sum
 from ..plans.registry import query
 
@@ -29,7 +29,7 @@ from ..plans.registry import query
     """,
 )
 def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"), spark)
     return li.agg(
         exact_sum("l_quantity").alias("sum_qty"),
         exact_avg("l_extendedprice").alias("avg_price"),
@@ -58,8 +58,13 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: the classic partial+final hash aggregate."""
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    # spread AFTER the filter: the predicate still pushes into the scan;
+    # the exchange above it parallelizes the decimal-exact partial agg
+    li = spread(
+        load(spark, sf_dir, "lineitem").filter(
+            F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+        ),
+        spark,
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -216,7 +221,7 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     results are bit-identical).  At 100 TB switch to
     `approx_percentile` (t-digest) — exact percentile materializes the
     group; the approx twin is q_agg_approx's pattern."""
-    li = load(spark, sf_dir, "lineitem")
+    li = spread(load(spark, sf_dir, "lineitem"), spark)
     return li.groupBy("l_returnflag").agg(
         F.percentile("l_quantity", 0.5).alias("p50_qty"),
         F.percentile("l_quantity", 0.9).alias("p90_qty"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, spread
 from ..plans.registry import query
 from .kafka import TOPIC_CLIENT_REPLY, decode_frames, encode_frames
 from .proto import envelope_struct, from_proto, to_proto
@@ -45,7 +45,8 @@ _LIFT_SQL = """
 
 
 def _lift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "events")
+    # spread: the codec UDF is the expensive stage; see io.spread
+    e = spread(load(spark, sf_dir, "events"), spark)
     is_signup = F.col("event_type") == "signup"
     return e.select(
         F.col("event_id").cast("string").alias("event_id"),
@@ -112,12 +113,18 @@ def q_kafka_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     as its own column against the oracle."""
     frames = encode_frames(_lift(spark, sf_dir), TOPIC_CLIENT_REPLY)
     # synthesized broker metadata: partition/offset are transport-
-    # assigned on a real cluster; the decode projection just carries them
+    # assigned on a real cluster.  offset is set from the DECODED KEY
+    # BYTES, so re-emitting it as key_event_id next to the
+    # proto-decoded event_id makes the hash compare assert the key
+    # framing — one codec pass, zero shuffles.
     records = frames.withColumn("partition", F.lit(0)).withColumn(
         "offset", F.decode("key", "utf-8").cast("long")
     )
-    decoded = decode_frames(records)
-    return decoded.join(
-        records.select(F.decode("key", "utf-8").alias("key_event_id")),
-        decoded["event_id"] == F.col("key_event_id"),
-    ).select("event_id", "fun_name", "fun_key", "key_event_id", "topic", "partition")
+    return decode_frames(records).select(
+        "event_id",
+        "fun_name",
+        "fun_key",
+        F.col("offset").cast("string").alias("key_event_id"),
+        "topic",
+        "partition",
+    )
