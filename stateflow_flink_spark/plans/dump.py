@@ -44,6 +44,20 @@ NOTES = {
         "pass over the corpus inside WholeStageCodegen; top-10 via "
         "TakeOrderedAndProject."
     ),
+    "q_dedup_simhash": (
+        "The 64-bit signature is a zero-shuffle projection (SQL-lambda fold "
+        "riding the scan); one exchange materializes (doc_id, sig) 16-byte "
+        "rows before the 20-key 3-of-6-block explode, and the candidate "
+        "self-join shuffles on the ~33-bit combo bucket — the bucket space "
+        "grows with the corpus instead of saturating at 2^16 per band."
+    ),
+    "q_dedup_fuzzy": (
+        "Shingles are hashed to longs once; the DF-cap window and the "
+        "candidate self-join shuffle the same 8-byte key, and shingles in "
+        "more than DF_CAP documents are dropped before the join — the "
+        "worst bucket is bounded at DF_CAP^2 pairs regardless of corpus "
+        "size."
+    ),
 }
 
 
