@@ -63,15 +63,39 @@ from ..schemas import EVENTS_RAW
 # ---------------------------------------------------------------------------
 
 StatefulFn = Callable[[dict, bytes], tuple[dict, bytes]]
+# Vectorized twin: whole (ts, event_id)-sorted key-batch in, batch out —
+# same state-blob contract.  MUST be observationally identical to
+# folding the scalar fn event-by-event (asserted in tests and, for the
+# built-in fold, by the streaming query's batch-window oracle).
+VectorizedStatefulFn = Callable[[pd.DataFrame, bytes], tuple[pd.DataFrame, bytes]]
 _REGISTRY: dict[str, StatefulFn] = {}
+_VREGISTRY: dict[str, VectorizedStatefulFn] = {}
 
 
-def register_stateful(operator_name: str, fn: StatefulFn) -> None:
+def register_stateful(
+    operator_name: str,
+    fn: StatefulFn,
+    vectorized: VectorizedStatefulFn | None = None,
+) -> None:
+    """Register a stateful callable; optionally its vectorized twin.
+
+    The scalar form is the reference contract (one external call per
+    event, InvokeStatefulLambda.java:86-92).  The vectorized twin is
+    the Spark-native fast path: the processor hands it the whole sorted
+    micro-batch slice for a key, so a fold over k events is one pandas/
+    NumPy pass instead of k Python iterations — at 100 TB the per-event
+    interpreter loop, not the state store, is the bottleneck."""
     _REGISTRY[operator_name] = fn
+    if vectorized is not None:
+        _VREGISTRY[operator_name] = vectorized
 
 
 def get_stateful(operator_name: str) -> StatefulFn:
     return _REGISTRY[operator_name]
+
+
+def get_stateful_vectorized(operator_name: str) -> VectorizedStatefulFn | None:
+    return _VREGISTRY.get(operator_name)
 
 
 def fold_fn(event: dict, state: bytes) -> tuple[dict, bytes]:
@@ -94,7 +118,30 @@ def fold_fn(event: dict, state: bytes) -> tuple[dict, bytes]:
     return out, json.dumps(st).encode()
 
 
-register_stateful("engine/Fold", fold_fn)
+def fold_fn_vectorized(pdf: pd.DataFrame, state: bytes) -> tuple[pd.DataFrame, bytes]:
+    """Vectorized twin of :func:`fold_fn` — one cumsum pass per batch.
+
+    Bit-identical to the scalar loop: ``Series.round`` and Python
+    ``round`` both round half-to-even, the scaled totals are exact
+    int64 arithmetic, and the final division by 1e6 is the same single
+    IEEE op per row the scalar path performs."""
+    st = json.loads(state) if state else {"n": 0, "total_scaled": 0}
+    scaled = (pdf["value"] * 1_000_000).round().astype("int64")
+    cum = scaled.cumsum() + st["total_scaled"]
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": pdf["user_id"].to_numpy(),
+            "running_n": st["n"] + pd.RangeIndex(1, len(pdf) + 1),
+            "running_sum": cum.to_numpy().astype("float64") / 1_000_000,
+            "last_type": pdf["event_type"].to_numpy(),
+        }
+    )
+    st = {"n": st["n"] + len(pdf), "total_scaled": int(cum.iloc[-1]) if len(pdf) else st["total_scaled"]}
+    return out, json.dumps(st).encode()
+
+
+register_stateful("engine/Fold", fold_fn, vectorized=fold_fn_vectorized)
 
 _FOLD_OUTPUT = (
     "event_id bigint, user_id bigint, running_n bigint, "
@@ -116,6 +163,7 @@ class EntityFoldProcessor(StatefulProcessor):
         # so runtime registrations work (a worker's registry only has
         # import-time entries)
         self._fn = get_stateful(operator_name)
+        self._vfn = get_stateful_vectorized(operator_name)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._state = handle.getValueState("entity_state", "blob binary")
@@ -126,6 +174,11 @@ class EntityFoldProcessor(StatefulProcessor):
         pdf = pd.concat(list(rows), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         state = self._state.get()[0] if self._state.exists() else b""
+        if self._vfn is not None:
+            out_pdf, state = self._vfn(pdf, state)
+            self._state.update((state,))
+            yield out_pdf
+            return
         outs = []
         for event in pdf.to_dict("records"):
             out, state = self._fn(event, state)
@@ -170,11 +223,17 @@ def apply_stateful(
         )
 
     fn = get_stateful(operator_name)
+    vfn = get_stateful_vectorized(operator_name)
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         blob = state.get[0] if state.exists else b""
+        if vfn is not None:
+            out_pdf, blob = vfn(pdf, blob)
+            state.update((blob,))
+            yield out_pdf
+            return
         outs = []
         for event in pdf.to_dict("records"):
             out, blob = fn(event, blob)

@@ -161,3 +161,43 @@ def test_simhash_candidates_complete_within_k(spark):
     }
     assert expected <= verified
     assert far_pair not in verified
+
+
+def test_vectorized_fold_twin_matches_scalar_loop():
+    """fold_fn_vectorized must be observationally identical to folding
+    fold_fn event-by-event — same outputs (bit-for-bit doubles), same
+    state blob — including across a batch boundary mid-key."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.state import fold_fn, fold_fn_vectorized
+
+    events = [
+        {"event_id": i, "user_id": 7, "value": v, "event_type": t}
+        for i, (v, t) in enumerate(
+            [(12.31, "click"), (0.005, "view"), (-3.125, "error"),
+             (1e9 + 0.000001, "click"), (2.675, "purchase"), (0.0, "view")]
+        )
+    ]
+    pdf = pd.DataFrame(events)
+
+    # scalar reference: fold across both batches
+    blob = b""
+    scalar_out = []
+    for ev in events:
+        out, blob = fold_fn(ev, blob)
+        scalar_out.append(out)
+    scalar_df = pd.DataFrame(scalar_out)
+
+    # vectorized: split into two batches, carry state between
+    v1, st = fold_fn_vectorized(pdf.iloc[:3], b"")
+    v2, st = fold_fn_vectorized(pdf.iloc[3:].reset_index(drop=True), st)
+    vec_df = pd.concat([v1, v2], ignore_index=True)
+
+    assert blob == st
+    pd.testing.assert_frame_equal(
+        scalar_df.astype(vec_df.dtypes.to_dict()), vec_df, check_exact=True
+    )
+
+    # empty batch: state passes through untouched
+    v0, st0 = fold_fn_vectorized(pdf.iloc[0:0], st)
+    assert len(v0) == 0 and st0 == st
