@@ -66,6 +66,7 @@ def load_all_modules() -> None:
     )
     from ..operators import (  # noqa: F401
         filters,
+        sampling,
         scans,
         sorts,
         setops,
