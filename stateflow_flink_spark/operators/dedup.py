@@ -390,3 +390,91 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= SIMHASH_HAMMING_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster formation — the last step of a dedup pipeline: near-dup PAIRS
+# become duplicate GROUPS, and min(doc_id) per group is the canonical
+# document to keep.
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE base AS ({_FUZZY_ORACLE}),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM base
+        UNION
+        SELECT doc_b, doc_a FROM base
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+"""
+
+
+@query("q_dedup_cluster", _CLUSTER_ORACLE)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the verified near-dup pairs: each doc in
+    at least one pair gets ``cluster_id`` = min doc_id reachable through
+    near-dup edges (the canonical survivor of its duplicate group).
+
+    Iterative min-label propagation: per round, every node takes the min
+    of its own label and its neighbors' labels; labels only decrease, so
+    ``sum(label)`` is strictly monotone and an unchanged sum IS the
+    fixpoint test (one tiny agg per round, no row-wise diff join).  Each
+    round is one shuffle keyed by node; `localCheckpoint` cuts the
+    growing lineage (the iterate_flow discipline).  Rounds needed =
+    component diameter — near-dup clusters are shallow (dup groups, not
+    social graphs); for adversarially long chains switch to the
+    alternating star-contraction scheme (Kiveris et al., "Connected
+    Components in MapReduce"), which converges in O(log n) rounds.
+
+    Oracle: DuckDB recursive-CTE transitive closure over the same pairs
+    (quadratic, fine at oracle scale — the Spark path is the one that
+    has to survive 100 TB).
+    """
+    # MinHash is the scale path for pair generation (recalls every
+    # tau>=0.3 pair on the fixtures — tests assert it — so the exact
+    # closure oracle applies).  Checkpoint BEFORE the symmetric union:
+    # its two branches are different projections of the same subplan,
+    # which Spark would otherwise execute twice.
+    pairs = (
+        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).cache()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(32):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("doc_b"), "label"), "doc_b"
+            )
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nbr_label"))
+            .select(F.col("doc_a").alias("doc_id"), "nbr_label")
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
