@@ -60,3 +60,40 @@ def test_sim_cosine_broadcasts_probe_not_corpus(spark):
     plan = plan_of(QUERIES["q_sim_cosine"](spark, SF_SMOKE))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_split_hash_prunes_to_doc_id(spark):
+    """The hash split derives everything from doc_id: the scan must read
+    exactly that one column."""
+    plan = plan_of(QUERIES["q_split_hash"](spark, SF_SMOKE))
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema
+    assert "text" not in read_schema and "lang" not in read_schema
+
+
+def test_simhash_signature_is_zero_shuffle(spark):
+    """The SimHash signature build is a pure projection — its plan must
+    contain no Exchange (the candidate join adds exchanges, the
+    signature must not)."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.dedup import simhash_signatures
+
+    plan = plan_of(simhash_signatures(load(spark, SF_SMOKE, "documents")))
+    assert "Exchange" not in plan
+
+
+def test_simhash_query_has_bounded_expression_size(spark):
+    """The SQL-lambda signature must NOT be re-inlined per block
+    reference by CollapseProject: the full query plan stays small (the
+    unrolled/inlined form is hundreds of KB)."""
+    plan = plan_of(QUERIES["q_dedup_simhash"](spark, SF_SMOKE))
+    assert len(plan) < 100_000
+
+
+def test_wire_queries_have_no_shuffle_in_transport(spark):
+    """Proto encode/decode and Kafka framing are projections; the only
+    exchange allowed is the spread() repartition of the 1-partition
+    fixture scan (RoundRobinPartitioning), never a key shuffle."""
+    for name in ("q_proto_roundtrip", "q_kafka_frame"):
+        plan = plan_of(QUERIES[name](spark, SF_SMOKE))
+        assert "hashpartitioning" not in plan.lower(), name
