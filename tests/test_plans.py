@@ -97,3 +97,18 @@ def test_wire_queries_have_no_shuffle_in_transport(spark):
     for name in ("q_proto_roundtrip", "q_kafka_frame"):
         plan = plan_of(QUERIES[name](spark, SF_SMOKE))
         assert "hashpartitioning" not in plan.lower(), name
+
+
+def test_bucketed_join_needs_no_join_shuffle(spark):
+    """With broadcast off (forcing the big-big join path), the bucketed
+    orders⋈lineitem join must read co-located buckets: the ONLY
+    hash-partitioning exchange in the plan is the aggregate above the
+    join — a plain parquet join would add two more below it."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(QUERIES["q_join_bucketed"](spark, SF_SMOKE))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Bucketed: true" in plan
+    assert plan.lower().count("hashpartitioning") <= 1
