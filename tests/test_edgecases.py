@@ -201,3 +201,22 @@ def test_vectorized_fold_twin_matches_scalar_loop():
     # empty batch: state passes through untouched
     v0, st0 = fold_fn_vectorized(pdf.iloc[0:0], st)
     assert len(v0) == 0 and st0 == st
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """The ANN variants are rows-only in the correctness gate, so their
+    quality contract lives here: each must recover >= 8 of the
+    brute-force top-10 for the standard probe.  Measured at sf0.01 (500
+    vectors) — at the 50-vector smoke scale IVF's 16 centroids are
+    degenerate and recall is meaningless."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_CORRECTNESS
+
+    truth = {r.vec_id for r in QUERIES["q_sim_cosine"](spark, SF_CORRECTNESS).collect()}
+    assert len(truth) == 10
+    for name in ("q_sim_ann_lsh", "q_sim_ann_ivf"):
+        got = {r.vec_id for r in QUERIES[name](spark, SF_CORRECTNESS).collect()}
+        recall = len(truth & got)
+        assert recall >= 8, f"{name} recall {recall}/10"
