@@ -220,3 +220,20 @@ def test_ann_recall_vs_brute_force(spark):
         got = {r.vec_id for r in QUERIES[name](spark, SF_CORRECTNESS).collect()}
         recall = len(truth & got)
         assert recall >= 8, f"{name} recall {recall}/10"
+
+
+def test_approx_distinct_within_rsd_of_exact(spark):
+    """q_agg_approx is rows-only in the gate; its quality contract: the
+    HLL++ estimate stays within 3x the configured 2% relative standard
+    deviation of the exact distinct count."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_CORRECTNESS
+
+    est = QUERIES["q_agg_approx"](spark, SF_CORRECTNESS).collect()[0].approx_parts
+    exact = (
+        load(spark, SF_CORRECTNESS, "lineitem").select("l_partkey").distinct().count()
+    )
+    assert abs(est - exact) <= 0.06 * exact, (est, exact)
