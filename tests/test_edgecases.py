@@ -237,3 +237,27 @@ def test_approx_distinct_within_rsd_of_exact(spark):
         load(spark, SF_CORRECTNESS, "lineitem").select("l_partkey").distinct().count()
     )
     assert abs(est - exact) <= 0.06 * exact, (est, exact)
+
+
+def test_lsh_bucket_kernel_matches_expression_spelling(spark):
+    """The BLAS pandas_udf bucket kernel and the pure-JVM expression
+    spelling must assign identical bucket ids — they differ only in
+    execution strategy (Arrow matmul vs interpreted lambda folds)."""
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.similarity import (
+        lsh_buckets,
+        lsh_buckets_expr,
+    )
+    from .conftest import SF_CORRECTNESS
+
+    e = load(spark, SF_CORRECTNESS, "embeddings")
+    both = e.select(
+        "vec_id",
+        lsh_buckets(F.col("embedding")).alias("udf"),
+        lsh_buckets_expr(F.col("embedding")).alias("expr"),
+    ).collect()
+    assert len(both) > 0
+    for r in both:
+        assert list(r.udf) == list(r.expr), r.vec_id
