@@ -112,3 +112,135 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 50)
         .drop("rk")
     )
+
+
+# Sequence packing: P independent packers, each packing its documents
+# (ordered by doc_id) into consecutive PACK_BUDGET-token bins.  A doc
+# lands in the bin where its exclusive running total starts; whole
+# documents are never split.
+PACK_BUDGET = 512
+PACKERS = 8
+
+
+@query(
+    "q_pack_sequences",
+    f"""
+    SELECT packer, pack_id, COUNT(*) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM (
+        SELECT packer, doc_id, tok,
+               CAST(FLOOR(COALESCE(SUM(tok) OVER (
+                   PARTITION BY packer ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) / {PACK_BUDGET}) AS BIGINT) AS pack_id
+        FROM (
+            SELECT {_SQL_BUCKET.format(c="doc_id")} % {PACKERS} AS packer,
+                   doc_id,
+                   LEN(STRING_SPLIT(text, ' ')) AS tok
+            FROM documents
+        )
+    )
+    GROUP BY packer, pack_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: assign each document to a fixed-budget
+    token bin, deterministically, without splitting documents.
+
+    The global-cumsum spelling of packing is a scale anti-pattern (an
+    unpartitioned window = one task sorting the corpus), so the corpus
+    is first hash-bucketed across PACKERS independent packers and the
+    running total is windowed PER PACKER — exactly how distributed
+    packing runs in production (one packer per worker), and the window
+    shuffle is keyed so every packer's sort is 1/P of the data.  All
+    arithmetic is integer, so the oracle is hash-exact."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        (_hash_bucket("doc_id") % PACKERS).alias("packer"),
+        "doc_id",
+        F.size(F.split("text", " ")).alias("tok"),
+    )
+    w = (
+        Window.partitionBy("packer")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("tok").over(w), F.lit(0)) / PACK_BUDGET),
+    )
+    return packed.groupBy("packer", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# Domain mixing: per-source keep-probabilities realized as a
+# content-keyed hash threshold — deterministic "sampling" that never
+# reshuffles when the corpus grows.  Salted so the mix decision is
+# independent of the train/val/test split above.
+_MIX_SALT = "mix:"
+
+
+@query(
+    "q_mix_domains",
+    f"""
+    SELECT source, n_total, n_kept,
+           CAST(n_kept AS DOUBLE) / n_total AS kept_ratio
+    FROM (
+        SELECT source, COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN b < w THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM (
+            SELECT source,
+                   {_SQL_BUCKET.format(c=f"('{_MIX_SALT}' || CAST(doc_id AS VARCHAR))")} AS b,
+                   CASE WHEN CAST(SUBSTRING(source, 4) AS INT) < 5 THEN 10000
+                        WHEN CAST(SUBSTRING(source, 4) AS INT) < 10 THEN 5000
+                        ELSE 2000 END AS w
+            FROM documents
+        )
+        GROUP BY source
+    )
+    """,
+)
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain mixing ratios: keep 100% of sources 0-4, 50% of 5-9,
+    20% of the tail — the up/down-weighting step every pretraining mix
+    applies per domain.
+
+    The keep decision is ``hash(salt || doc_id) < weight`` — a pure
+    projection (no shuffle; rides the scan) that is reproducible across
+    engines/runs and stable under corpus growth, unlike ``rand()``
+    sampling.  The query reports achieved vs configured ratios per
+    source; the kept rows themselves would stream straight to the sink
+    at scale."""
+    d = load(spark, sf_dir, "documents")
+    src_ix = F.substring("source", 4, 10).cast("int")
+    weight = (
+        F.when(src_ix < 5, 10000).when(src_ix < 10, 5000).otherwise(2000)
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_MIX_SALT), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    return (
+        d.select("source", b.alias("b"), weight.alias("w"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("b") < F.col("w"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept").cast("double") / F.col("n_total")).alias("kept_ratio"),
+        )
+    )

@@ -112,3 +112,24 @@ def test_bucketed_join_needs_no_join_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Bucketed: true" in plan
     assert plan.lower().count("hashpartitioning") <= 1
+
+
+def test_mix_domains_is_projection_plus_single_agg(spark):
+    """Domain mixing must ride the scan: the only exchange allowed is
+    the final per-source aggregation shuffle — the keep decision itself
+    (salted hash vs weight) adds zero shuffles."""
+    plan = plan_of(QUERIES["q_mix_domains"](spark, SF_SMOKE))
+    # "Exchange (n)" counts physical tree nodes once (the detail section
+    # spells them "(n) Exchange")
+    assert plan.count("Exchange (") <= 1, plan
+    assert plan.count("HashAggregate") >= 2  # partial before the shuffle
+
+
+def test_pack_sequences_windows_per_packer_not_globally(spark):
+    """Sequence packing must not sort the corpus in one task: the
+    running total is windowed per hash-bucketed packer (hashpartitioning
+    on the packer column), never an unpartitioned global window
+    (SinglePartition exchange)."""
+    plan = plan_of(QUERIES["q_pack_sequences"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(packer" in plan, plan
