@@ -58,6 +58,25 @@ NOTES = {
         "worst bucket is bounded at DF_CAP^2 pairs regardless of corpus "
         "size."
     ),
+    "q_sim_ann_lsh": (
+        "Signatures come from ONE ArrowEvalPython stage (BLAS matmul per "
+        "batch) riding the scan; the candidate join is a broadcast of the "
+        "L*(k+1) probe buckets against the bucket-exploded corpus — no "
+        "corpus-side shuffle, and at rest each table is stored partitioned "
+        "by its bucket column so the probe side prunes to those partitions."
+    ),
+    "q_pack_sequences": (
+        "The running token total is windowed per hash-bucketed packer: one "
+        "hashpartitioning(packer) exchange, each packer sorting 1/P of the "
+        "corpus. The global-cumsum spelling (SinglePartition window) is the "
+        "scale-killer this plan is gated against."
+    ),
+    "q_mix_domains": (
+        "The salted-hash keep decision is a pure projection fused into the "
+        "scan stage; the only exchange is the final per-source aggregation "
+        "(partial HashAggregate before it). Sampling 100 TB costs one pass, "
+        "no shuffle of kept rows."
+    ),
 }
 
 
