@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..plans.registry import query
 from ..schemas import EVENTS_RAW
+from ..session import stream_partitions
 
 
 @query(
@@ -90,12 +91,13 @@ def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = spark.readStream.schema(EVENTS_RAW).parquet(stage)
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    qy = (
-        counts.writeStream.format("memory")
-        .queryName("sfs_stream_file_source")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    qy.awaitTermination()
+    with stream_partitions(spark):
+        qy = (
+            counts.writeStream.format("memory")
+            .queryName("sfs_stream_file_source")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
     return spark.table("sfs_stream_file_source")

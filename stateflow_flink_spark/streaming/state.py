@@ -43,6 +43,8 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
+from ..session import stream_partitions
+
 # transformWithStateInPandas (Spark >= 4.0) runs a protobuf-based Python
 # driver worker; fall back to applyInPandasWithState (Spark >= 3.4,
 # Arrow-only control path) when the protobuf package is absent.
@@ -259,14 +261,15 @@ def run_stateful_stream(
     """Run the keyed stateful operator over a (bounded) event stream and
     materialize the result via the memory sink."""
     result = apply_stateful(events, operator_name)
-    qy = (
-        result.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    qy.awaitTermination()
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
     return spark.table(query_name)
 
 

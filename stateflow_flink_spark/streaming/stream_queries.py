@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..plans.registry import query
+from ..session import stream_partitions
 from .state import stream_events_dir
 
 
@@ -93,14 +94,15 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
     )
-    qy = (
-        counts.writeStream.format("memory")
-        .queryName("sfs_stream_watermark")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    qy.awaitTermination()
+    with stream_partitions(spark):
+        qy = (
+            counts.writeStream.format("memory")
+            .queryName("sfs_stream_watermark")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
     return spark.table("sfs_stream_watermark")
 
 
@@ -130,12 +132,13 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    qy = (
-        joined.writeStream.format("memory")
-        .queryName("sfs_stream_static_join")
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    qy.awaitTermination()
+    with stream_partitions(spark):
+        qy = (
+            joined.writeStream.format("memory")
+            .queryName("sfs_stream_static_join")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
     return spark.table("sfs_stream_static_join")
