@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..numerics import _SCALE, _SCALE_LIT, sql_sum
+from ..numerics import _SCALE, _SCALE_LIT, exact_sum, sql_sum
 from ..plans.registry import query
 
 SALT_BUCKETS = 32
@@ -72,4 +72,50 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return salted_count_sum(
         e, ["event_type"], F.col("value"), salt_on=F.col("event_id")
+    )
+
+
+@query(
+    "q_join_salted",
+    f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_events,
+           {sql_sum("value")} AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-salted skew join — answer identical to the plain join (the
+    oracle), with every hot key spread over SALT_BUCKETS reducers.
+
+    When the hot side is too big to broadcast, a plain shuffle join
+    sends ALL rows of a hot key to one reducer.  The salted form
+    extends the key: the fact side salts each row by a pure function of
+    its row id, the dim side is replicated once per salt value, and the
+    join runs on (key, salt) — each hot key now lands on SALT_BUCKETS
+    reducers, at the cost of a dim side x SALT_BUCKETS (still tiny).
+    AQE's skew-join split covers most cases at runtime; explicit
+    salting is the deterministic tool when AQE can't see the skew
+    (e.g. skew materializing after a preceding stage) or when the
+    target is a stateful/streaming join AQE doesn't replan.  The
+    shuffle_hash hint forces the shuffle plan here so the salted
+    exchange is visible and gate-able; results are exact because the
+    salt is dropped before the final aggregate."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    e_salted = e.withColumn(
+        "_salt", F.pmod(F.xxhash64("event_id"), F.lit(SALT_BUCKETS)).cast("int")
+    )
+    c_replicated = c.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1))).alias("_salt")
+    )
+    joined = e_salted.hint("shuffle_hash").join(
+        c_replicated,
+        (e_salted["user_id"] == c_replicated["c_custkey"])
+        & (e_salted["_salt"] == c_replicated["_salt"]),
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum(F.col("value")).alias("sum_value"),
     )

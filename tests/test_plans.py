@@ -133,3 +133,11 @@ def test_pack_sequences_windows_per_packer_not_globally(spark):
     plan = plan_of(QUERIES["q_pack_sequences"](spark, SF_SMOKE))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(packer" in plan, plan
+
+
+def test_salted_join_shuffles_on_key_plus_salt(spark):
+    """The salted join must actually spread hot keys: both join-side
+    exchanges hash on (key, _salt), not on the bare key."""
+    plan = plan_of(QUERIES["q_join_salted"](spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan and "_salt" in plan, plan
+    assert "hashpartitioning(c_custkey" in plan, plan
