@@ -228,3 +228,60 @@ def q_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         decode, "doc_id long, height int, width int, channels int"
     )
+
+
+RESIZE_OUT = 1024  # target "pixel" count of the resize stage
+
+
+@query(
+    "q_mm_resize",
+    f"""
+    SELECT doc_id, n_in,
+           CAST({RESIZE_OUT} AS BIGINT) AS n_out,
+           MD5(STRING_AGG(SUBSTRING(text, CAST((i * n_in) // {RESIZE_OUT} AS INT) + 1, 1),
+                          '' ORDER BY i)) AS out_md5
+    FROM (SELECT doc_id, text, LENGTH(text) AS n_in FROM documents
+          WHERE doc_id % 3 = 0),
+         UNNEST(GENERATE_SERIES(0, {RESIZE_OUT - 1})) AS u(i)
+    GROUP BY doc_id, n_in
+    """,
+)
+def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage for 'image' payloads: nearest-neighbor resample of
+    each payload's byte grid to a fixed RESIZE_OUT length (both down-
+    and up-sampling, like letterboxing a training batch to one shape).
+
+    The kernel is the real thing — an Arrow-batched numpy gather
+    (frombuffer -> precomputed index map -> tobytes) per record batch,
+    the exact shape a PIL/cv2-backed resize runs in production; only
+    the pixel decode behind it is the container-stubbed `decode_media`.
+    Fixture payloads are ASCII text bytes, so the DuckDB oracle rebuilds
+    the same gather character-by-character and the md5 of the resized
+    bytes is hash-exact."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base = np.arange(RESIZE_OUT, dtype=np.int64)
+        for pdf in batches:
+            outs, sizes = [], []
+            for b in pdf["payload"]:
+                data = np.frombuffer(bytes(b), dtype=np.uint8)
+                n = len(data)
+                sizes.append(n)
+                outs.append(
+                    hashlib.md5(data[(base * n) // RESIZE_OUT].tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_in": pd.Series(sizes, dtype="int64"),
+                    "n_out": pd.Series([RESIZE_OUT] * len(pdf), dtype="int64"),
+                    "out_md5": outs,
+                }
+            )
+
+    m = with_payload(load(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    return m.select("doc_id", "payload").mapInPandas(
+        resize, "doc_id long, n_in long, n_out long, out_md5 string"
+    )
