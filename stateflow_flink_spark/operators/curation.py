@@ -1,0 +1,332 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond the reference's query surface (stateflow-flink processes event
+streams; a training pipeline runs these same relational shapes over
+document corpora), this module adds the curation stages a 100 TB text
+pipeline needs: benchmark decontamination, repetition-based quality
+filtering (Gopher-style), PII redaction, an inverted index, and corpus
+n-gram statistics.
+
+Scale notes are per-query; the common theme is that per-document
+metrics are computed with JVM higher-order functions (zero Python, no
+shuffle) and cross-document structures (posting lists, n-gram joins)
+shuffle 8-byte hashes, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load, spread
+from ..plans.registry import query
+
+# ---------------------------------------------------------------------------
+# n-gram helpers (non-distinct variant of dedup.shingles — frequency
+# counting needs every occurrence, not the distinct set)
+# ---------------------------------------------------------------------------
+
+
+def grams_all(text: Column, n: int) -> Column:
+    """ALL n-word grams of a document, duplicates preserved, 1-based
+    start positions 1..len-n+1 (docs shorter than n grams the whole
+    doc — `try_element_at` yields NULL past the end and `concat_ws`
+    skips NULLs, mirroring the oracle's LEAST-clamped slice).
+
+    The token array is bound ONCE as a lambda variable via the
+    `element_at(transform(array(split(..)), t -> ..), 1)` wrapper —
+    Catalyst expressions are trees, not CSE'd, so referencing a
+    `split()` n+1 times per position would re-tokenize per reference
+    (see dedup.shingles, measured ~10x)."""
+
+    def over_tokens(toks: Column) -> Column:
+        starts = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+        return F.transform(
+            starts,
+            lambda i: F.concat_ws(
+                " ", *[F.try_element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+
+    return F.element_at(F.transform(F.array(F.split(text, " ")), over_tokens), 1)
+
+
+def _gram_sql(n: int, distinct: bool) -> str:
+    """DuckDB twin of :func:`grams_all` / its distinct wrap."""
+    inner = (
+        f"LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LEN(t) - {n - 1}, 1)), "
+        f"i -> ARRAY_TO_STRING(t[i:LEAST(i + {n - 1}, LEN(t))], ' '))"
+    )
+    if distinct:
+        inner = f"LIST_DISTINCT({inner})"
+    return (
+        f"SELECT doc_id, {inner} AS gs "
+        "FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Which docs stand in for the held-out benchmark set.  Real pipelines
+# load the eval suites as a second table; the fixture has one corpus, so
+# a deterministic 2% slice plays the benchmark role.
+_EVAL_MOD = 50
+_DECON_N = 4  # 13-grams in production (GPT-3/PaLM practice); 4 fits the fixture
+
+_DECON_ORACLE = f"""
+    WITH docsh AS ({_gram_sql(_DECON_N, distinct=True)}),
+    ev AS (SELECT DISTINCT UNNEST(gs) AS g FROM docsh WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, UNNEST(gs) AS g FROM docsh WHERE doc_id % {_EVAL_MOD} <> 0),
+    sizes AS (SELECT doc_id, LEN(gs) AS n FROM docsh),
+    hits AS (
+        SELECT tr.doc_id, COUNT(*) AS n_overlap
+        FROM tr JOIN ev USING (g) GROUP BY 1
+    )
+    SELECT h.doc_id, CAST(n_overlap AS BIGINT) AS n_overlap,
+           ROUND(n_overlap * 1.0 / s.n, 6) AS overlap_frac
+    FROM hits h JOIN sizes s ON h.doc_id = s.doc_id
+"""
+
+
+@query("q_decontaminate", _DECON_ORACLE)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents sharing >= 1
+    distinct {n}-gram with the eval slice, with overlap counts.
+
+    Plan at 100 TB: eval suites are MBs while the corpus is TBs, so the
+    distinct eval-gram set is BROADCAST — the train side streams through
+    a broadcast semi-join-shaped hash probe with no shuffle of corpus
+    grams at all; only the per-doc hit counts (8-byte key + count)
+    shuffle for the final aggregate.  Grams travel as xxhash64 longs,
+    never strings (collision odds ~n^2/2^64, same contract as the dedup
+    family)."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    docsh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(grams_all(F.col("text"), _DECON_N), lambda s: F.xxhash64(s))
+        ).alias("gs"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = (
+        docsh.filter(is_eval)
+        .select(F.explode("gs").alias("g"))
+        .distinct()
+    )
+    tr = docsh.filter(~is_eval)
+    sizes = tr.select("doc_id", F.size("gs").alias("n"))
+    hits = (
+        tr.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.join(sizes, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        F.round(F.col("n_overlap") / F.col("n"), 6).alias("overlap_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher-style)
+# ---------------------------------------------------------------------------
+
+# Thresholds tuned so the fixture flags a minority of docs (the rules
+# are the Gopher repetition family: distinct-word fraction and the
+# fraction of the doc covered by its most frequent bigram).
+_MIN_DISTINCT_FRAC = 0.40
+_MAX_TOP_BIGRAM_FRAC = 0.05
+
+_REPETITION_ORACLE = f"""
+    WITH toks AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+    base AS (
+        SELECT doc_id, LEN(t) AS n_tokens,
+               ROUND(LEN(LIST_DISTINCT(t)) * 1.0 / LEN(t), 6) AS distinct_frac
+        FROM toks
+    ),
+    bg AS (SELECT doc_id, UNNEST(gs) AS g FROM ({_gram_sql(2, distinct=False)})),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    mx AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY 1)
+    SELECT b.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_frac,
+           ROUND(top_c * 1.0 / GREATEST(n_tokens - 1, 1), 6) AS top_bigram_frac,
+           (distinct_frac < {_MIN_DISTINCT_FRAC}
+            OR top_c * 1.0 / GREATEST(n_tokens - 1, 1) > {_MAX_TOP_BIGRAM_FRAC})
+               AS flagged
+    FROM base b JOIN mx USING (doc_id)
+"""
+
+
+@query("q_quality_repetition", _REPETITION_ORACLE)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word
+    fraction and top-bigram coverage, plus the filter verdict.
+
+    distinct_frac is per-row JVM array math (no shuffle).  The top
+    bigram count does explode -> two-level aggregate keyed by
+    (doc_id, bigram-hash): the partial aggregate collapses each
+    partition's occurrences before the exchange, so the shuffle carries
+    one row per distinct (doc, bigram) — bounded by doc length, and the
+    key is 16 bytes regardless of gram text."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    toks = F.split(F.col("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "distinct_frac"
+        ),
+    )
+    top = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(grams_all(F.col("text"), 2), lambda s: F.xxhash64(s))).alias("g"),
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    tbf = F.col("top_c") / F.greatest(F.col("n_tokens") - 1, F.lit(1))
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "distinct_frac",
+            F.round(tbf, 6).alias("top_bigram_frac"),
+            (
+                (F.col("distinct_frac") < _MIN_DISTINCT_FRAC)
+                | (tbf > _MAX_TOP_BIGRAM_FRAC)
+            ).alias("flagged"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns kept to the Java-regex ∩ RE2 dialect so Spark and DuckDB
+# compile them identically.
+_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.]+\.[a-z]+"
+_PHONE_RE = r"\+1-[0-9][0-9-]+[0-9]"
+
+_PII_ORACLE = f"""
+    WITH c AS (
+        SELECT c_custkey,
+               c_name || ' <' || LOWER(REPLACE(c_name, '#', '.'))
+                      || '@example.com> phone +1-555-0' || c_custkey AS contact
+        FROM customer
+    )
+    SELECT c_custkey,
+           REGEXP_REPLACE(REGEXP_REPLACE(contact, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(LEN(REGEXP_EXTRACT_ALL(contact, '{_EMAIL_RE}'))
+              + LEN(REGEXP_EXTRACT_ALL(contact, '{_PHONE_RE}')) AS INTEGER) AS n_pii
+    FROM c
+"""
+
+
+@query("q_pii_scrub", _PII_ORACLE)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: emails and phone numbers replaced with typed
+    placeholders, with a per-record redaction count.
+
+    The fixture has no embedded PII, so the query materializes a
+    contact string from customer fields first (both engines build the
+    identical string), then scrubs it — the scrub expressions are the
+    deliverable.  Pure regexp_replace/regexp_count: whole-stage codegen,
+    no shuffle, linear scan — the ideal 100 TB shape (at scale this is
+    a mapInPandas-free single stage fused into the parquet scan)."""
+    c = load(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.replace(F.col("c_name"), F.lit("#"), F.lit("."))),
+        F.lit("@example.com> phone +1-555-0"),
+        F.col("c_custkey").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(contact, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    n_pii = F.regexp_count(contact, F.lit(_EMAIL_RE)) + F.regexp_count(
+        contact, F.lit(_PHONE_RE)
+    )
+    return c.select(
+        "c_custkey", scrubbed.alias("scrubbed"), n_pii.cast("int").alias("n_pii")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index + corpus n-gram statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_inverted_index",
+    """
+    SELECT token,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS tf,
+           MIN(doc_id) AS first_doc
+    FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY df DESC, token ASC
+    LIMIT 30
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index posting summary: per token, document frequency,
+    total term frequency, and the head of the posting list.
+
+    explode -> single aggregate keyed by token; COUNT(DISTINCT doc_id)
+    expands to the standard two-phase distinct aggregate, so the wide
+    shuffle carries (token, doc_id) pairs already deduplicated
+    map-side.  Top-30 is TakeOrderedAndProject — no global sort of the
+    vocabulary.  This is the build side of BM25/TF-IDF retrieval over
+    the corpus."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    return (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count(F.lit(1)).alias("tf"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(30)
+    )
+
+
+_NGRAM_ORACLE = f"""
+    SELECT g AS gram, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM (SELECT doc_id, UNNEST(gs) AS g FROM ({_gram_sql(3, distinct=False)}))
+    GROUP BY g
+    ORDER BY n DESC, gram ASC
+    LIMIT 20
+"""
+
+
+@query("q_ngram_stats", _NGRAM_ORACLE)
+def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 trigrams with occurrence and document counts —
+    the statistic behind contamination screens, boilerplate detection,
+    and n-gram LM estimation.
+
+    Unlike the hash-keyed internal joins, the OUTPUT is the gram text,
+    so grams shuffle as strings here — but only after the partial
+    aggregate collapses per-partition duplicates, and a trigram is
+    ~20 bytes.  Top-20 via TakeOrderedAndProject."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    return (
+        d.select("doc_id", F.explode(grams_all(F.col("text"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20)
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from ..io import load
-from ..numerics import exact_sum, sql_sum
+from ..numerics import exact_avg, exact_sum, sql_avg, sql_sum
 from ..plans.registry import query
 
 
@@ -210,4 +210,99 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(50)
+    )
+
+
+@query(
+    "q_tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+           """ + sql_sum("l_extendedprice") + """ AS sum_base_price,
+           """ + sql_sum("l_extendedprice * (1 - l_discount)") + """ AS sum_disc_price,
+           """ + sql_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)") + """
+               AS sum_charge,
+           """ + sql_avg("l_quantity") + """ AS avg_qty,
+           """ + sql_avg("l_extendedprice") + """ AS avg_price,
+           """ + sql_avg("l_discount") + """ AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): full-scan aggregate over
+    lineitem into 6 groups.
+
+    The canonical map-side-combine showcase: at 100 TB the partial
+    HashAggregate reduces each input partition to ≤6 rows before the
+    exchange, so the shuffle moves KBs regardless of input size.  All
+    money sums go through the exact-sum twins (``numerics``) so the
+    doubles are bit-identical across engines and parallelism levels."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    """
+    SELECT l_orderkey,
+           """ + sql_sum("l_extendedprice * (1 - l_discount)") + """ AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-03-15'
+      AND l_shipdate  > TIMESTAMP '1997-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+    revenue for one market segment.
+
+    The segment filter prunes customer before the join (semi-join-sized
+    build side); partial aggregation runs before the final exchange and
+    the top-10 is TakeOrderedAndProject, never a global sort.  The
+    reference's orders table has no ``o_shippriority`` column, so the
+    query carries ``o_orderpriority`` in its place — same grouping
+    structure."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
     )
