@@ -330,3 +330,89 @@ def q_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "stream", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl FROM documents),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+        FROM dl
+    ),
+    tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks
+        WHERE token IN {_BM25_TERMS!r}
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+        SELECT tf.doc_id,
+               SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf / (tf + {_BM25_K1} * (1 - {_BM25_B}
+                                              + {_BM25_B} * dl.dl / avgdl)))
+                   AS score
+        FROM tf
+        JOIN df USING (token)
+        JOIN dl ON tf.doc_id = dl.doc_id
+        CROSS JOIN stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS score
+    FROM scored
+    ORDER BY ROUND(score, 6) DESC, doc_id ASC
+    LIMIT 15
+"""
+
+
+@query("q_bm25", _BM25_ORACLE)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval: top-15 documents for a fixed
+     3-term query — the scoring consumer of q_inverted_index's postings.
+
+    At 100 TB: the query's term postings (tf rows for 3 terms) are a
+    vanishing slice of the corpus — the IN filter runs before any
+    shuffle, so only matching (doc, term) pairs move.  df and the
+    corpus stats are single-digit-row aggregates joined back by
+    broadcast; the final top-15 is TakeOrderedAndProject.  Scores are
+    rounded to 6 dp BEFORE the ordering so the top-k cut is identical
+    cross-engine."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+    dl = d.select("doc_id", F.size(F.split(F.col("text"), " ")).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") / (
+        F.col("tf")
+        + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * norm).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+    )

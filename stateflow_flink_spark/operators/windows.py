@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
-from ..numerics import exact_wsum, sql_wsum
+from ..numerics import exact_sum, exact_wsum, sql_sum, sql_wsum
 from ..plans.registry import query
 
 
@@ -138,4 +138,100 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_in_range"),
         exact_wsum("o_totalprice", w).alias("sum_in_range"),
+    )
+
+
+@query(
+    "q_window_cume",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC)
+    """,
+)
+def q_window_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions: within-customer percentile position of
+    each order.  percent_rank/cume_dist are rank-family — same
+    partition-local sort as q_window_rank, no extra pass.  Rounded to
+    6 dp: both engines compute (rank-1)/(n-1) in IEEE doubles, and the
+    round guards the cross-engine hash against expression-reassociation
+    ULPs."""
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.asc("o_totalprice"))
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_SESSION_GAP_S = 1800  # 30-minute inactivity gap
+
+_SESSIONIZE_ORACLE = f"""
+    WITH e AS (
+        SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, value, ts,
+               CASE WHEN EPOCH_US(ts)
+                         - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+                                                   ORDER BY ts, event_id)
+                         > {_SESSION_GAP_S} * 1000000
+                    OR LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+    ),
+    sess AS (
+        SELECT user_id, event_id, value, ts,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_sum("value")} AS total_value
+    FROM sess
+    GROUP BY user_id, session_no
+"""
+
+
+@query("q_sessionize_batch", _SESSIONIZE_ORACLE)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: gap-based session assignment (30-min
+    inactivity boundary) via lag -> running sum of boundary flags, then
+    per-session rollup — the batch twin of the streaming session window
+    (streaming/sessionization.py), sharing its gap semantics.
+
+    One shuffle keyed by user_id serves BOTH window passes and the
+    final groupBy (same partitioning reused across stages); the
+    within-partition sort is shared by lag and the running sum.  Session
+    value totals use the exact-sum twins."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "value",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > _SESSION_GAP_S * 1_000_000), 1)
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        exact_sum("value").alias("total_value"),
     )

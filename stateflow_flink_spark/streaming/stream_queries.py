@@ -142,3 +142,72 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     return spark.table("sfs_stream_static_join")
+
+
+@query(
+    "q_stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           EPOCH_US(CAST(p.ts AS TIMESTAMP)) - EPOCH_US(CAST(c.ts AS TIMESTAMP))
+               AS gap_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each click joined to the same user's
+    purchases within the next 30 minutes — two UNBOUNDED sources joined
+    with bounded state.
+
+    Both sides carry a 1-hour watermark and the join predicate bounds
+    purchase.ts to [click.ts, click.ts + 30 min]; together these let the
+    state store EVICT rows once the watermark passes their join window —
+    state is O(events per hour), not O(stream length).  Without the
+    time bound a stream-stream inner join must buffer both streams
+    forever (Spark rejects it in append mode).  Equi-key user_id keeps
+    the state-store partitioning aligned with the shuffle.  Batch twin
+    of the same plan: q_join_range."""
+    clicks, _ = stream_events_dir(spark, sf_dir)
+    purchases, _ = stream_events_dir(spark, sf_dir)
+    c = (
+        clicks.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias("gap_us"),
+    )
+    with stream_partitions(spark):
+        qy = (
+            joined.writeStream.format("memory")
+            .queryName("sfs_stream_stream_join")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_stream_stream_join")

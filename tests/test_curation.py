@@ -1,0 +1,86 @@
+"""Semantic tests for the corpus-curation operators (operators/curation.py)
+and batch sessionization (operators/windows.py) — planted-case checks that
+the oracle-parity sweep can't express.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from stateflow_flink_spark.operators.curation import (
+    _EMAIL_RE,
+    _PHONE_RE,
+    grams_all,
+)
+from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+from .conftest import SF_SMOKE
+
+load_all_modules()
+
+
+def test_grams_all_preserves_duplicates(spark):
+    df = spark.createDataFrame([("a b a b a",)], ["text"])
+    [row] = df.select(grams_all(F.col("text"), 2).alias("g")).collect()
+    assert row.g == ["a b", "b a", "a b", "b a"]
+
+
+def test_grams_all_short_doc_whole_doc(spark):
+    # doc shorter than n: one gram covering the available tokens
+    df = spark.createDataFrame([("hello world",)], ["text"])
+    [row] = df.select(grams_all(F.col("text"), 5).alias("g")).collect()
+    assert row.g == ["hello world"]
+
+
+def test_pii_patterns_redact_planted_strings(spark):
+    df = spark.createDataFrame(
+        [("contact bob <bob.smith@corp.io> or call +1-555-0123 now",)], ["s"]
+    )
+    [row] = df.select(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("out")
+    ).collect()
+    assert row.out == "contact bob <<EMAIL>> or call <PHONE> now"
+
+
+def test_decontaminate_plants_known_duplicate(spark):
+    # doc 0 (eval, 0 % 50 == 0) has near-dups in the fixture corpus; any
+    # reported doc must be a non-eval doc with a sane overlap fraction
+    out = QUERIES["q_decontaminate"](spark, SF_SMOKE).collect()
+    for r in out:
+        assert r.doc_id % 50 != 0
+        assert 0 < r.n_overlap
+        assert 0 < r.overlap_frac <= 1.0
+
+
+def test_quality_repetition_verdict_consistency(spark):
+    out = QUERIES["q_quality_repetition"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 < r.distinct_frac <= 1.0
+        assert 0 < r.top_bigram_frac <= 1.0
+        expected = r.distinct_frac < 0.40 or r.top_bigram_frac > 0.05
+        assert r.flagged == expected
+
+
+def test_sessionize_sessions_disjoint_and_gapped(spark):
+    rows = QUERIES["q_sessionize_batch"](spark, SF_SMOKE).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for sess in by_user.values():
+        sess.sort(key=lambda r: r.session_no)
+        for a, b in zip(sess, sess[1:]):
+            # consecutive sessions are separated by more than the 30-min gap
+            assert (b.session_start - a.session_end).total_seconds() > 1800
+
+
+def test_inverted_index_df_bounded_by_tf(spark):
+    out = QUERIES["q_inverted_index"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r.df <= r.tf

@@ -141,3 +141,42 @@ def test_salted_join_shuffles_on_key_plus_salt(spark):
     plan = plan_of(QUERIES["q_join_salted"](spark, SF_SMOKE))
     assert "hashpartitioning(user_id" in plan and "_salt" in plan, plan
     assert "hashpartitioning(c_custkey" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval-gram set must be the broadcast side — the corpus side
+    must never shuffle its exploded grams for this join."""
+    plan = plan_of(QUERIES["q_decontaminate"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tpch_q1_partial_aggregates_before_shuffle(spark):
+    plan = plan_of(QUERIES["q_tpch_q1"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "PushedFilters" in plan  # shipdate predicate reaches the scan
+
+
+def test_tpch_q3_topk_avoids_global_sort(spark):
+    plan = plan_of(QUERIES["q_tpch_q3"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_is_single_stage_no_shuffle(spark):
+    """Redaction is a pure per-row projection — no Exchange anywhere."""
+    plan = plan_of(QUERIES["q_pii_scrub"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_sessionize_reuses_one_user_shuffle(spark):
+    """Both window passes and the rollup key on user_id: exactly one
+    hashpartitioning exchange on user_id may appear (AQE may add reads,
+    not new exchanges)."""
+    plan = plan_of(QUERIES["q_sessionize_batch"](spark, SF_SMOKE))
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_inverted_index_topk_avoids_global_sort(spark):
+    plan = plan_of(QUERIES["q_inverted_index"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
