@@ -117,3 +117,63 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL sfs_tokenize(d.doc_id, d.text) t
         """
     )
+
+
+@query(
+    "q_cogroup_funnel",
+    """
+    WITH fp AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS first_purchase
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT e.user_id,
+           CAST(COUNT(*) FILTER (CAST(e.ts AS TIMESTAMP) < fp.first_purchase)
+                AS BIGINT) AS n_clicks_before,
+           fp.first_purchase
+    FROM events e JOIN fp USING (user_id)
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id, fp.first_purchase
+    """,
+)
+def q_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map Pandas API (the 4th Pandas surface next to scalar /
+    grouped-agg / UDTF): clicks and purchases cogrouped per user, one
+    Python function sees BOTH groups at once — funnel metric: clicks
+    before the user's first purchase.
+
+    cogroup shuffles each side once on the key and zips the sorted
+    groups into a single Arrow batch pair per key — the per-key merge
+    logic (arbitrary Python over two frames) is exactly what pure SQL
+    can't express when the merge gets imperative; here it stays
+    SQL-expressible on purpose so the oracle can check the plumbing.
+    Users lacking either side are dropped in the function — mirroring
+    the oracle's inner join."""
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def funnel(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
+        if c.empty or p.empty:
+            return pd.DataFrame(
+                {"user_id": [], "n_clicks_before": [], "first_purchase": []}
+            ).astype(
+                {"user_id": "int64", "n_clicks_before": "int64",
+                 "first_purchase": "datetime64[us]"}
+            )
+        first_p = p["ts"].min()
+        return pd.DataFrame(
+            {
+                "user_id": [int(c["user_id"].iloc[0])],
+                "n_clicks_before": [int((c["ts"] < first_p).sum())],
+                "first_purchase": [first_p],
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            funnel,
+            "user_id long, n_clicks_before long, first_purchase timestamp",
+        )
+    )

@@ -1,0 +1,90 @@
+"""MERGE / upsert semantics as a relational composition.
+
+The lakehouse `MERGE INTO target USING source ON key WHEN MATCHED
+UPDATE / WHEN NOT MATCHED INSERT` decomposes into one FULL OUTER join
+plus per-branch projections — exactly what Delta/Iceberg execute under
+the hood (minus their file-level transaction log, which is storage, not
+query semantics).  Expressing it relationally keeps Catalyst in charge:
+the join shuffles both sides once on the merge key, every branch is a
+projection over the join output, and AQE handles skewed keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..numerics import exact_sum, sql_sum
+from ..plans.registry import query
+
+# Changes whose delta exceeds this migrate to a NEW surrogate key —
+# giving the fixture a non-empty INSERT branch (every o_custkey already
+# exists in customer, so a plain key join would only ever UPDATE).
+_INSERT_DELTA = 400_000.0
+_KEY_SHIFT = 1_000_000
+
+_MERGE_ORACLE = f"""
+    WITH changes AS (
+        SELECT CASE WHEN delta > {_INSERT_DELTA}
+                    THEN o_custkey + {_KEY_SHIFT} ELSE o_custkey END AS key,
+               delta
+        FROM (
+            SELECT o_custkey, {sql_sum("o_totalprice")} AS delta
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            GROUP BY o_custkey
+        )
+    )
+    SELECT COALESCE(c.c_custkey, ch.key) AS key,
+           COALESCE(c.c_name, 'NEW') AS name,
+           COALESCE(c.c_acctbal, 0.0) + COALESCE(ch.delta, 0.0) AS acctbal,
+           CASE WHEN ch.key IS NULL THEN 'keep'
+                WHEN c.c_custkey IS NULL THEN 'insert'
+                ELSE 'update' END AS op
+    FROM customer c
+    FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+"""
+
+
+@query("q_merge_upsert", _MERGE_ORACLE)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO customer USING aggregated-order deltas: matched rows
+    update their balance, unmatched source rows insert, untouched
+    target rows pass through — one full-outer join, three projections.
+
+    Scale shape: source aggregates BEFORE the merge join (partial agg
+    on o_custkey), so the join probes one row per changed key; both
+    sides shuffle once on the merge key.  The delta is an exact-sum
+    (numerics twins) and the +/COALESCE arithmetic is one IEEE add on
+    bit-identical operands, so the merged balances hash-match
+    cross-engine."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
+    changes = (
+        o.groupBy("o_custkey")
+        .agg(exact_sum("o_totalprice").alias("delta"))
+        .select(
+            F.when(
+                F.col("delta") > _INSERT_DELTA, F.col("o_custkey") + _KEY_SHIFT
+            )
+            .otherwise(F.col("o_custkey"))
+            .alias("key"),
+            "delta",
+        )
+    )
+    merged = c.join(changes, F.col("c_custkey") == F.col("key"), "full_outer")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("key")).alias("key"),
+        F.coalesce(F.col("c_name"), F.lit("NEW")).alias("name"),
+        (
+            F.coalesce(F.col("c_acctbal"), F.lit(0.0))
+            + F.coalesce(F.col("delta"), F.lit(0.0))
+        ).alias("acctbal"),
+        F.when(F.col("key").isNull(), "keep")
+        .when(F.col("c_custkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+    )

@@ -101,3 +101,33 @@ def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     return spark.table("sfs_stream_file_source")
+
+
+@query(
+    "q_sink_partitioned",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en'",
+)
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned parquet sink + partition-pruned read-back.
+
+    The write lays out `lang=<v>/` directories (`partitionBy`); the
+    read-back filter on the partition column never touches non-matching
+    files — the scan's `PartitionFilters` prunes at the DIRECTORY level
+    before any I/O (plan-gated in tests).  At 100 TB this is the
+    difference between listing one partition and scanning the corpus:
+    date/tenant/language partitioning is the first knob every large
+    table turns.  Parquet round-trips longs/strings bit-exactly, so the
+    oracle is the pre-sink filter itself."""
+    out = os.path.join(tempfile.mkdtemp(prefix="sfs_sink_part_"), "docs_by_lang")
+    (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -417,3 +417,139 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means clustering (Lloyd iterations) — the IVF trainer
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+_KM_SCALE = "1000000.0"
+
+# Squared-euclidean fold, sequential in array order: LIST_REDUCE is a
+# left fold exactly like Spark's F.aggregate, so the double is
+# bit-identical cross-engine (no reassociation).
+_KM_DIST = (
+    "LIST_REDUCE(LIST_TRANSFORM(RANGE(1, LEN(e) + 1), "
+    "i -> (e[i] - ce[i]) * (e[i] - ce[i])), (x, y) -> x + y)"
+)
+
+_KMEANS_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    c1 AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < {KMEANS_K}),
+    d1 AS (
+        SELECT emb.vec_id, c1.cent_id, {_KM_DIST} AS d
+        FROM emb CROSS JOIN c1
+    ),
+    a1 AS (
+        SELECT vec_id, (MIN({{'d': d, 'c': cent_id}})).c AS cent_id
+        FROM d1 GROUP BY vec_id
+    ),
+    coords AS (
+        SELECT a1.cent_id, r.i AS pos,
+               CAST(SUM(CAST(ROUND(e[r.i] * {_KM_SCALE}) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * {_KM_SCALE}) AS coord
+        FROM emb JOIN a1 USING (vec_id),
+             UNNEST(RANGE(1, LEN(e) + 1)) AS r(i)
+        GROUP BY a1.cent_id, r.i
+    ),
+    c2 AS (
+        SELECT cent_id, LIST(coord ORDER BY pos) AS ce FROM coords GROUP BY cent_id
+    ),
+    d2 AS (
+        SELECT emb.vec_id, emb.label, c2.cent_id, {_KM_DIST} AS d
+        FROM emb CROSS JOIN c2
+    )
+    SELECT vec_id, label,
+           (MIN({{'d': d, 'c': cent_id}})).c AS cluster,
+           ROUND((MIN({{'d': d, 'c': cent_id}})).d, 6) AS dist
+    FROM d2 GROUP BY vec_id, label
+"""
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    """Left-fold squared euclidean distance — the Spark twin of
+    _KM_DIST (0.0 + t1 + t2 + ... == t1 + t2 + ... exactly, since every
+    term is a non-negative square)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the K centroids, compute
+    n*K distances, keep the min via a partial-aggregating min-struct
+    (ties break to the lowest cent_id — lexicographic struct order,
+    same rule as the oracle's MIN over {'d', 'c'})."""
+    scored = e.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        _sq_dist(F.col("embedding"), F.col("ce")).alias("d"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.min(F.struct(F.col("d"), F.col("cent_id"))).alias("m"),
+        )
+        .select("vec_id", "label", F.col("m.cent_id").alias("cent_id"),
+                F.col("m.d").alias("d"))
+    )
+
+
+@query("q_cluster_kmeans", _KMEANS_ORACLE)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd k-means, 2 fixed iterations, K={K} centroids
+    seeded from the lowest vec_ids — the trainer that produces
+    q_sim_ann_ivf's coarse-quantizer cells (similarity.py:374 notes the
+    swap-in point).
+
+    Determinism contract (what makes an iterative float algorithm
+    oracle-checkable at all): (a) distances are sequential left-folds —
+    bit-identical in both engines, no reassociation; (b) the centroid
+    UPDATE quantizes member coordinates to 6 dp integers and sums THOSE
+    (order-free exact integer sum, one IEEE division back) — a float
+    mean's partial-agg order would otherwise drift ULPs and flip
+    assignments; (c) argmin ties break on cent_id via min-struct.
+
+    Scale shape per iteration: one broadcast of K*dim floats out, one
+    partial-aggregating min-struct shuffle keyed by vec_id for
+    assignment, one (cent_id, dim)-keyed integer-sum shuffle for the
+    update — the classic distributed k-means layout (no driver-side
+    collect; centroids stay a DataFrame end to end)."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    a1 = _assign(e, cents).select("vec_id", "cent_id")
+    members = e.join(a1, "vec_id").select(
+        "cent_id", F.posexplode(F.col("embedding")).alias("pos", "val")
+    )
+    coords = members.groupBy("cent_id", "pos").agg(
+        (
+            F.sum(F.round(F.col("val").cast("double") * 1_000_000.0).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0)
+        ).alias("coord")
+    )
+    c2 = (
+        coords.groupBy("cent_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "coord"))).alias("pc"))
+        .select("cent_id", F.transform(F.col("pc"), lambda s: s.coord).alias("ce"))
+    )
+    a2 = _assign(e, c2)
+    return a2.select(
+        "vec_id",
+        "label",
+        F.col("cent_id").alias("cluster"),
+        F.round("d", 6).alias("dist"),
+    )

@@ -1,0 +1,169 @@
+"""Count-min sketch: sublinear frequency estimation as a DataFrame
+composition.
+
+A CMS is d hash rows x w counters; est(x) = min_j counter[j][h_j(x)] —
+always >= the true count (one-sided error).  The sketch build is ONE
+partial-aggregating groupBy over (row, bucket) — counters merge by
+addition, so the map-side combine IS the sketch merge, and the finished
+sketch is d*w integers regardless of corpus size: the canonical
+"heavy hitters over 100 TB without a vocabulary-sized shuffle" tool.
+
+Determinism contract: token hashes are a character fold (exact integer
+arithmetic, same left fold in both engines — no engine-native hash
+whose implementation could differ), and the d rows use affine
+transforms of one polynomial hash (pairwise-independent family, the
+standard CMS construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load, spread
+from ..plans.registry import query
+
+CMS_P = 1_000_000_007
+CMS_BASE = 131
+CMS_W = 512  # counters per row
+CMS_A = (3, 5, 7, 11)  # affine multipliers, one per hash row
+CMS_B = (17, 29, 47, 89)
+
+# probe set: known-vocabulary tokens whose estimates we report
+CMS_PROBES = ("query", "table", "data", "join", "spark", "stream", "value", "batch")
+
+
+def poly_hash(token: Column) -> Column:
+    """Left-fold polynomial hash over characters, mod 1e9+7 (exact in
+    long arithmetic; identical spelling in the oracle's LIST_REDUCE)."""
+    chars = F.filter(F.split(token, ""), lambda c: c != F.lit(""))
+    return F.aggregate(
+        F.transform(chars, lambda c: F.ascii(c).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * CMS_BASE + v) % CMS_P,
+    )
+
+
+def bucket(ph: Column, j: int) -> Column:
+    return ((ph * CMS_A[j] + CMS_B[j]) % CMS_P) % CMS_W
+
+
+_PROBE_LIST = ", ".join(f"'{t}'" for t in CMS_PROBES)
+
+_CMS_HASH_SQL = (
+    "LIST_REDUCE(LIST_TRANSFORM(STRING_SPLIT(token, ''), "
+    "c -> UNICODE(c)::BIGINT), "
+    f"(acc, v) -> (acc * {CMS_BASE} + v) % {CMS_P})"
+)
+
+_CMS_BUCKETS_SQL = ", ".join(
+    f"((ph * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P}) % {CMS_W} AS b{j}" for j in range(4)
+)
+
+_CMS_ORACLE = f"""
+    WITH toks AS (
+        SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+    ),
+    hashed AS (
+        SELECT token, {_CMS_HASH_SQL} AS ph FROM toks
+    ),
+    bucketed AS (SELECT token, {_CMS_BUCKETS_SQL} FROM hashed),
+    counters AS (
+        SELECT j, b, COUNT(*) AS c FROM (
+            SELECT 0 AS j, b0 AS b FROM bucketed
+            UNION ALL SELECT 1, b1 FROM bucketed
+            UNION ALL SELECT 2, b2 FROM bucketed
+            UNION ALL SELECT 3, b3 FROM bucketed
+        ) GROUP BY j, b
+    ),
+    probes AS (
+        SELECT token, {_CMS_BUCKETS_SQL} FROM (
+            SELECT token, {_CMS_HASH_SQL} AS ph
+            FROM (SELECT UNNEST([{_PROBE_LIST}]) AS token)
+        )
+    ),
+    est AS (
+        SELECT p.token, MIN(c.c) AS cms_est
+        FROM probes p
+        JOIN counters c
+          ON (c.j = 0 AND c.b = p.b0) OR (c.j = 1 AND c.b = p.b1)
+          OR (c.j = 2 AND c.b = p.b2) OR (c.j = 3 AND c.b = p.b3)
+        GROUP BY p.token
+    ),
+    truth AS (
+        SELECT token, COUNT(*) AS true_n FROM toks
+        WHERE token IN ({_PROBE_LIST}) GROUP BY token
+    )
+    SELECT e.token, CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(true_n AS BIGINT) AS true_n,
+           CAST(cms_est - true_n AS BIGINT) AS overestimate
+    FROM est e JOIN truth t ON e.token = t.token
+"""
+
+
+@query("q_cms_heavy_hitters", _CMS_ORACLE)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4, w=512) over the corpus token stream, with
+    estimates vs ground truth for a fixed probe vocabulary.
+
+    Build: explode tokens -> 4 (row, bucket) pairs per token (a per-row
+    array explode, all integer math in codegen) -> ONE groupBy(row,
+    bucket) whose partial aggregation merges per-partition sketches
+    map-side; the exchange moves <= d*w counter rows per partition, not
+    the token stream.  Probe: the 8-token probe frame and the d*w-row
+    sketch both broadcast; the min-over-rows is a tiny aggregate.  The
+    `overestimate` column is the CMS one-sided error, test-asserted
+    >= 0."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    hashed = toks.select("token", poly_hash(F.col("token")).alias("ph"))
+    pairs = hashed.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), bucket(F.col("ph"), j).alias("b")
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("jb")
+    )
+    counters = (
+        pairs.select("jb.j", "jb.b")
+        .groupBy("j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = (
+        spark.createDataFrame([(t,) for t in CMS_PROBES], ["token"])
+        .select("token", poly_hash(F.col("token")).alias("ph"))
+        .select(
+            "token", *[bucket(F.col("ph"), j).alias(f"b{j}") for j in range(4)]
+        )
+    )
+    est = (
+        broadcast(probes)
+        .join(
+            counters,
+            (
+                ((F.col("j") == 0) & (F.col("b") == F.col("b0")))
+                | ((F.col("j") == 1) & (F.col("b") == F.col("b1")))
+                | ((F.col("j") == 2) & (F.col("b") == F.col("b2")))
+                | ((F.col("j") == 3) & (F.col("b") == F.col("b3")))
+            ),
+        )
+        .groupBy("token")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    truth = (
+        toks.filter(F.col("token").isin(*CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    return est.join(truth, "token").select(
+        "token",
+        "cms_est",
+        "true_n",
+        (F.col("cms_est") - F.col("true_n")).alias("overestimate"),
+    )

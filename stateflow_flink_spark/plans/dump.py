@@ -77,6 +77,28 @@ NOTES = {
         "(partial HashAggregate before it). Sampling 100 TB costs one pass, "
         "no shuffle of kept rows."
     ),
+    "q_tpch_q1": (
+        "The map-side-combine showcase: partial HashAggregate collapses each "
+        "scan partition to <=6 rows before the exchange, so the shuffle moves "
+        "KBs at any input size; the shipdate predicate is pushed to parquet."
+    ),
+    "q_decontaminate": (
+        "The distinct eval-gram set (MBs at production scale) arrives via "
+        "BroadcastExchange; the corpus side probes it in its scan stage with "
+        "no shuffle of exploded grams — the only hashpartitioning exchange "
+        "carries per-doc hit counts."
+    ),
+    "q_sessionize_batch": (
+        "One hashpartitioning(user_id) exchange feeds lag, the running "
+        "boundary-flag sum, AND the session rollup — three logical stages, "
+        "one shuffle, one within-partition sort."
+    ),
+    "q_cluster_kmeans": (
+        "Per Lloyd iteration: K*dim centroids broadcast out, the min-struct "
+        "assignment partial-aggregates before its vec_id shuffle, and the "
+        "centroid update shuffles exact 6dp-quantized integer sums keyed by "
+        "(cent, dim). No CartesianProduct, no driver-side collect."
+    ),
 }
 
 

@@ -77,7 +77,9 @@ def load_all_modules() -> None:
         subqueries,
         aggregates,
         joins,
+        merge,
         skew,
+        sketches,
         stateful,
         multimodal,
     )

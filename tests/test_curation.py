@@ -84,3 +84,39 @@ def test_inverted_index_df_bounded_by_tf(spark):
     assert len(out) > 0
     for r in out:
         assert 1 <= r.df <= r.tf
+
+
+def test_kmeans_clusters_bounded_and_seeds_stay_home(spark):
+    out = QUERIES["q_cluster_kmeans"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    clusters = {r.cluster for r in out}
+    assert len(clusters) <= 8
+    for r in out:
+        assert r.dist >= 0.0
+
+
+def test_cms_overestimate_is_one_sided(spark):
+    out = QUERIES["q_cms_heavy_hitters"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.overestimate >= 0, f"{r.token}: CMS must never undercount"
+        assert r.cms_est >= r.true_n >= 1
+
+
+def test_cogroup_funnel_counts_bounded(spark):
+    out = QUERIES["q_cogroup_funnel"](spark, SF_SMOKE).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.n_clicks_before >= 0
+        assert r.first_purchase is not None
+
+
+def test_merge_upsert_branch_consistency(spark):
+    rows = QUERIES["q_merge_upsert"](spark, SF_SMOKE).collect()
+    ops = {r.op for r in rows}
+    assert "keep" in ops and "update" in ops
+    for r in rows:
+        if r.op == "insert":
+            assert r.name == "NEW" and r.key >= 1_000_000
+        else:
+            assert r.key < 1_000_000

@@ -180,3 +180,58 @@ def test_sessionize_reuses_one_user_shuffle(spark):
 def test_inverted_index_topk_avoids_global_sort(spark):
     plan = plan_of(QUERIES["q_inverted_index"](spark, SF_SMOKE))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_broadcasts_centroids_and_partially_aggregates(spark):
+    """Centroids must be the broadcast side (K rows), the min-struct
+    assignment must partial-aggregate before its shuffle, and nothing
+    may degenerate to a cartesian product."""
+    plan = plan_of(QUERIES["q_cluster_kmeans"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_tpch_q6_pushes_all_predicates(spark):
+    plan = plan_of(QUERIES["q_tpch_q6"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" in read_schema and "l_discount" in read_schema
+    assert "l_partkey" not in read_schema and "l_returnflag" not in read_schema
+
+
+def test_tpch_q19_or_predicate_keeps_hash_join(spark):
+    plan = plan_of(QUERIES["q_tpch_q19"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q4_exists_becomes_semi_join(spark):
+    plan = plan_of(QUERIES["q_tpch_q4"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan or "left_semi" in plan.lower()
+
+
+def test_cms_counters_aggregate_partially(spark):
+    """The sketch build must partial-aggregate (row,bucket) counters
+    map-side — the exchange carries counter rows, not the token
+    stream."""
+    plan = plan_of(QUERIES["q_cms_heavy_hitters"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sink_partitioned_prunes_partitions(spark):
+    """The read-back filter on the partition column must prune at the
+    directory level (PartitionFilters), not as a data filter."""
+    plan = plan_of(QUERIES["q_sink_partitioned"](spark, SF_SMOKE))
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf_line
+
+
+def test_merge_upsert_aggregates_source_before_join(spark):
+    """The source must pre-aggregate (partial+final) before the merge
+    join probes it — never join raw orders against customer."""
+    plan = plan_of(QUERIES["q_merge_upsert"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
