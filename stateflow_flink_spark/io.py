@@ -27,12 +27,29 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 # (session id, sf_dir, table) -> resolved read schema.  The footer read
-# for schema inference is a per-call driver-side file open; over an
-# 89-query suite that is ~90 redundant opens per table.  Caching the
+# for schema inference is a per-call driver-side file open; over a
+# 122-query suite that is ~120 redundant opens per table.  Caching the
 # *schema* (never the DataFrame — every call still gets a fresh plan
 # subtree with fresh expression IDs, so self-joins keep working) makes
 # repeat loads metadata-free.
 _SCHEMA_CACHE: dict[tuple[int, str, str], object] = {}
+
+# sf_dir -> physical type string of events.ts in the parquet footer
+# ("timestamp[ns]" vs "timestamp[us]"...).  Fixture generations have
+# shipped both; branching on the footer (one driver-side metadata read,
+# cached) keeps the loader correct across regenerations instead of
+# hard-coding one era's physical layout.
+_EVENTS_TS_PHYSICAL: dict[str, str] = {}
+
+
+def _events_ts_is_nanos(path: str) -> bool:
+    phys = _EVENTS_TS_PHYSICAL.get(path)
+    if phys is None:
+        import pyarrow.parquet as pq
+
+        phys = str(pq.read_schema(path).field("ts").type)
+        _EVENTS_TS_PHYSICAL[path] = phys
+    return phys == "timestamp[ns]"
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -43,13 +60,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (session, dir, table) after that.  Streaming readers pass
     ``schemas.EVENTS_RAW`` etc. because ``readStream`` requires a schema.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); Spark 4 only reads it
-    as int64 nanos (legacy conf), so we convert to TimestampType (µs)
-    here with truncation — identical to DuckDB ``CAST(ts AS TIMESTAMP)``.
+    ``events.ts`` normalizes to TimestampType (µs) regardless of the
+    physical parquet type: TIMESTAMP(NANOS) fixtures are read as int64
+    nanos (legacy conf) and truncated — identical to DuckDB
+    ``CAST(ts AS TIMESTAMP)`` — while TIMESTAMP(MICROS)/NTZ fixtures
+    just cast.  The branch is decided from the parquet footer, never
+    assumed.
     """
     path = table_path(sf_dir, name)
+    nanos = False
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        nanos = _events_ts_is_nanos(path)
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     key = (id(spark), sf_dir, name)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
@@ -58,8 +81,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     else:
         raw = spark.read.schema(schema).parquet(path)
     if name == "events":
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if nanos:
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
+
+
+def open_events_stream(
+    spark: SparkSession, stage_dir: str, src_path: str
+) -> DataFrame:
+    """Open a staged events directory as a stream with ``ts`` normalized.
+
+    The streaming file source needs an explicit schema, and the right one
+    depends on the fixture's physical parquet type for ``ts`` (NANOS eras
+    need the int64-nanos legacy read; MICROS eras read as timestamp
+    directly).  Same footer-driven branch as :func:`load`, shared by every
+    streaming query so a fixture regeneration flips ONE switch.
+    """
+    from .schemas import EVENTS_RAW
+
+    if _events_ts_is_nanos(src_path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = spark.readStream.schema(EVENTS_RAW).parquet(stage_dir)
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    key = (id(spark), os.path.dirname(src_path), "events")
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        schema = spark.read.parquet(src_path).schema
+        _SCHEMA_CACHE[key] = schema
+    stream = spark.readStream.schema(schema).parquet(stage_dir)
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def spread(df: DataFrame, spark: SparkSession) -> DataFrame:

@@ -20,9 +20,8 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, open_events_stream
 from ..plans.registry import query
-from ..schemas import EVENTS_RAW
 from ..session import stream_partitions
 
 
@@ -87,9 +86,9 @@ def q_stream_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixture file into one (at scale the source would already be a dir
     # of arriving part files).
     stage = tempfile.mkdtemp(prefix="sfs_stream_src_")
-    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "part-0.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(EVENTS_RAW).parquet(stage)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(stage, "part-0.parquet"))
+    stream = open_events_stream(spark, stage, src)
     counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
     with stream_partitions(spark):
         qy = (

@@ -27,6 +27,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
     TimestampType,
 )
 
@@ -81,7 +82,10 @@ ORDERS = StructType(
         StructField("o_custkey", LongType()),
         StructField("o_orderstatus", StringType()),
         StructField("o_totalprice", DoubleType()),
-        StructField("o_orderdate", TimestampType()),
+        # Physically TIMESTAMP(MICROS, isAdjustedToUTC=false) -> NTZ.
+        # Kept NTZ (no cast in load): a cast would wrap the column and
+        # defeat parquet predicate pushdown on date filters.
+        StructField("o_orderdate", TimestampNTZType()),
         StructField("o_orderpriority", StringType()),
     ]
 )
@@ -98,7 +102,7 @@ LINEITEM = StructType(
         StructField("l_tax", DoubleType()),
         StructField("l_returnflag", StringType()),
         StructField("l_linestatus", StringType()),
-        StructField("l_shipdate", TimestampType()),
+        StructField("l_shipdate", TimestampNTZType()),  # NTZ, see ORDERS
     ]
 )
 

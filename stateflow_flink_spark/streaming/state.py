@@ -56,7 +56,7 @@ except ModuleNotFoundError:
 from ..io import load
 from ..numerics import sql_wsum
 from ..plans.registry import query
-from ..schemas import EVENTS_RAW
+from ..io import open_events_stream
 
 # ---------------------------------------------------------------------------
 # Callable registry — the in-process replacement for the AWS Lambda hop.
@@ -194,14 +194,11 @@ class EntityFoldProcessor(StatefulProcessor):
 
 def stream_events_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
     """Stage events.parquet into a dir and open it as a stream
-    (ns timestamps read as long under the legacy conf, converted here)."""
+    (ts normalized to TimestampType by io.open_events_stream)."""
     stage = tempfile.mkdtemp(prefix="sfs_stream_events_")
-    shutil.copy(
-        os.path.join(sf_dir, "events.parquet"), os.path.join(stage, "part-0.parquet")
-    )
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = spark.readStream.schema(EVENTS_RAW).parquet(stage)
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))), stage
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(stage, "part-0.parquet"))
+    return open_events_stream(spark, stage, src), stage
 
 
 def apply_stateful(
