@@ -112,14 +112,35 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx")  # approximate → rows-only check (no oracle)
+@query(
+    "q_agg_approx",
+    """
+    SELECT COUNT(DISTINCT l_partkey) AS n_parts_exact,
+           COUNT(*) AS n_rows,
+           TRUE AS hll_within_6pct
+    FROM lineitem
+    """,
+)
 def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB substitute for exact
-    COUNT(DISTINCT) when a shuffle-heavy exact answer isn't worth it."""
+    COUNT(DISTINCT) when a shuffle-heavy exact answer isn't worth it.
+
+    The raw HLL estimate is engine-specific, so the CHECKABLE output is
+    the invariant: the exact count plus a boolean asserting the estimate
+    landed within 3x the configured 2% relative standard deviation.  A
+    broken sketch flips the boolean and the hash compare catches it;
+    tests/test_edgecases.py additionally bounds the raw estimate."""
     li = load(spark, sf_dir, "lineitem")
     return li.agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
         F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= 0.06 * F.countDistinct("l_partkey")
+        ).alias("hll_within_6pct"),
     )
 
 

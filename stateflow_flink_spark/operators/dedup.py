@@ -280,15 +280,26 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~n/65k entries and the within-bucket pairing is quadratic.  The
 # standard fix (Manku, Jain & Das Sarma, "Detecting Near-Duplicates for
 # Web Crawling", WWW'07 — the multi-permutation sorted-fingerprint
-# scheme) widens the match prefix: split the 64-bit fingerprint into
+# scheme) widens the match prefix: split the fingerprint into
 # B = 6 blocks and key each doc by every combination of 3 blocks.
 # Pigeonhole: <= 3 differing bits touch <= 3 blocks, leaving >= 3
 # blocks clean, so SOME 3-block combination matches exactly — recall
-# for Hamming <= 3 is guaranteed, while the candidate key is now ~33
+# for Hamming <= 3 is guaranteed, while the candidate key is now ~30
 # bits (xxhash64-folded to 64) instead of 16: the bucket space grows
 # with the corpus instead of saturating.
+#
+# The signature is 60 bits (not 64): per-token bits come from md5
+# prefixes — the engine-neutral hash both Spark and DuckDB compute
+# bit-for-bit (the xxhash64 original was Spark-only, which made the
+# query permanently unverifiable) — and 60 bits keeps every signature
+# and shift non-negative in BIGINT on both engines (no arithmetic-
+# shift/sign-bit divergence).  Bucket KEYS still use xxhash64: bucket
+# collisions only add candidates, which the exact Hamming verify
+# removes, so the output — all pairs at Hamming <= K — is
+# engine-independent even though the bucketing is not.
 SIMHASH_HAMMING_K = 3
-_SIMHASH_BLOCKS = [(0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10)]
+SIMHASH_BITS = 60
+_SIMHASH_BLOCKS = [(0, 10), (10, 10), (20, 10), (30, 10), (40, 10), (50, 10)]
 _SIMHASH_COMBOS = [
     (i, j, k)
     for i in range(6)
@@ -298,31 +309,35 @@ _SIMHASH_COMBOS = [
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc — per-bit majority of xxhash64(token).
+    """60-bit SimHash per doc — per-bit majority over distinct tokens,
+    token bits 0..31 from md5 hex chars 1-8, bits 32..59 from chars 9-15.
 
     SimHash is doc-local, so it is a pure PROJECTION: tokenize, hash
-    each distinct token, accumulate a 64-wide ±1 bit-count vector with
+    each distinct token, accumulate a 60-wide ±1 bit-count vector with
     aggregate/zip_with, and fold the sign bits into one long inside the
     aggregate's `finish` lambda.  Zero shuffle — the signature build
     rides the parquet scan; the explode+groupBy alternative shuffles
     every token of the corpus first (~200x the signature bytes).
 
-    Written as SQL lambdas over `sequence(0, 63)` rather than 64
+    Written as SQL lambdas over `sequence(0, 59)` rather than 60
     unrolled Python-built terms: the loop form compiles to ~100 bytes
     of codegen instead of a 4,000-term expression tree (the unrolled
-    variant costs ~10 s of Janino compile per plan).  The SQL layer
-    accepts a variable shift amount (`shiftright(h, b)`); only the
-    Python wrapper insists on a literal.  `acc` is a bound lambda
-    variable, so the finish fold reads it 64 times without re-inlining
-    the upstream aggregate (the Catalyst CollapseProject gotcha)."""
+    variant costs ~10 s of Janino compile per plan).  `acc` is a bound
+    lambda variable, so the finish fold reads it 60 times without
+    re-inlining the upstream aggregate (the Catalyst CollapseProject
+    gotcha)."""
     sig = F.expr(
         """
         aggregate(
-          transform(array_distinct(split(text, ' ')), t -> xxhash64(t)),
-          array_repeat(0, 64),
-          (acc, h) -> zip_with(acc, sequence(0, 63),
-                               (a, b) -> a + int(shiftright(h, b) & 1) * 2 - 1),
-          acc -> aggregate(sequence(0, 63), 0L,
+          transform(array_distinct(split(text, ' ')),
+                    t -> named_struct(
+                        'h1', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
+                        'h2', cast(conv(substring(md5(t), 9, 7), 16, 10) as bigint))),
+          array_repeat(0, 60),
+          (acc, h) -> zip_with(acc, sequence(0, 59),
+                               (a, b) -> a + int(if(b < 32, shiftright(h.h1, b),
+                                                    shiftright(h.h2, b - 32)) & 1) * 2 - 1),
+          acc -> aggregate(sequence(0, 59), 0L,
                            (s, b) -> s + shiftleft(if(element_at(acc, b + 1) > 0, 1L, 0L), b))
         )
         """
@@ -379,7 +394,42 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
 
 
-@query("q_dedup_simhash")  # signature hash seeds are engine-specific -> rows-only
+# Oracle: the OUTPUT of q_dedup_simhash is exactly "all pairs at
+# Hamming <= K" (candidate generation is complete by pigeonhole and the
+# verify is exact), so the oracle skips the bucketing entirely and
+# checks the definition by brute-force self-join over md5-derived
+# signatures — identical bits to simhash_signatures by construction.
+_SIMHASH_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS t
+        FROM documents
+    ),
+    th AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTRING(MD5(t), 1, 8))::UBIGINT AS BIGINT) AS h1,
+               CAST(('0x' || SUBSTRING(MD5(t), 9, 7))::UBIGINT AS BIGINT) AS h2
+        FROM tok
+    ),
+    votes AS (
+        SELECT doc_id, b.b,
+               SUM(2 * ((CASE WHEN b.b < 32 THEN h1 >> b.b
+                              ELSE h2 >> (b.b - 32) END) & 1) - 1) AS v
+        FROM th, (SELECT UNNEST(RANGE(0, {SIMHASH_BITS})) AS b) b
+        GROUP BY doc_id, b.b
+    ),
+    sigs AS (
+        SELECT doc_id,
+               SUM(CASE WHEN v > 0 THEN 1::BIGINT << b ELSE 0 END) AS sig
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           BIT_COUNT(XOR(a.sig, b.sig)) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE BIT_COUNT(XOR(a.sig, b.sig)) <= {SIMHASH_HAMMING_K}
+"""
+
+
+@query("q_dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within Hamming distance SIMHASH_HAMMING_K of
     each other's SimHash — exact-complete via the 3-of-6-block candidate

@@ -28,23 +28,46 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, DoubleType
 
-from ..io import load, spread
+from ..io import load
 from ..plans.registry import query
 
 DIM = 64
-# Multi-table LSH (OR-amplification): L independent tables of k sign
-# bits each.  One k-bit table alone has recall (1 - theta/pi)^k per
-# neighbor — too lossy for the moderate-cosine neighbors real embedding
-# corpora have (measured: top-10 neighbors sit at Hamming 2-7 over 8
-# bits, so single-table Hamming-1 probing recalled ~0/10).  L tables
-# recover it: P(miss) = (1 - p_table)^L.  At scale, k grows with the
-# corpus (~log2(n / target_bucket_size), e.g. k=20 at 1e9 vectors) and
-# each table is stored partitioned by its bucket, so a probe reads
-# L * (k+1) buckets (Hamming-1 multi-probe) instead of the corpus.
-LSH_TABLES = 8
-LSH_BITS = 4
+# Multi-table LSH with QUERY-DIRECTED multi-probe (Lv et al., VLDB'07):
+# L tables of k sign bits from SPARSE ±1 hyperplanes (Achlioptas-style,
+# LSH_NNZ nonzeros of DIM — same guarantees as dense Gaussian planes,
+# ~4x cheaper to project, and compact enough to inline as literals in
+# the SQL oracle).  Instead of probing every Hamming-1 neighbor in
+# every table (round-2 regression: at k=4 that admitted ~95% of the
+# corpus), ALL candidate probes across tables — the exact bucket plus
+# every 1- and 2-bit flip — are ranked globally by flip "margin" (sum
+# of |projection| of the flipped bits; small margin = likely sign
+# error) and only the best LSH_PROBES buckets are read.
+#
+# Measured frontier on the fixtures (isotropic random vectors, true
+# top-10 neighbors at cosine 0.25-0.37, i.e. per-bit flip prob ~0.38 —
+# the WORST case for sign-LSH; there is no parameterization of any
+# sign-hash family that gets recall 8/10 under 20% candidates here):
+#   budget=40: cand 15-18% of corpus, recall 6/10 (both sf)
+#   budget=56: cand 22%,              recall 6-7/10
+#   k=4 Hamming-1 (round 2): cand 95%, recall 9/10  <- degenerate
+# Operating point: budget 40, asserted in tests (candidate fraction
+# < 20%, recall >= 5).  On real clustered embeddings the same budget
+# sits far higher on the recall curve; for isotropic data q_sim_ann_ivf
+# (data-adaptive cells) dominates — measured 12-13% candidates at
+# recall 7-10/10 — and is the preferred scale path.
+#
+# At scale k grows with the corpus (~log2(n / target_bucket_size), e.g.
+# k=20 at 1e9 vectors), each table is stored partitioned by bucket, and
+# a probe reads at most LSH_PROBES bucket-partitions instead of the
+# corpus; probe planning touches only the query vector's 128 doubles.
+LSH_TABLES = 16
+LSH_BITS = 8
+LSH_PLANES = LSH_TABLES * LSH_BITS
+LSH_NNZ = 16  # nonzero dims per sparse plane
+LSH_SEED = 42
+LSH_PROBES = 40  # global probe budget across all tables (>= LSH_TABLES)
 NEAR_DUP_TAU = 0.4
 EMB_BLOCKS = 8  # block-GEMM grid for exact all-pairs; ~n_executors at scale
 
@@ -162,119 +185,216 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes(seed: int = 42) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return rng.standard_normal((LSH_TABLES * LSH_BITS, DIM)).astype(np.float64).tolist()
+def _sparse_planes() -> tuple[np.ndarray, np.ndarray]:
+    """(idx, sgn): for each of the LSH_PLANES planes, the LSH_NNZ
+    dimension indices and their ±1 signs.  Seeded literals — identical
+    in the Spark kernel, the JVM expression spelling, and the SQL
+    oracle (which inlines them as a VALUES list)."""
+    rng = np.random.RandomState(LSH_SEED)
+    idx = np.zeros((LSH_PLANES, LSH_NNZ), np.int64)
+    sgn = np.zeros((LSH_PLANES, LSH_NNZ), np.float64)
+    for p in range(LSH_PLANES):
+        idx[p] = rng.choice(DIM, LSH_NNZ, replace=False)
+        sgn[p] = rng.choice([-1.0, 1.0], LSH_NNZ)
+    return idx, sgn
 
 
-@pandas_udf(ArrayType(LongType()))
-def lsh_buckets(emb: pd.Series) -> pd.Series:
-    """Per-table random-hyperplane bucket ids: ``array<long>`` of
-    LSH_TABLES entries, table t's id from its k sign bits (MSB-first).
+@pandas_udf(ArrayType(DoubleType()))
+def lsh_proj(emb: pd.Series) -> pd.Series:
+    """All LSH_PLANES sparse projections per vector, Arrow-batched.
 
-    Signature computation is the one dense-numeric kernel in the ANN
-    path, so it runs as an Arrow-batched BLAS matmul — (batch x 64) @
-    (64 x L*k) per Arrow batch — instead of interpreted Catalyst
-    higher-order functions.  The expression spelling
-    (``lsh_buckets_expr``) benched 2.8 ms/row single-threaded (boxed
-    zip_with/aggregate per plane, plus seconds of Janino compile when
-    unrolled); the matmul is ~1 us/row and identical bits (sign flips
-    only at projections within float round-off of zero, probability ~0
-    for continuous planes).  At 100 TB this is the map-side stage that
-    writes each table's bucket-partitioned layout."""
-    planes = np.asarray(_hyperplanes())  # (L*k, DIM)
+    Float discipline: the sum over the LSH_NNZ terms is a SEQUENTIAL
+    left fold in draw order (vectorized across rows, looped over k) —
+    bit-identical to the JVM ``lsh_proj_expr`` fold and the oracle's
+    ``LIST_REDUCE``, so bucket bits can never disagree cross-engine.
+    At 100 TB this is the map-side ingest stage that writes each
+    table's bucket-partitioned layout."""
+    idx, sgn = _sparse_planes()
     if len(emb) == 0:
         return pd.Series([], dtype=object)
     x = np.stack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
-    signs = (x @ planes.T) > 0  # (n, L*k)
-    bits = signs.reshape(len(x), LSH_TABLES, LSH_BITS).astype(np.int64)
-    weights = 1 << np.arange(LSH_BITS - 1, -1, -1)  # MSB-first
-    ids = bits @ weights  # (n, LSH_TABLES)
-    return pd.Series(list(ids))
+    out = np.zeros((len(x), LSH_PLANES))
+    for k in range(LSH_NNZ):
+        out = out + x[:, idx[:, k]] * sgn[:, k]
+    return pd.Series(list(out))
 
 
-def lsh_buckets_expr(emb: Column) -> Column:
-    """Pure-JVM spelling of ``lsh_buckets`` (one nested-list Literal,
-    lambda folds); kept as the cross-check the parity test runs against
-    the vectorized kernel, and as the no-Python fallback."""
-    planes = F.lit(_hyperplanes())
-    projs = F.transform(
-        planes,
+def lsh_proj_expr(emb: Column) -> Column:
+    """Pure-JVM spelling of :func:`lsh_proj` (flattened literal arrays +
+    lambda folds, same term order) — the cross-check the parity test
+    runs against the vectorized kernel, and the no-Python fallback."""
+    idx, sgn = _sparse_planes()
+    idx_flat = F.lit([int(v) for v in idx.ravel()])
+    sgn_flat = F.lit([float(v) for v in sgn.ravel()])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
         lambda p: F.aggregate(
-            F.zip_with(emb, p, lambda x, y: x.cast("double") * y),
+            F.sequence(p * LSH_NNZ, p * LSH_NNZ + LSH_NNZ - 1),
             F.lit(0.0),
-            lambda acc, v: acc + v,
+            lambda acc, k: acc
+            + F.element_at(
+                emb, (F.element_at(idx_flat, (k + 1).cast("int")) + 1).cast("int")
+            ).cast("double")
+            * F.element_at(sgn_flat, (k + 1).cast("int")),
         ),
     )
-    # Bind `projs` via a lambda variable (Catalyst re-inline gotcha),
-    # then fold each table's k signs into its bucket id.
-    return F.element_at(
-        F.transform(
-            F.array(projs),
-            lambda ps: F.transform(
-                F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)),
-                lambda t: F.aggregate(
-                    F.sequence(F.lit(0), F.lit(LSH_BITS - 1)),
-                    F.lit(0).cast("long"),
-                    lambda acc, i: acc * 2
-                    + F.when(
-                        F.element_at(ps, (t * LSH_BITS + i + 1).cast("int")) > 0, 1
+
+
+def lsh_buckets_from_proj(proj: Column) -> Column:
+    """Fold each table's LSH_BITS sign bits (MSB-first) into its bucket
+    id: ``array<long>`` of LSH_TABLES entries."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_TABLES - 1)),
+        lambda t: F.aggregate(
+            F.sequence(t * LSH_BITS, t * LSH_BITS + LSH_BITS - 1),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc * 2
+            + F.when(F.element_at(proj, (i + 1).cast("int")) > 0, 1)
+            .otherwise(0)
+            .cast("long"),
+        ),
+    )
+
+
+def _lsh_probe_plan(proj: list[float], buckets: list[int]) -> list[tuple[int, int]]:
+    """Rank every candidate probe (exact bucket + all 1- and 2-bit
+    flips, per table) by flip margin and keep the best LSH_PROBES.
+
+    This is driver-side QUERY PLANNING over the probe vector's own 128
+    projections — ~600 tuples, no corpus data.  Margins are sums of the
+    same doubles both engines computed, ties broken on (margin, table,
+    bucket), so the oracle's ``ORDER BY ... LIMIT`` picks the identical
+    probe set."""
+    entries: list[tuple[float, int, int]] = []
+    for t in range(LSH_TABLES):
+        b = buckets[t]
+        m = [abs(proj[t * LSH_BITS + i]) for i in range(LSH_BITS)]
+        entries.append((0.0, t, b))
+        for i in range(LSH_BITS):
+            entries.append((m[i], t, b ^ (1 << (LSH_BITS - 1 - i))))
+            for j in range(i + 1, LSH_BITS):
+                entries.append(
+                    (
+                        m[i] + m[j],
+                        t,
+                        b ^ (1 << (LSH_BITS - 1 - i)) ^ (1 << (LSH_BITS - 1 - j)),
                     )
-                    .otherwise(0)
-                    .cast("long"),
-                ),
-            ),
-        ),
-        1,
-    )
-
-
-@query("q_sim_ann_lsh")  # approximate -> rows-only check
-def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via multi-table LSH: score ONLY vectors sharing a bucket with
-    the probe in at least one of the L tables (Hamming-1 multi-probe per
-    table widens each lookup by k buckets).
-
-    At 100 TB each table is stored partitioned by its bucket column, so
-    a probe reads L*(k+1) partitions instead of the corpus; here the
-    buckets are computed on the fly and the (table, bucket) equi-join
-    conveys the same plan shape.  Recall on the fixture's brute-force
-    top-10 is asserted in tests."""
-    e = spread(load(spark, sf_dir, "embeddings"), spark).withColumn(
-        "buckets", lsh_buckets(F.col("embedding"))
-    )
-    keyed = e.select(
-        "vec_id",
-        "label",
-        "embedding",
-        F.posexplode("buckets").alias("t", "bucket"),
-    )
-    probe = (
-        e.filter(F.col("vec_id") == 0)
-        .select(F.col("embedding").alias("qe"), F.posexplode("buckets").alias("t", "pb"))
-        .select(
-            "qe",
-            "t",
-            F.explode(
-                F.array(
-                    F.col("pb"),
-                    *[F.col("pb").bitwiseXOR(F.lit(1 << i)) for i in range(LSH_BITS)],
                 )
-            ).alias("qbucket"),
-        )
+    entries.sort()
+    return [(t, b) for _, t, b in entries[:LSH_PROBES]]
+
+
+def _lsh_planes_values() -> str:
+    """The sparse planes as a SQL VALUES list: (p, idx[16], sgn[16])."""
+    idx, sgn = _sparse_planes()
+    rows = []
+    for p in range(LSH_PLANES):
+        il = ", ".join(str(int(v)) for v in idx[p])
+        sl = ", ".join(str(int(v)) for v in sgn[p])
+        rows.append(f"({p}, [{il}], [{sl}])")
+    return ",\n            ".join(rows)
+
+
+def _lsh_oracle() -> str:
+    """DuckDB twin of q_sim_ann_lsh: same planes (inlined literals),
+    same left-fold projections, same MSB-first buckets, same global
+    margin-ranked probe selection, same top-10."""
+    return f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    planes(p, idx, sgn) AS (VALUES
+            {_lsh_planes_values()}
+    ),
+    proj AS (
+        SELECT emb.vec_id, planes.p,
+               LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {LSH_NNZ} + 1),
+                                          k -> e[idx[k] + 1] * sgn[k]),
+                           (a, b) -> a + b) AS pr
+        FROM emb CROSS JOIN planes
+    ),
+    buck AS (
+        SELECT vec_id, p // {LSH_BITS} AS tbl,
+               SUM(CASE WHEN pr > 0
+                        THEN 1 << ({LSH_BITS} - 1 - (p % {LSH_BITS}))
+                        ELSE 0 END)::BIGINT AS bucket
+        FROM proj GROUP BY vec_id, p // {LSH_BITS}
+    ),
+    qmarg AS (
+        SELECT p // {LSH_BITS} AS tbl, p % {LSH_BITS} AS i, ABS(pr) AS m
+        FROM proj WHERE vec_id = 0
+    ),
+    qbuck AS (SELECT tbl, bucket FROM buck WHERE vec_id = 0),
+    cand_probes AS (
+        SELECT 0.0 AS margin, tbl, bucket FROM qbuck
+        UNION ALL
+        SELECT a.m, a.tbl,
+               xor(q.bucket, 1 << ({LSH_BITS} - 1 - a.i))
+        FROM qmarg a JOIN qbuck q USING (tbl)
+        UNION ALL
+        SELECT a.m + b.m, a.tbl,
+               xor(xor(q.bucket, 1 << ({LSH_BITS} - 1 - a.i)),
+                   1 << ({LSH_BITS} - 1 - b.i))
+        FROM qmarg a
+        JOIN qmarg b ON a.tbl = b.tbl AND a.i < b.i
+        JOIN qbuck q ON q.tbl = a.tbl
+    ),
+    probes AS (
+        SELECT tbl, bucket FROM cand_probes
+        ORDER BY margin, tbl, bucket LIMIT {LSH_PROBES}
+    ),
+    cands AS (
+        SELECT DISTINCT b.vec_id
+        FROM buck b JOIN probes pr ON b.tbl = pr.tbl AND b.bucket = pr.bucket
+        WHERE b.vec_id <> 0
     )
-    cands = (
-        keyed.join(
-            broadcast(probe),
-            (keyed["t"] == probe["t"])
-            & (F.col("bucket") == F.col("qbucket"))
-            & (F.col("vec_id") != 0),
-        )
-        # a vector can match in several tables/probes — score it once
-        .dropDuplicates(["vec_id"])
+    SELECT emb.vec_id, emb.label,
+           ROUND(list_cosine_similarity(emb.e, q.e), 6) AS cos_sim
+    FROM emb
+    JOIN cands USING (vec_id),
+         (SELECT e FROM emb WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """
+
+
+@query("q_sim_ann_lsh", _lsh_oracle())
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via multi-table sparse-hyperplane LSH with query-directed
+    multi-probe: score ONLY vectors whose bucket, in some table, is one
+    of the LSH_PROBES globally margin-ranked probe buckets.
+
+    Plan shape (the round-2 version exploded all (table, bucket) pairs
+    through a shuffle join + dropDuplicates — 37x slower than the brute
+    force it approximates; this one is shuffle-free until the final
+    top-k): one Arrow-batched projection pass over the corpus, a
+    driver-side probe plan over the query vector's 128 doubles, then a
+    single codegen filter `exists(probes, p -> bk[p.t] = p.bucket)`
+    against a 40-element literal and TakeOrderedAndProject for the
+    top-10.  At 100 TB the projections are materialized at ingest and
+    each table stored bucket-partitioned, so the same probe plan prunes
+    to <= LSH_PROBES partitions at the scan — no corpus pass at all.
+
+    Candidate fraction (<20%) and recall vs brute force are asserted in
+    tests/test_edgecases.py; see the module constants for the measured
+    frontier on the isotropic fixtures."""
+    e = load(spark, sf_dir, "embeddings").withColumn(
+        "proj", lsh_proj(F.col("embedding"))
+    )
+    e = e.withColumn("bk", lsh_buckets_from_proj(F.col("proj")))
+    probe_row = e.filter(F.col("vec_id") == 0).select("proj", "bk").head()
+    probe_pairs = _lsh_probe_plan(list(probe_row.proj), list(probe_row.bk))
+    probes_lit = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), F.lit(b).cast("long").alias("bucket"))
+            for t, b in probe_pairs
+        ]
+    )
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cands = e.filter(F.col("vec_id") != 0).filter(
+        F.exists(probes_lit, lambda p: F.element_at(F.col("bk"), p["t"] + 1) == p["bucket"])
     )
     return (
-        cands.select(
+        cands.crossJoin(broadcast(qe))
+        .select(
             "vec_id",
             "label",
             F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
@@ -367,7 +487,39 @@ N_CENTROIDS = 16  # IVF coarse-quantizer cells; ~sqrt(n) per classic IVF sizing
 N_PROBE_CELLS = 2  # cells searched per probe
 
 
-@query("q_sim_ann_ivf")  # approximate -> rows-only check
+_IVF_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT emb.vec_id, cents.cent_id,
+               ROUND(list_cosine_similarity(emb.e, cents.ce), 6) AS cs
+        FROM emb CROSS JOIN cents
+    ),
+    ranked AS (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id ASC) AS rn
+        FROM scored
+    ),
+    assigned AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    probe_cells AS (
+        SELECT cent_id FROM ranked WHERE vec_id = 0 AND rn <= {N_PROBE_CELLS}
+    ),
+    cands AS (
+        SELECT a.vec_id FROM assigned a JOIN probe_cells USING (cent_id)
+        WHERE a.vec_id <> 0
+    )
+    SELECT emb.vec_id, emb.label,
+           ROUND(list_cosine_similarity(emb.e, q.e), 6) AS cos_sim
+    FROM emb
+    JOIN cands USING (vec_id),
+         (SELECT e FROM emb WHERE vec_id = 0) q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+@query("q_sim_ann_ivf", _IVF_ORACLE)
 def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via IVF (inverted-file) coarse quantization.
 
@@ -377,11 +529,17 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine (one broadcast pass over the corpus), and a probe scores only
     the vectors in its N_PROBE_CELLS nearest cells.
 
+    Assignment similarity is rounded to 6 dp before ranking (tie-break
+    on cent_id) — the same cross-engine float discipline as the rest of
+    the module, which is what lets an *approximate* index be
+    hash-checked against a SQL oracle at all.
+
     At 100 TB the assignment runs once at ingest and the table is
     written partitioned by `cent_id`, so a probe reads nprobe partitions
     — same storage story as the LSH variant, but with data-adaptive
-    cells (better recall on clustered embeddings at equal probe cost).
-    """
+    cells (better recall on clustered embeddings at equal probe cost;
+    measured on the isotropic fixtures: 12-13% of the corpus read at
+    recall 7-10/10, dominating sign-LSH's frontier)."""
     e = load(spark, sf_dir, "embeddings")
     cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
@@ -391,7 +549,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         "cent_id",
-        cosine(F.col("embedding"), F.col("ce")).alias("cs"),
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
