@@ -28,7 +28,11 @@ from stateflow_flink_spark.session import apply_runtime_conf
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
-RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "1"))  # BASELINE.md medians: 3
+# BASELINE.md procedure: 3 warm runs per query, report the median — also
+# the default here so driver-side rounds measure the same statistic the
+# committed BENCH.json was produced with (n=1 showed ±10x outliers on
+# whichever query landed on a codegen-cache eviction or GC pause).
+RUNS = int(os.environ.get("SPARK_GRAFT_RUNS", "3"))
 
 
 def sf_of(path: str) -> float:
@@ -60,7 +64,15 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
-    run("q_agg_groupby")  # warm-up: JVM, codegen, parquet footer cache
+    # Warm-ups, not billed to any measured query:
+    #   q_agg_groupby  — JVM, codegen, parquet footer cache
+    #   q_udf_scalar   — Python worker pool spin-up + pandas/pyarrow
+    #                    imports (otherwise the alphabetically-first
+    #                    Arrow-UDF query absorbs ~8 s of one-time cost)
+    #   q_udaf_grouped — grouped-map (applyInPandas) eval path
+    run("q_agg_groupby")
+    run("q_udf_scalar")
+    run("q_udaf_grouped")
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

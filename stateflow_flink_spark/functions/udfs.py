@@ -137,41 +137,53 @@ def q_udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cogroup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped-map Pandas API (the 4th Pandas surface next to scalar /
-    grouped-agg / UDTF): clicks and purchases cogrouped per user, one
-    Python function sees BOTH groups at once — funnel metric: clicks
-    before the user's first purchase.
+    grouped-agg / UDTF): clicks and purchases cogrouped, one Python
+    function sees BOTH sides at once — funnel metric: clicks before the
+    user's first purchase.
 
-    cogroup shuffles each side once on the key and zips the sorted
-    groups into a single Arrow batch pair per key — the per-key merge
-    logic (arbitrary Python over two frames) is exactly what pure SQL
-    can't express when the merge gets imperative; here it stays
-    SQL-expressible on purpose so the oracle can check the plumbing.
-    Users lacking either side are dropped in the function — mirroring
-    the oracle's inner join."""
+    Cogrouping on the raw user_id makes ONE Python call per user (1,500
+    calls x ~5 ms of per-group Arrow framing at sf0.1 — measured 8.5 s;
+    at 100 TB scale, billions of calls).  So the cogroup key is a HASH
+    BUCKET of the user instead: ~32 calls, each merging all of its
+    users vectorized (pandas merge + groupby inside the bucket).  Same
+    shuffle volume — rows move once keyed by user-hash either way — but
+    per-call overhead amortizes across the bucket; this is the shape
+    that keeps the cogrouped-map surface viable at scale.  The merge
+    logic stays SQL-expressible on purpose so the oracle can check the
+    plumbing; users lacking either side are dropped by the inner merge,
+    mirroring the oracle's inner join."""
     e = load(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
-    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(32)).alias("bucket")
+    clicks = e.filter(F.col("event_type") == "click").select(bucket, "user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        bucket, "user_id", "ts"
+    )
 
     def funnel(c: pd.DataFrame, p: pd.DataFrame) -> pd.DataFrame:
         if c.empty or p.empty:
             return pd.DataFrame(
-                {"user_id": [], "n_clicks_before": [], "first_purchase": []}
-            ).astype(
-                {"user_id": "int64", "n_clicks_before": "int64",
-                 "first_purchase": "datetime64[us]"}
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "n_clicks_before": pd.Series([], dtype="int64"),
+                    "first_purchase": pd.Series([], dtype="datetime64[us]"),
+                }
             )
-        first_p = p["ts"].min()
-        return pd.DataFrame(
-            {
-                "user_id": [int(c["user_id"].iloc[0])],
-                "n_clicks_before": [int((c["ts"] < first_p).sum())],
-                "first_purchase": [first_p],
-            }
+        fp = p.groupby("user_id", sort=False)["ts"].min().rename("first_purchase")
+        m = c.merge(fp, left_on="user_id", right_index=True)
+        m["before"] = (m["ts"] < m["first_purchase"]).astype("int64")
+        out = (
+            m.groupby("user_id", sort=False)
+            .agg(
+                n_clicks_before=("before", "sum"),
+                first_purchase=("first_purchase", "first"),
+            )
+            .reset_index()
         )
+        return out
 
     return (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bucket")
+        .cogroup(purchases.groupBy("bucket"))
         .applyInPandas(
             funnel,
             "user_id long, n_clicks_before long, first_purchase timestamp",

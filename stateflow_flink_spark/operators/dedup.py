@@ -329,10 +329,10 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     sig = F.expr(
         """
         aggregate(
-          transform(array_distinct(split(text, ' ')),
-                    t -> named_struct(
-                        'h1', cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),
-                        'h2', cast(conv(substring(md5(t), 9, 7), 16, 10) as bigint))),
+          transform(transform(array_distinct(split(text, ' ')), t -> md5(t)),
+                    m -> named_struct(
+                        'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
+                        'h2', cast(conv(substring(m, 9, 7), 16, 10) as bigint))),
           array_repeat(0, 60),
           (acc, h) -> zip_with(acc, sequence(0, 59),
                                (a, b) -> a + int(if(b < 32, shiftright(h.h1, b),

@@ -28,7 +28,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast, pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 from ..io import load
 from ..plans.registry import query
@@ -199,24 +205,42 @@ def _sparse_planes() -> tuple[np.ndarray, np.ndarray]:
     return idx, sgn
 
 
-@pandas_udf(ArrayType(DoubleType()))
-def lsh_proj(emb: pd.Series) -> pd.Series:
-    """All LSH_PLANES sparse projections per vector, Arrow-batched.
+@pandas_udf(
+    StructType(
+        [
+            StructField("proj", ArrayType(DoubleType())),
+            StructField("bk", ArrayType(LongType())),
+        ]
+    )
+)
+def lsh_features(emb: pd.Series) -> pd.DataFrame:
+    """All LSH_PLANES sparse projections AND the LSH_TABLES bucket ids
+    per vector, one Arrow-batched kernel.
 
     Float discipline: the sum over the LSH_NNZ terms is a SEQUENTIAL
     left fold in draw order (vectorized across rows, looped over k) —
     bit-identical to the JVM ``lsh_proj_expr`` fold and the oracle's
     ``LIST_REDUCE``, so bucket bits can never disagree cross-engine.
+
+    Buckets are folded here rather than with ``lsh_buckets_from_proj``
+    on the kernel's output because Catalyst re-inlines a projection-
+    level fold into every consumer — the 40-probe exists() filter would
+    re-run the 128-bit fold 40x per row (measured: 2.8 s for 500 rows);
+    behind the Python boundary both columns are materialized once.
     At 100 TB this is the map-side ingest stage that writes each
     table's bucket-partitioned layout."""
     idx, sgn = _sparse_planes()
     if len(emb) == 0:
-        return pd.Series([], dtype=object)
+        return pd.DataFrame({"proj": pd.Series([], dtype=object),
+                             "bk": pd.Series([], dtype=object)})
     x = np.stack(emb.to_numpy()).astype(np.float64)  # (n, DIM)
     out = np.zeros((len(x), LSH_PLANES))
     for k in range(LSH_NNZ):
         out = out + x[:, idx[:, k]] * sgn[:, k]
-    return pd.Series(list(out))
+    bits = (out > 0).reshape(len(x), LSH_TABLES, LSH_BITS).astype(np.int64)
+    weights = 1 << np.arange(LSH_BITS - 1, -1, -1)  # MSB-first
+    bk = bits @ weights
+    return pd.DataFrame({"proj": list(out), "bk": list(bk)})
 
 
 def lsh_proj_expr(emb: Column) -> Column:
@@ -377,9 +401,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_edgecases.py; see the module constants for the measured
     frontier on the isotropic fixtures."""
     e = load(spark, sf_dir, "embeddings").withColumn(
-        "proj", lsh_proj(F.col("embedding"))
+        "f", lsh_features(F.col("embedding"))
     )
-    e = e.withColumn("bk", lsh_buckets_from_proj(F.col("proj")))
+    e = e.select("vec_id", "label", "embedding", "f.proj", "f.bk")
     probe_row = e.filter(F.col("vec_id") == 0).select("proj", "bk").head()
     probe_pairs = _lsh_probe_plan(list(probe_row.proj), list(probe_row.bk))
     probes_lit = F.array(

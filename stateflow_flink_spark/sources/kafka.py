@@ -48,7 +48,8 @@ from pyspark.sql.types import (
 )
 
 from ..schemas import CLIENT, INTERNAL
-from .proto import envelope_struct, from_proto, to_proto
+from .proto import envelope_struct
+from .proto_native import from_proto_auto, to_proto_auto
 
 TOPIC_INTERNAL = "internal"
 TOPIC_CLIENT_REQUEST = "client_request"
@@ -125,9 +126,12 @@ def decode_frames(raw: DataFrame) -> DataFrame:
     Value-only deserialization like the reference
     (``setValueOnlyDeserializer``, StateFlowFlinkJob.java:53): the key
     is transport framing, not payload — event identity rides inside the
-    proto."""
+    proto.  Decode dispatches through the native-protobuf seam
+    (sources/proto_native.py): JVM ``from_protobuf`` under
+    ``SPARK_GRAFT_NATIVE_PROTO=1``, Arrow-batched pandas codec
+    otherwise."""
     return raw.select(
-        from_proto(F.col("value")).alias("e"), "topic", "partition", "offset"
+        from_proto_auto(F.col("value")).alias("e"), "topic", "partition", "offset"
     ).select("e.*", "topic", "partition", "offset")
 
 
@@ -138,7 +142,7 @@ def encode_frames(events: DataFrame, topic: str) -> DataFrame:
     producer framing of ``KafkaSerializeProto.java:24-30``."""
     return events.select(
         F.encode(F.col("event_id"), "utf-8").alias("key"),
-        to_proto(envelope_struct()).alias("value"),
+        to_proto_auto(envelope_struct()).alias("value"),
         F.lit(topic).alias("topic"),
     )
 

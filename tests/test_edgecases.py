@@ -235,16 +235,15 @@ def test_lsh_candidate_fraction(spark):
     from stateflow_flink_spark.io import load
     from stateflow_flink_spark.operators.similarity import (
         _lsh_probe_plan,
-        lsh_buckets_from_proj,
-        lsh_proj,
+        lsh_features,
     )
     from .conftest import SF_CORRECTNESS, SF_SMOKE
 
     for sf_dir in (SF_SMOKE, SF_CORRECTNESS):
         e = load(spark, sf_dir, "embeddings").withColumn(
-            "proj", lsh_proj(F.col("embedding"))
+            "f", lsh_features(F.col("embedding"))
         )
-        e = e.withColumn("bk", lsh_buckets_from_proj(F.col("proj"))).cache()
+        e = e.select("vec_id", "f.proj", "f.bk").cache()
         try:
             probe = e.filter(F.col("vec_id") == 0).select("proj", "bk").head()
             pairs = _lsh_probe_plan(list(probe.proj), list(probe.bk))
@@ -298,16 +297,17 @@ def test_approx_distinct_within_rsd_of_exact(spark):
 
 
 def test_lsh_proj_kernel_matches_expression_spelling(spark):
-    """The Arrow-batched projection kernel and the pure-JVM expression
-    spelling must produce BIT-IDENTICAL projections (both are the same
-    sequential left fold in plane draw order; only execution strategy
-    differs) — this is what guarantees the SQL oracle's LIST_REDUCE
-    assigns the same buckets."""
+    """The Arrow-batched kernel and the pure-JVM expression spelling
+    must produce BIT-IDENTICAL projections and buckets (both are the
+    same sequential left fold in plane draw order; only execution
+    strategy differs) — this is what guarantees the SQL oracle's
+    LIST_REDUCE assigns the same buckets."""
     from pyspark.sql import functions as F
 
     from stateflow_flink_spark.io import load
     from stateflow_flink_spark.operators.similarity import (
-        lsh_proj,
+        lsh_buckets_from_proj,
+        lsh_features,
         lsh_proj_expr,
     )
     from .conftest import SF_CORRECTNESS
@@ -315,9 +315,16 @@ def test_lsh_proj_kernel_matches_expression_spelling(spark):
     e = load(spark, SF_CORRECTNESS, "embeddings")
     both = e.select(
         "vec_id",
-        lsh_proj(F.col("embedding")).alias("udf"),
-        lsh_proj_expr(F.col("embedding")).alias("expr"),
+        lsh_features(F.col("embedding")).alias("f"),
+        lsh_proj_expr(F.col("embedding")).alias("eproj"),
+    ).select(
+        "vec_id",
+        "f.proj",
+        "f.bk",
+        "eproj",
+        lsh_buckets_from_proj(F.col("eproj")).alias("ebk"),
     ).collect()
     assert len(both) > 0
     for r in both:
-        assert list(r.udf) == list(r.expr), r.vec_id
+        assert list(r.proj) == list(r.eproj), r.vec_id
+        assert list(r.bk) == list(r.ebk), r.vec_id

