@@ -75,6 +75,7 @@ def load_all_modules() -> None:
         reshape,
         text,
         subqueries,
+        tpch,
         aggregates,
         joins,
         merge,
