@@ -244,3 +244,57 @@ def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_kept").cast("double") / F.col("n_total")).alias("kept_ratio"),
         )
     )
+
+
+from ..numerics import sql_sum as _sql_sum
+
+MIX_ALPHA_NOTE = "weights ∝ sqrt(domain token count), normalized"
+
+
+@query(
+    "q_mix_weights",
+    f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(ROUND(SQRT(n_tokens), 6) /
+                 (SELECT {_sql_sum("w")} FROM
+                    (SELECT ROUND(SQRT(n_tokens), 6) AS w FROM s)),
+                 6) AS weight
+    FROM s
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights for training-data sampling: per source,
+    weight ∝ sqrt(token count) (a standard temperature=0.5 rebalance —
+    big domains damped, small domains boosted), normalized to sum 1.
+
+    Cross-engine float discipline: sqrt of an exact integer is
+    correctly rounded (IEEE) in both engines, the per-domain roots are
+    rounded to 6 dp, and the normalizer sums THOSE via the
+    scaled-integer exact sum — so the final division has bit-identical
+    operands on both sides.  Shape: one token-count aggregate (the only
+    corpus-sized shuffle), then arithmetic over a domains-sized frame
+    with a broadcast scalar."""
+    from ..numerics import exact_sum
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = F.round(F.sqrt(F.col("n_tokens")), 6)
+    total = s.select(w.alias("w")).agg(exact_sum("w").alias("total"))
+    return (
+        s.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(w / F.col("total"), 6).alias("weight"),
+        )
+    )

@@ -249,3 +249,133 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         (exact_sum("q") / F.count(F.lit(1))).alias("avg_quality"),
         F.sum(F.size(tokens(F.col("text"))).cast("long")).alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators: chunking + vocabulary coverage
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "q_chunk_documents",
+    f"""
+    WITH d AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
+               LEN(STRING_SPLIT(text, ' ')) AS n
+        FROM documents
+    ),
+    counted AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n <= {CHUNK_TOKENS} THEN 1
+                    ELSE CAST(CEIL((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) AS INT) + 1
+               END AS n_chunks
+        FROM d
+    )
+    SELECT doc_id, CAST(c.i AS INT) AS chunk_id,
+           CAST(c.i * {CHUNK_STRIDE} AS INT) AS chunk_start,
+           CAST(LEN(toks[c.i * {CHUNK_STRIDE} + 1 : c.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}])
+                AS INT) AS n_tokens,
+           ARRAY_TO_STRING(
+               toks[c.i * {CHUNK_STRIDE} + 1 : c.i * {CHUNK_STRIDE} + {CHUNK_TOKENS}],
+               ' ') AS chunk_text
+    FROM counted, UNNEST(RANGE(0, n_chunks)) AS c(i)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the pre-tokenization step of a
+    training pipeline: every document becomes ceil((n-C)/S)+1 chunks of
+    up to CHUNK_TOKENS tokens at CHUNK_STRIDE spacing (overlap keeps
+    boundary context).
+
+    Pure projection + explode: tokenize once, derive the chunk count
+    arithmetically, explode a `sequence` and `slice` the shared token
+    array — no shuffle at all, the chunk rows stream straight out of
+    the scan.  At 100 TB this is the shape that matters: chunking must
+    not cost a shuffle, and here the plan is scan -> generate -> project."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+    counted = base.withColumn(
+        "n_chunks",
+        F.when(F.col("n") <= CHUNK_TOKENS, F.lit(1)).otherwise(
+            F.ceil((F.col("n") - CHUNK_TOKENS) / float(CHUNK_STRIDE)).cast("int") + 1
+        ),
+    )
+    exploded = counted.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("toks"), F.col("chunk_id") * CHUNK_STRIDE + 1, F.lit(CHUNK_TOKENS)
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * CHUNK_STRIDE).cast("int").alias("chunk_start"),
+        F.size(piece).cast("int").alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+VOCAB_TOP = 50
+
+
+@query(
+    "q_vocab_coverage",
+    f"""
+    WITH counts AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    ),
+    ranked AS (
+        SELECT token, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) AS INT) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, token ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT SUM(n) FROM counts) AS total
+        FROM counts
+    )
+    SELECT token, n, rank, ROUND(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+    FROM ranked WHERE rank <= {VOCAB_TOP}
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction with coverage curve: the top-{VOCAB_TOP}
+    tokens by corpus frequency and the cumulative fraction of all token
+    occurrences a vocabulary truncated at each rank would cover — the
+    statistic that sizes a tokenizer vocab.
+
+    Integer counts cumsum exactly (no float drift), and the single
+    division per row is identical in both engines.  Shape: explode ->
+    partial-agg token counts (one shuffle), then a global rank over the
+    DISTINCT-TOKEN table — orders of magnitude smaller than the corpus,
+    which is what makes a global window affordable here (and plan-gated
+    nowhere else)."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .withColumn("cum", F.sum("n").over(cum_w))
+        .filter(F.col("rank") <= VOCAB_TOP)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            "n",
+            "rank",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "cum_share"
+            ),
+        )
+    )

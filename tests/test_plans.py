@@ -235,3 +235,42 @@ def test_merge_upsert_aggregates_source_before_join(spark):
     plan = plan_of(QUERIES["q_merge_upsert"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q21_plans_semi_and_anti_self_joins(spark):
+    """Q21's EXISTS/NOT-EXISTS double correlation must decorrelate into
+    a left-semi plus a left-anti join — never a per-row subquery."""
+    plan = plan_of(QUERIES["q_tpch_q21"](spark, SF_SMOKE))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q17_decorrelates_scalar_subqueries(spark):
+    """Q17's two correlated scalar subqueries over the same grouping key
+    must decorrelate into aggregate joins (one aggregated subtree),
+    not row-at-a-time re-execution."""
+    plan = plan_of(QUERIES["q_tpch_q17"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_plans_anti_join_with_date_pruning(spark):
+    """Q22's NOT EXISTS must become a left-anti join and the orders-side
+    date filter must reach the parquet scan."""
+    plan = plan_of(QUERIES["q_tpch_q22"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_tpch_q7_broadcasts_dims_no_cartesian(spark):
+    plan = plan_of(QUERIES["q_tpch_q7"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q2_single_partition_shuffle_for_window(spark):
+    """Q2's per-part ROW_NUMBER must partition by p_partkey — a Window
+    over a hash exchange, not a single-partition global sort."""
+    plan = plan_of(QUERIES["q_tpch_q2"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
