@@ -248,3 +248,45 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("l_quantity", 0.9).alias("p90_qty"),
         F.percentile("l_extendedprice", 0.5).alias("p50_price"),
     )
+
+
+@query(
+    "q_agg_approx_quantile",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS median_within_tol
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) — the mergeable
+    quantile estimator that replaces exact percentiles at 100 TB (exact
+    needs a per-group sort; GK merges partial sketches map-side).
+
+    Same oracle pattern as q_agg_approx: the raw estimate is
+    engine-specific, so the checkable output is the INVARIANT — the
+    estimate's rank must sit within the sketch's guaranteed error of
+    the true median rank (accuracy=10000 → rank error <= n/10000 + 1).
+    One extra pass counts rows at or below the estimate to measure its
+    true rank."""
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    est = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
+    )
+    return (
+        li.join(F.broadcast(est), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (
+                F.abs(
+                    F.sum(
+                        F.when(F.col("l_extendedprice") <= F.col("m"), 1).otherwise(0)
+                    )
+                    - (F.count(F.lit(1)) / 2)
+                )
+                <= (F.count(F.lit(1)) / 10000 + 1)
+            ).alias("median_within_tol"),
+        )
+    )

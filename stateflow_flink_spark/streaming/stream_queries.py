@@ -211,3 +211,139 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     return spark.table("sfs_stream_stream_join")
+
+
+@query(
+    "q_stream_foreach_batch",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def q_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch idempotent sink — THE production exactly-once
+    pattern for sinks Structured Streaming has no transactional writer
+    for: each micro-batch lands in its own ``batch=<id>/`` directory
+    with ``overwrite`` mode, so a replayed batch (failure between sink
+    commit and checkpoint commit) OVERWRITES its own directory instead
+    of duplicating rows; end-to-end counts come out exactly-once.
+
+    The read-back aggregate asserts exactly that: n_events and
+    n_distinct per type must equal the batch truth (the oracle).  At
+    100 TB the same layout doubles as ingestion-time partitioning —
+    downstream readers prune by batch directory."""
+    import shutil
+    import tempfile
+
+    stream, stage = stream_events_dir(spark, sf_dir)
+    out = tempfile.mkdtemp(prefix="sfs_fb_sink_")
+
+    def write_batch(df: DataFrame, batch_id: int) -> None:
+        # idempotence = per-batch directory + overwrite: replaying batch
+        # N rewrites batch=N, never appends beside it
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sfs_fb_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    sunk = spark.read.option("basePath", out).parquet(f"{out}/batch=*")
+    return sunk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+@query(
+    "q_rollup_incremental",
+    """
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           (CAST(SUM(CAST(value * 1000000 AS DECIMAL(38,0))) AS DOUBLE)
+            / 1000000) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained rollup (continuous aggregate): each
+    micro-batch aggregates its DELTA and merges it into a versioned
+    rollup table inside foreachBatch — the hypertable-rollup pattern
+    for keeping an hourly aggregate fresh without ever re-scanning
+    history.
+
+    Mergeability discipline: the rollup stores SCALED INTEGER partial
+    sums (decimal), so merging batch partials is exact integer addition
+    — the final double conversion happens once at read time, making the
+    result independent of how the stream was split into batches (and
+    bit-identical to the batch oracle).  Each merge writes version
+    directory v<batch_id> from v<batch_id-1> (full-outer merge on the
+    group key), so a replayed batch regenerates its version
+    idempotently instead of double-counting — same recovery contract as
+    the foreachBatch sink."""
+    import shutil
+    import tempfile
+
+    stream, stage = stream_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="sfs_rollup_")
+    latest: dict[str, str] = {}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        delta = (
+            batch_df.groupBy(
+                F.date_trunc("hour", F.col("ts")).alias("hour"),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(
+                    (F.col("value") * 1_000_000).cast("decimal(38,0)")
+                ).alias("sum_scaled"),
+            )
+        )
+        prev_dir = latest.get("dir")
+        if prev_dir is not None:
+            prev = batch_df.sparkSession.read.parquet(prev_dir)
+            merged = (
+                prev.alias("p")
+                .join(delta.alias("d"), ["hour", "event_type"], "full_outer")
+                .select(
+                    "hour",
+                    "event_type",
+                    (
+                        F.coalesce(F.col("p.n_events"), F.lit(0))
+                        + F.coalesce(F.col("d.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    (
+                        F.coalesce(F.col("p.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
+                        + F.coalesce(F.col("d.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
+                    ).cast("decimal(38,0)").alias("sum_scaled"),
+                )
+            )
+        else:
+            merged = delta
+        out = f"{root}/v{batch_id}"
+        merged.write.mode("overwrite").parquet(out)
+        latest["dir"] = out
+
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="sfs_rollup_ckpt_"))
+            .start()
+        )
+        q.awaitTermination()
+    shutil.rmtree(stage, ignore_errors=True)
+    rolled = spark.read.parquet(latest["dir"])
+    return rolled.select(
+        "hour",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        (F.col("sum_scaled").cast("double") / 1_000_000).alias("sum_value"),
+    )

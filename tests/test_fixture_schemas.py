@@ -33,3 +33,45 @@ def test_loaded_schema_matches_declared(spark, name):
             f"got {got_types}, declared {want_types}. Fix io.load/schemas.py "
             f"in ONE place; do not chase downstream failures."
         )
+
+
+def test_events_loader_handles_both_physical_eras(spark, tmp_path):
+    """Fixture generations have shipped events.ts as TIMESTAMP(NANOS)
+    (round 1) and TIMESTAMP(MICROS) (round 2+).  The loader must
+    normalize BOTH to TimestampType with identical values — this is the
+    regression test for the io.load footer branch, using synthetic
+    parquet so it keeps covering the era the live fixtures no longer
+    exercise."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from stateflow_flink_spark.io import load as io_load
+
+    base = dt.datetime(2020, 1, 1, 12, 0, 0, 123456)
+    rows = {
+        "event_id": [1, 2],
+        "user_id": [10, 20],
+        "event_type": ["click", "purchase"],
+        "value": [1.5, 2.5],
+        "props": ["{}", "{}"],
+    }
+    for unit in ("ns", "us"):
+        d = tmp_path / f"era_{unit}"
+        d.mkdir()
+        table = pa.table(
+            {
+                "event_id": pa.array(rows["event_id"], pa.int64()),
+                "ts": pa.array([base, base], pa.timestamp(unit)),
+                "user_id": pa.array(rows["user_id"], pa.int64()),
+                "event_type": pa.array(rows["event_type"]),
+                "value": pa.array(rows["value"], pa.float64()),
+                "props": pa.array(rows["props"]),
+            }
+        )
+        pq.write_table(table, str(d / "events.parquet"))
+        df = io_load(spark, str(d), "events")
+        assert df.schema["ts"].dataType.simpleString() == "timestamp", unit
+        got = sorted(r.ts for r in df.select("ts").collect())
+        assert got[0].replace(tzinfo=None) == base, (unit, got)
