@@ -281,15 +281,28 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums (decimal), so merging batch partials is exact integer addition
     — the final double conversion happens once at read time, making the
     result independent of how the stream was split into batches (and
-    bit-identical to the batch oracle).  Each merge writes version
-    directory v<batch_id> from v<batch_id-1> (full-outer merge on the
-    group key), so a replayed batch regenerates its version
-    idempotently instead of double-counting — same recovery contract as
-    the foreachBatch sink."""
+    bit-identical to the batch oracle; tests/test_streaming.py forces a
+    4-way batch split and asserts equality with the single-batch run).
+    Each merge writes version directory v<batch_id> from v<batch_id-1>
+    (full-outer merge on the group key), so a replayed batch
+    regenerates its version idempotently instead of double-counting —
+    same recovery contract as the foreachBatch sink."""
     import shutil
-    import tempfile
 
     stream, stage = stream_events_dir(spark, sf_dir)
+    try:
+        return run_incremental_rollup(spark, stream)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_incremental_rollup(spark: SparkSession, stream: DataFrame) -> DataFrame:
+    """Drive the versioned-merge rollup over any events stream (ts,
+    event_type, value) — see q_rollup_incremental for the contract.
+    Exposed separately so tests can feed a deliberately multi-batch
+    source (maxFilesPerTrigger) through the merge path."""
+    import tempfile
+
     root = tempfile.mkdtemp(prefix="sfs_rollup_")
     latest: dict[str, str] = {}
 
@@ -339,7 +352,6 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    shutil.rmtree(stage, ignore_errors=True)
     rolled = spark.read.parquet(latest["dir"])
     return rolled.select(
         "hour",

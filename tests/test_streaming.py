@@ -266,3 +266,47 @@ def test_flow_iteration_cache_is_bounded(spark):
     assert out.count() > 0
     after = spark.sparkContext._jsc.getPersistentRDDs().size()
     assert after <= before
+
+
+def test_incremental_rollup_is_batch_split_independent(spark, tmp_path):
+    """The versioned-merge rollup must produce IDENTICAL results (to the
+    bit, for the exact-integer partial sums) whether the stream arrives
+    as one micro-batch or four — the mergeability contract that lets a
+    continuous aggregate survive arbitrary batch boundaries."""
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.streaming.stream_queries import (
+        run_incremental_rollup,
+    )
+    from .conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    staged = str(tmp_path / "staged")
+    events.repartition(4).write.parquet(staged)
+
+    def stream(max_files):
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(staged)
+        )
+
+    multi = run_incremental_rollup(spark, stream(1)).orderBy("hour", "event_type")
+    single = run_incremental_rollup(spark, stream(100)).orderBy("hour", "event_type")
+    m_rows = [tuple(r) for r in multi.collect()]
+    s_rows = [tuple(r) for r in single.collect()]
+    assert m_rows == s_rows and len(m_rows) > 0
+    # and both equal the plain batch aggregate (exact-sum spelling)
+    batch = (
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum((F.col("value") * 1_000_000).cast("decimal(38,0)"))
+                .cast("double") / 1_000_000
+            ).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+    assert m_rows == [tuple(r) for r in batch.collect()]
