@@ -308,16 +308,32 @@ _SIMHASH_COMBOS = [
 ]  # C(6,3) = 20
 
 
+# Per-token md5-derived hash halves, shared by the kernel and the pure
+# JVM fold: h1 = md5 hex chars 1-8 (bits 0..31), h2 = chars 9-15
+# (bits 32..59).
+_TOKEN_HASHES = """
+    transform(transform(array_distinct(split(text, ' ')), t -> md5(t)),
+              m -> named_struct(
+                  'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
+                  'h2', cast(conv(substring(m, 9, 7), 16, 10) as bigint)))
+"""
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per doc — per-bit majority over distinct tokens,
     token bits 0..31 from md5 hex chars 1-8, bits 32..59 from chars 9-15.
 
     SimHash is doc-local, so it is a pure PROJECTION: tokenize, hash
-    each distinct token, accumulate a 60-wide ±1 bit-count vector with
-    aggregate/zip_with, and fold the sign bits into one long inside the
-    aggregate's `finish` lambda.  Zero shuffle — the signature build
-    rides the parquet scan; the explode+groupBy alternative shuffles
-    every token of the corpus first (~200x the signature bytes).
+    each distinct token (md5 + conv, whole-stage codegen), accumulate a
+    60-wide ±1 bit-count vector with aggregate/zip_with, and fold the
+    sign bits into one long inside the aggregate's `finish` lambda.
+    Zero shuffle — the signature build rides the parquet scan; the
+    explode+groupBy alternative shuffles every token of the corpus
+    first (~200x the signature bytes).  (An Arrow-batched numpy voting
+    kernel was benchmarked against this fold at sf0.1 and LOST — 0.7 s
+    vs 0.4 s — the per-batch Arrow framing outweighs the lambda
+    interpretation at realistic tokens/doc, so the no-Python spelling
+    is primary.)
 
     Written as SQL lambdas over `sequence(0, 59)` rather than 60
     unrolled Python-built terms: the loop form compiles to ~100 bytes
@@ -327,12 +343,9 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     re-inlining the upstream aggregate (the Catalyst CollapseProject
     gotcha)."""
     sig = F.expr(
-        """
+        f"""
         aggregate(
-          transform(transform(array_distinct(split(text, ' ')), t -> md5(t)),
-                    m -> named_struct(
-                        'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
-                        'h2', cast(conv(substring(m, 9, 7), 16, 10) as bigint))),
+          {_TOKEN_HASHES},
           array_repeat(0, 60),
           (acc, h) -> zip_with(acc, sequence(0, 59),
                                (a, b) -> a + int(if(b < 32, shiftright(h.h1, b),

@@ -328,3 +328,19 @@ def test_lsh_proj_kernel_matches_expression_spelling(spark):
     for r in both:
         assert list(r.proj) == list(r.eproj), r.vec_id
         assert list(r.bk) == list(r.ebk), r.vec_id
+
+
+def test_simhash_signature_edge_docs(spark):
+    """Edge documents (empty text, one token, repeated tokens) must
+    produce valid 60-bit signatures without error — and repeated tokens
+    must not outvote distinct ones (array_distinct before hashing)."""
+    from stateflow_flink_spark.operators.dedup import simhash_signatures
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "a a a b"), (4, "a b"), (5, "x y")],
+        "doc_id long, text string",
+    )
+    sigs = {r.doc_id: r.sig for r in simhash_signatures(edge).collect()}
+    assert all(0 <= s < (1 << 60) for s in sigs.values())
+    # 'a a a b' hashes the same distinct token set as 'a b'
+    assert sigs[3] == sigs[4]
