@@ -274,3 +274,52 @@ def test_tpch_q2_single_partition_shuffle_for_window(spark):
     plan = plan_of(QUERIES["q_tpch_q2"](spark, SF_SMOKE))
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """100 TB posture: a pathologically skewed join key must trigger
+    AQE's skew-join split (the runtime answer to hot keys) — asserted
+    on the ADAPTIVE final plan's skew marker, with thresholds lowered
+    so fixture-scale data exhibits the behavior."""
+    from pyspark.sql import functions as F
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+
+        # left: one hot key carrying ~all rows + a tail of singletons;
+        # right: exactly one row per key (fact ⋈ dim shape, so the join
+        # output stays fact-sized and the skew lives in one partition)
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") < 50000, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.rand(42).alias("x"),
+        )
+        right = spark.range(0, 60000).select(
+            F.col("id").alias("k"), F.rand(7).alias("y")
+        )
+        joined = left.join(right, "k").select("k", "x", "y")
+        rows = joined.collect()  # materialize THIS DataFrame's execution
+        assert len(rows) == 60000
+        # the executed (final) adaptive plan carries the skew markers;
+        # a fresh explain() would re-plan without runtime stats
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
