@@ -288,7 +288,17 @@ def _lsh_probe_plan(proj: list[float], buckets: list[int]) -> list[tuple[int, in
     projections — ~600 tuples, no corpus data.  Margins are sums of the
     same doubles both engines computed, ties broken on (margin, table,
     bucket), so the oracle's ``ORDER BY ... LIMIT`` picks the identical
-    probe set."""
+    probe set.
+
+    Deliberately NOT in-plan: an all-JVM spelling (explode the 37
+    flip-structs per table from the one probe row, orderBy+limit,
+    collect_list, broadcast back) was built and benchmarked — 13 s cold
+    / 2-3 s warm vs 1.3 s for this version, because Janino compiles a
+    ~600-struct expression tree and the non-literal probe array blocks
+    the cheap literal-codegen of the exists() filter.  A 40-int literal
+    produced by one driver-side head() on a pruned single-row scan is
+    the right trade at every scale (the probe row never exceeds 128
+    doubles)."""
     entries: list[tuple[float, int, int]] = []
     for t in range(LSH_TABLES):
         b = buckets[t]
@@ -390,8 +400,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     through a shuffle join + dropDuplicates — 37x slower than the brute
     force it approximates; this one is shuffle-free until the final
     top-k): one Arrow-batched projection pass over the corpus, a
-    driver-side probe plan over the query vector's 128 doubles, then a
-    single codegen filter `exists(probes, p -> bk[p.t] = p.bucket)`
+    driver-side probe plan over the query vector's 128 doubles (see
+    ``_lsh_probe_plan`` for why in-plan planning measured slower), then
+    a single codegen filter `exists(probes, p -> bk[p.t] = p.bucket)`
     against a 40-element literal and TakeOrderedAndProject for the
     top-10.  At 100 TB the projections are materialized at ingest and
     each table stored bucket-partitioned, so the same probe plan prunes
