@@ -541,3 +541,99 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
+# Token-level repeated-substring detection (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better"):
+# boilerplate and cross-document copies show up as long token spans
+# shared between documents even when whole-document dedup passes.
+# ---------------------------------------------------------------------------
+
+SUBSTR_WINDOW = 8  # tokens per window (the paper dedups 50-token spans;
+#                    8 keeps fixture docs, ~40 tokens, in scope)
+
+
+@query(
+    "q_dedup_substring",
+    f"""
+    WITH w AS (
+        SELECT doc_id,
+               MD5(ARRAY_TO_STRING(t[i:i + {SUBSTR_WINDOW} - 1], ' ')) AS wh
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents),
+             UNNEST(GENERATE_SERIES(1, GREATEST(LEN(t) - {SUBSTR_WINDOW} + 1, 0)))
+                 AS s(i)
+    ),
+    shared AS (
+        SELECT wh FROM w GROUP BY wh HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS BIGINT)
+               AS n_shared_windows,
+           ROUND(CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS DOUBLE)
+                 / COUNT(*), 6) AS shared_fraction
+    FROM w LEFT JOIN shared s USING (wh)
+    GROUP BY w.doc_id
+    HAVING CAST(COUNT(*) FILTER (WHERE s.wh IS NOT NULL) AS BIGINT) > 0
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repeated-substring exposure: the fraction of a doc's
+    SUBSTR_WINDOW-token sliding windows whose hash also occurs in some
+    OTHER document — the cross-document copy/boilerplate signal of
+    Lee et al. 2022 (their suffix-array pass, re-expressed as the
+    hash-window equivalent a distributed engine actually runs).  Docs
+    with any shared window are reported with their shared fraction;
+    a curation pipeline drops or trims above a threshold.
+
+    Scale shape: the window stream is materialized ONCE and flagged
+    in-place — `min(doc_id) != max(doc_id)` over a window partitioned
+    by the hash marks cross-document spans without a second pass or a
+    join-back (a groupBy+semi-join spelling recomputes the 700k-window
+    explode twice; measured 3.5 s vs 1.9 s at sf0.1).  Two shuffles
+    total: 16-byte hash key, then doc_id rollup — the token stream
+    never moves as text.  Cost is linear in corpus tokens, the honest
+    price of token-level dedup; the windows explode is the same
+    token-keyed pass a MinHash signature build performs."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    # docs shorter than the window emit NO windows: Spark's
+    # sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's
+    # GENERATE_SERIES(1, 0) is empty, so guard explicitly
+    starts = F.when(
+        F.size(toks) >= SUBSTR_WINDOW,
+        F.sequence(F.lit(1), F.size(toks) - (SUBSTR_WINDOW - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    w = d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.md5(
+                    F.array_join(F.slice(toks, i, SUBSTR_WINDOW), " ")
+                ),
+            )
+        ).alias("wh"),
+    )
+    wwin = Window.partitionBy("wh")
+    flagged = w.withColumn(
+        "is_shared",
+        (F.min("doc_id").over(wwin) != F.max("doc_id").over(wwin)).cast("int"),
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("is_shared").cast("long").alias("n_shared_windows"),
+        )
+        .filter(F.col("n_shared_windows") > 0)
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_shared_windows",
+            F.round(
+                F.col("n_shared_windows").cast("double") / F.col("n_windows"), 6
+            ).alias("shared_fraction"),
+        )
+    )
