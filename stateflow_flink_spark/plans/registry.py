@@ -94,6 +94,7 @@ def load_all_modules() -> None:
     # tier 2 — heavier batch suites (candidate joins, block-GEMM, ANN)
     from ..operators import (  # noqa: F401
         dedup,
+        regression,
         similarity,
     )
     # tier 3 — streaming queries (micro-batch + state-store startup cost)
