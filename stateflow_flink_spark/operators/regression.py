@@ -90,7 +90,7 @@ def _gd_step(base: DataFrame, w_df: DataFrame) -> DataFrame:
     )
 
 
-_GD_ORACLE = f"""
+_GD_CTES = f"""
     WITH emb AS (
         SELECT vec_id, embedding::DOUBLE[] || [1.0] AS x,
                CAST(label AS DOUBLE) AS y
@@ -122,12 +122,34 @@ _GD_ORACLE = f"""
         SELECT t.j, SUM(CAST(ROUND(r * x[t.j] * {_Q}) AS BIGINT)) AS s
         FROM r2, UNNEST(RANGE(1, {N_DIMS} + 1)) AS t(j)
         GROUP BY t.j
+    ),
+    w2 AS (
+        SELECT w1.j, w1.wj - {GD_LR} * (CAST(g2.s AS DOUBLE)
+                                        / (CAST(cnt.n AS DOUBLE) * {_Q})) AS wj
+        FROM w1 JOIN g2 ON g2.j = w1.j, cnt
     )
-    SELECT CAST(w1.j - 1 AS INT) AS dim,
-           ROUND(w1.wj - {GD_LR} * (CAST(g2.s AS DOUBLE)
-                                    / (CAST(cnt.n AS DOUBLE) * {_Q})), 6)
-               AS weight
-    FROM w1 JOIN g2 ON g2.j = w1.j, cnt
+"""
+
+_GD_ORACLE = f"""
+    {_GD_CTES}
+    SELECT CAST(j - 1 AS INT) AS dim, ROUND(wj, 6) AS weight FROM w2
+"""
+
+_GD_EVAL_ORACLE = f"""
+    {_GD_CTES},
+    w2l AS (SELECT LIST(wj ORDER BY j) AS w FROM w2),
+    resid AS (
+        SELECT LIST_REDUCE(LIST_TRANSFORM(RANGE(1, {N_DIMS} + 1),
+                                          k -> x[k] * w[k]),
+                           (a, b) -> a + b) - y AS r
+        FROM emb, w2l
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CAST(ROUND(r * r * {_Q}) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * {_Q}), 6) AS mse,
+           ROUND(CAST(SUM(CAST(ROUND(ABS(r) * {_Q}) AS BIGINT)) AS DOUBLE)
+                 / (COUNT(*) * {_Q}), 6) AS mae
+    FROM resid
 """
 
 
@@ -149,6 +171,14 @@ def q_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated (dim)-keyed shuffle of 65 integer partial sums
     per partition, one 65-row update — no parameter server, no driver
     round-trip, weights remain a one-row DataFrame."""
+    _, w_df = _train(spark, sf_dir)
+    return w_df.select(
+        F.posexplode(F.col("w")).alias("dim", "weight")
+    ).select("dim", F.round("weight", 6).alias("weight"))
+
+
+def _train(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(base rows, trained one-row weights DF) after GD_ITERS steps."""
     e = load(spark, sf_dir, "embeddings")
     base = e.select(
         F.concat(
@@ -164,6 +194,33 @@ def q_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(GD_ITERS):
         w_df = _gd_step(base, w_df)
-    return w_df.select(
-        F.posexplode(F.col("w")).alias("dim", "weight")
-    ).select("dim", F.round("weight", 6).alias("weight"))
+    return base, w_df
+
+
+@query("q_regression_eval", _GD_EVAL_ORACLE)
+def q_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-set evaluation of the GD model: MSE and MAE of the trained
+    weights over the corpus — the metrics pass every training pipeline
+    runs after fitting.  Residuals fold against the broadcast weights
+    exactly as in training; both error sums are quantized to exact
+    integers before aggregation (|r| and r² are per-row IEEE ops both
+    engines agree on), so the metrics hash-match the oracle's unrolled
+    CTE twin to 6 dp.  One extra corpus pass, one scalar row out."""
+    base, w_df = _train(spark, sf_dir)
+    j = base.crossJoin(broadcast(w_df.select("w")))
+    r = (_dot_fold(F.col("x"), F.col("w")) - F.col("y")).alias("r")
+    resid = j.select(r)
+    return resid.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.sum(F.round(F.col("r") * F.col("r") * 1_000_000.0).cast("long"))
+            .cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0),
+            6,
+        ).alias("mse"),
+        F.round(
+            F.sum(F.round(F.abs("r") * 1_000_000.0).cast("long")).cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0),
+            6,
+        ).alias("mae"),
+    )
