@@ -612,6 +612,108 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_PROBES = 4  # probe vectors answered together
+BATCH_TOP_K = 5
+
+
+_IVF_BATCH_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT emb.vec_id, cents.cent_id,
+               ROUND(list_cosine_similarity(emb.e, cents.ce), 6) AS cs
+        FROM emb CROSS JOIN cents
+    ),
+    ranked AS (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id ASC) AS rn
+        FROM scored
+    ),
+    assigned AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    probe_cells AS (
+        SELECT vec_id AS probe_id, cent_id
+        FROM ranked WHERE vec_id < {N_BATCH_PROBES} AND rn <= {N_PROBE_CELLS}
+    ),
+    cands AS (
+        SELECT pc.probe_id, a.vec_id
+        FROM assigned a JOIN probe_cells pc USING (cent_id)
+        WHERE a.vec_id <> pc.probe_id
+    ),
+    hits AS (
+        SELECT c.probe_id, c.vec_id, e.label,
+               ROUND(list_cosine_similarity(e.e, q.e), 6) AS cos_sim
+        FROM cands c
+        JOIN emb e ON e.vec_id = c.vec_id
+        JOIN emb q ON q.vec_id = c.probe_id
+    )
+    SELECT probe_id, vec_id, label, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) AS rk
+          FROM hits)
+    WHERE rk <= {BATCH_TOP_K}
+"""
+
+
+@query("q_sim_ann_batch", _IVF_BATCH_ORACLE)
+def q_sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED ANN serving over the IVF index: N_BATCH_PROBES query
+    vectors answered in ONE corpus pass — the shape a retrieval service
+    actually runs (per-query passes would rescan the corpus per
+    request).
+
+    The cell assignment is computed once and shared; each probe selects
+    its N_PROBE_CELLS nearest cells, the (probe, cell) pairs broadcast
+    into the assigned corpus, and a per-probe window takes the top-k.
+    At 100 TB the assignment is the materialized `cent_id`-partitioned
+    table, so a probe batch reads the UNION of its probes' cells once —
+    shared scans amortize across the batch, which is why batching is
+    the unit of ANN serving.  Same rounding/tie discipline as
+    q_sim_ann_ivf, so the whole batch hash-checks against the oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    scored = e.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "embedding",
+        "cent_id",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "label", "embedding", "cent_id"
+    )
+    probe_cells = (
+        ranked.filter(
+            (F.col("vec_id") < N_BATCH_PROBES) & (F.col("rn") <= N_PROBE_CELLS)
+        )
+        .select(F.col("vec_id").alias("probe_id"), "cent_id")
+    )
+    probes = e.filter(F.col("vec_id") < N_BATCH_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("qe")
+    )
+    cands = (
+        assigned.join(broadcast(probe_cells), "cent_id")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .join(broadcast(probes), "probe_id")
+    )
+    hits = cands.select(
+        "probe_id",
+        "vec_id",
+        "label",
+        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+    )
+    topw = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        hits.withColumn("rk", F.row_number().over(topw))
+        .filter(F.col("rk") <= BATCH_TOP_K)
+        .select("probe_id", "vec_id", "label", "cos_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # K-means clustering (Lloyd iterations) — the IVF trainer
 # ---------------------------------------------------------------------------
