@@ -75,3 +75,22 @@ def test_events_loader_handles_both_physical_eras(spark, tmp_path):
         assert df.schema["ts"].dataType.simpleString() == "timestamp", unit
         got = sorted(r.ts for r in df.select("ts").collect())
         assert got[0].replace(tzinfo=None) == base, (unit, got)
+
+
+def test_bench_artifact_matches_registry():
+    """The committed BENCH.json must cover EXACTLY the registered query
+    surface with no error sentinels — catches the 'added a query,
+    forgot to refresh the bench artifact' drift (and the reverse)."""
+    import json
+    import pathlib
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    bench = json.loads(
+        (pathlib.Path(__file__).resolve().parent.parent / "BENCH.json").read_text()
+    )
+    assert sorted(bench["queries"]) == sorted(QUERIES)
+    bad = {k: v for k, v in bench["queries"].items() if not v > 0}
+    assert not bad, f"error/zero timings committed: {bad}"
+    assert bench["sf"] == 0.1
