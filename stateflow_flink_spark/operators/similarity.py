@@ -848,3 +848,42 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cent_id").alias("cluster"),
         F.round("d", 6).alias("dist"),
     )
+
+
+def _knn_eval_oracle() -> str:
+    """Confusion cells for the kNN classifier, reusing the q_knn_label
+    oracle verbatim as a CTE — prediction logic is defined once."""
+    from ..plans.registry import ORACLE
+
+    return f"""
+    WITH pred AS ({ORACLE["q_knn_label"]})
+    SELECT e.label AS true_label, p.pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes
+    FROM pred p JOIN embeddings e ON e.vec_id = p.probe_id
+    GROUP BY e.label, p.pred_label
+    """
+
+
+@query("q_knn_eval", None)  # oracle attached below (needs q_knn_label registered)
+def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion cells (true label x predicted
+    label) for the kNN classifier's probes — the metrics pass after any
+    labeling job, sibling of q_regression_eval.  Reuses q_knn_label's
+    plan wholesale (Spark side) and its oracle as a CTE (SQL side), so
+    prediction semantics are defined exactly once."""
+    from ..plans.registry import QUERIES
+
+    pred = QUERIES["q_knn_label"](spark, sf_dir)
+    truth = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
+    )
+    return (
+        pred.join(broadcast(truth), "probe_id")
+        .groupBy("true_label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_probes"))
+    )
+
+
+from ..plans.registry import oracle as _attach_oracle  # noqa: E402
+
+_attach_oracle("q_knn_eval", _knn_eval_oracle())
