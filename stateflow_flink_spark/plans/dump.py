@@ -45,11 +45,30 @@ NOTES = {
         "TakeOrderedAndProject."
     ),
     "q_dedup_simhash": (
-        "The 64-bit signature is a zero-shuffle projection (SQL-lambda fold "
-        "riding the scan); one exchange materializes (doc_id, sig) 16-byte "
-        "rows before the 20-key 3-of-6-block explode, and the candidate "
-        "self-join shuffles on the ~33-bit combo bucket — the bucket space "
-        "grows with the corpus instead of saturating at 2^16 per band."
+        "The 60-bit md5-derived signature is a zero-shuffle projection "
+        "(SQL-lambda fold riding the scan); one exchange materializes "
+        "(doc_id, sig) 16-byte rows before the 20-key 3-of-6-block explode, "
+        "and the candidate self-join shuffles on the ~30-bit combo bucket — "
+        "the bucket space grows with the corpus instead of saturating at "
+        "2^16 per band."
+    ),
+    "q_dedup_substring": (
+        "The sliding-window hash stream is materialized once: min/max(doc) "
+        "over a hashpartitioning(wh) window flags cross-document spans "
+        "in-place (no join-back, no second explode), then one doc_id "
+        "exchange rolls up the per-doc shared fraction."
+    ),
+    "q_regression_gd": (
+        "Per GD iteration: 65 weights broadcast out, residual folds inside "
+        "the scan stage, one hashpartitioning(dim) exchange of quantized "
+        "integer gradient partial sums (partial agg before it), one 65-row "
+        "update. Weights never touch the driver."
+    ),
+    "q_sim_ann_batch": (
+        "The IVF assignment is computed once and shared by all probes; the "
+        "(probe, cell) pairs and probe vectors arrive via BroadcastExchange, "
+        "and the per-probe top-k windows over candidates only — one corpus "
+        "pass amortized across the whole probe batch."
     ),
     "q_dedup_fuzzy": (
         "Shingles are hashed to longs once; the DF-cap window and the "
@@ -59,11 +78,12 @@ NOTES = {
         "size."
     ),
     "q_sim_ann_lsh": (
-        "Signatures come from ONE ArrowEvalPython stage (BLAS matmul per "
-        "batch) riding the scan; the candidate join is a broadcast of the "
-        "L*(k+1) probe buckets against the bucket-exploded corpus — no "
-        "corpus-side shuffle, and at rest each table is stored partitioned "
-        "by its bucket column so the probe side prunes to those partitions."
+        "Projections AND buckets come from ONE ArrowEvalPython kernel "
+        "riding the scan; the margin-ranked 40-bucket probe plan is a "
+        "driver-side literal, so candidate selection is a single codegen "
+        "exists() filter — no shuffle before the top-10, and at rest each "
+        "table is stored partitioned by its bucket column so the probe plan "
+        "prunes to <=40 partitions at the scan."
     ),
     "q_pack_sequences": (
         "The running token total is windowed per hash-bucketed packer: one "
