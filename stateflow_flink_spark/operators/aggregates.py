@@ -268,26 +268,30 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same oracle pattern as q_agg_approx: the raw estimate is
     engine-specific, so the checkable output is the INVARIANT — the
     estimate's rank must sit within the sketch's guaranteed error of
-    the true median rank (accuracy=10000 → rank error <= n/10000 + 1).
-    One extra pass counts rows at or below the estimate to measure its
-    true rank."""
+    the true median rank (accuracy=10000 -> rank error <= n/10000 + 1).
+    One extra pass counts rows strictly below and at-or-below the
+    estimate.  GK bounds the estimate's RANK, not the count of rows at
+    or below its VALUE: with duplicated prices at the median, the
+    returned value occupies the whole rank interval
+    [count_lt + 1, count_le], so the check is interval-intersection
+    with [n/2 - tol, n/2 + tol] — robust to ties (a plain
+    |count_le - n/2| <= tol check can flip false on legitimate
+    estimates when ties straddle the median)."""
     li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
     est = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("m")
     )
+    n = F.count(F.lit(1))
+    count_lt = F.sum(F.when(F.col("l_extendedprice") < F.col("m"), 1).otherwise(0))
+    count_le = F.sum(F.when(F.col("l_extendedprice") <= F.col("m"), 1).otherwise(0))
+    tol = n / 10000 + 1
     return (
         li.join(F.broadcast(est), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
+            n.alias("n_rows"),
             (
-                F.abs(
-                    F.sum(
-                        F.when(F.col("l_extendedprice") <= F.col("m"), 1).otherwise(0)
-                    )
-                    - (F.count(F.lit(1)) / 2)
-                )
-                <= (F.count(F.lit(1)) / 10000 + 1)
+                ((count_lt + 1) <= (n / 2 + tol)) & (count_le >= (n / 2 - tol))
             ).alias("median_within_tol"),
         )
     )

@@ -870,7 +870,13 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     label) for the kNN classifier's probes — the metrics pass after any
     labeling job, sibling of q_regression_eval.  Reuses q_knn_label's
     plan wholesale (Spark side) and its oracle as a CTE (SQL side), so
-    prediction semantics are defined exactly once."""
+    prediction semantics are defined exactly once.
+
+    Broadcast side: `pred` is N_PROBES rows (a handful) while `truth`
+    is corpus-sized — one labels row per embedding.  Broadcasting the
+    probe-side prediction keeps the join a map-side lookup over the
+    corpus scan with zero shuffle of the big side; broadcasting `truth`
+    (the round-3 spelling) would OOM executors at 100x scale."""
     from ..plans.registry import QUERIES
 
     pred = QUERIES["q_knn_label"](spark, sf_dir)
@@ -878,7 +884,7 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("label").alias("true_label")
     )
     return (
-        pred.join(broadcast(truth), "probe_id")
+        broadcast(pred).join(truth, "probe_id")
         .groupBy("true_label", "pred_label")
         .agg(F.count(F.lit(1)).alias("n_probes"))
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 from ..io import load
 from ..numerics import exact_sum, exact_wsum, sql_sum, sql_wsum
@@ -102,13 +103,74 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Un-partitioned ntile is a single-reducer sort — fine for a dim
-    table; for facts at scale you'd ntile within partitions or use
-    approxQuantile instead."""
-    customer = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
-    return customer.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile")
+    """Global NTILE without a single-reducer sort (the naive
+    ``Window.orderBy`` spelling funnels the whole table through one
+    partition — a scale-killer on a fact table).  Scale-safe two-pass
+    plan, the distributed-row-number idiom:
+
+    1. ``repartitionByRange`` on the full sort key — a distributed
+       range exchange (boundaries from a sample pass); the sort key is
+       total (c_custkey is unique) so ranks are exact regardless of
+       where boundaries land.
+    2. partition-local ``row_number`` over ``spark_partition_id``.
+    3. per-partition counts -> cumulative offsets.  The counts table is
+       METADATA-sized (one row per shuffle partition, ~1000 rows on a
+       1000-executor cluster), so its single-partition cumsum window is
+       free; it then broadcast-joins back.
+    4. global_rank = offset + local row_number; the quartile comes from
+       NTILE's exact split rule: n = q*k + r -> first r tiles get q+1
+       rows, the rest q.
+
+    The ranked table is pinned with an eager ``localCheckpoint`` before
+    fan-out: the row-number branch and the counts branch must observe
+    the SAME range boundaries, but each re-execution of a
+    ``repartitionByRange`` exchange re-samples with a different seed
+    (RangePartitioner seeds from the RDD id), so recomputing the
+    lineage in two branches could split rows differently and desync
+    ``_cnt`` from ``_rn``.  One materialization of the dataset is the
+    honest price of an exact distributed rank — ``RDD.zipWithIndex``
+    pays the same (count job + mapped pass).
+    """
+    k = 4
+    # prune to the 2 output columns BEFORE the checkpoint materializes
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranged = customer.repartitionByRange(F.desc("c_acctbal"), F.asc("c_custkey"))
+    local = (
+        ranged.withColumn("_pid", F.spark_partition_id())
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("_pid").orderBy(
+                    F.desc("c_acctbal"), F.asc("c_custkey")
+                )
+            ),
+        )
+        .localCheckpoint()
+    )
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    wall = Window.orderBy("_pid")  # single partition, but over ~#partitions rows
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(
+            F.sum("_cnt").over(wall.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("_off"),
+        F.sum("_cnt")
+        .over(wall.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("_n"),
+    )
+    rank = F.col("_off") + F.col("_rn")
+    q, r = F.col("_n") / k, F.col("_n") % k  # integer division via floor below
+    qf = F.floor(q)
+    big = r * (qf + 1)  # rows covered by the (q+1)-sized leading tiles
+    quartile = (
+        F.when(rank <= big, F.floor((rank - 1) / (qf + 1)) + 1)
+        .otherwise(r + F.floor((rank - big - 1) / qf) + 1)
+        .cast("long")
+    )
+    return (
+        local.join(broadcast(offsets), "_pid")
+        .select("c_custkey", "c_acctbal", quartile.alias("quartile"))
     )
 
 

@@ -92,6 +92,53 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
 _STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
 
 
+class rocksdb_state:
+    """Context manager switching the streaming state-store provider to
+    RocksDB for queries started within it, restoring the prior provider
+    afterwards.
+
+    Why this exists (SURVEY §4.1): the default HDFSBackedStateStore
+    keeps every key's state on the JVM HEAP of each executor — the
+    direct analog of the reference's heap ValueState
+    (``InvokeStatefulLambda.java:61-65``), and the thing that dies
+    first when keyed state approaches 100 TB scale (GC pressure, then
+    OOM).  RocksDB spills state to local SSD with a bounded block
+    cache, and changelog checkpointing uploads per-batch deltas instead
+    of full snapshots, so state size is bounded by disk, not heap.
+    The provider is picked up PER QUERY at stream start, and the choice
+    is baked into that query's checkpoint — always restart a query with
+    the provider it was created with.
+
+    Sandbox note: Spark ships the RocksDB JNI bundle in core, so this
+    runs on local[*] too; tests assert provider-equivalence of results.
+    """
+
+    _KEY = "spark.sql.streaming.stateStore.providerClass"
+    _CHANGELOG = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    PROVIDER = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+
+    def __init__(self, spark: SparkSession) -> None:
+        self._spark = spark
+        self._saved: dict[str, str | None] = {}
+
+    def __enter__(self) -> None:
+        for key, value in ((self._KEY, self.PROVIDER), (self._CHANGELOG, "true")):
+            try:
+                self._saved[key] = self._spark.conf.get(key)
+            except Exception:
+                self._saved[key] = None
+            self._spark.conf.set(key, value)
+
+    def __exit__(self, *exc) -> None:
+        for key, saved in self._saved.items():
+            if saved is None:
+                self._spark.conf.unset(key)
+            else:
+                self._spark.conf.set(key, saved)
+
+
 class stream_partitions:
     """Context manager pinning shuffle partitions (= streaming state
     partition count) for the duration of one bounded streaming query,

@@ -92,18 +92,22 @@ def _enum(name: str, values: list[str]) -> bytes:
     for i, v in enumerate(values):
         ev = bytearray()
         _put_str(ev, 1, v)
-        if i:  # number=0 is the proto3 default and may be elided
-            _put_enum(ev, 2, i)
+        # descriptor.proto is proto2 (explicit presence): protoc always
+        # serializes the set `number` field, including number=0.
+        _put_enum(ev, 2, i)
         _put_len(out, 2, bytes(ev))
     return bytes(out)
 
 
 def descriptor_set_bytes() -> bytes:
-    """FileDescriptorSet for event.proto, byte-equivalent to protoc's
-    ``--descriptor_set_out`` for the reference schema
+    """FileDescriptorSet for event.proto, semantically equivalent to
+    protoc's ``--descriptor_set_out`` for the reference schema
     (event.proto:1-81) — messages FunctionType / FunctionAddress /
     EventFlowNode / Event / Route / EventRequestReply plus the Reply /
-    Request / RouteDirection enums."""
+    Request / RouteDirection enums.  (Not byte-identical: protoc also
+    emits json_name and other optional descriptor fields that parsers
+    default identically; every type reference here IS emitted, since
+    protobuf-java's FileDescriptor cross-linker validates them all.)"""
     from ..schemas import REPLIES, REQUESTS
 
     function_type = _message(
@@ -174,6 +178,11 @@ def descriptor_set_bytes() -> bytes:
         _put_len(fdp, 4, m)
     _put_len(fdp, 5, _enum("Reply", list(REPLIES)))
     _put_len(fdp, 5, _enum("Request", list(REQUESTS)))
+    # Route.direction references ".RouteDirection" (event.proto:60-64);
+    # protobuf-java validates every type reference at descriptor build
+    # time, so the enum must be present or from_protobuf throws
+    # DescriptorValidationException.
+    _put_len(fdp, 5, _enum("RouteDirection", ["EGRESS", "INTERNAL", "CLIENT"]))
     _put_str(fdp, 12, "proto3")
 
     # FileDescriptorSet: file=1 (repeated)

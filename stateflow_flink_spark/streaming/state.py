@@ -159,8 +159,11 @@ class EntityFoldProcessor(StatefulProcessor):
     events within a batch are applied in (ts, event_id) order.
     """
 
-    def __init__(self, operator_name: str = "engine/Fold") -> None:
+    def __init__(
+        self, operator_name: str = "engine/Fold", ttl_ms: int | None = None
+    ) -> None:
         self._operator_name = operator_name
+        self._ttl_ms = ttl_ms
         # resolve driver-side: the pickled processor carries the callable,
         # so runtime registrations work (a worker's registry only has
         # import-time entries)
@@ -168,7 +171,14 @@ class EntityFoldProcessor(StatefulProcessor):
         self._vfn = get_stateful_vectorized(operator_name)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState("entity_state", "blob binary")
+        # With a TTL the state store expires the value itself: an
+        # expired key reads as absent, so the fold re-initializes to
+        # EMPTY — the reference's first-touch semantics
+        # (InvokeStatefulLambda.java:75-77) applied to idle keys.  TTL
+        # requires timeMode="ProcessingTime" (set by apply_stateful).
+        self._state = handle.getValueState(
+            "entity_state", "blob binary", ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(
         self, key, rows: Iterator[pd.DataFrame], timerValues
@@ -202,7 +212,9 @@ def stream_events_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]
 
 
 def apply_stateful(
-    events: DataFrame, operator_name: str = "engine/Fold"
+    events: DataFrame,
+    operator_name: str = "engine/Fold",
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Keyed stateful apply over a streaming DataFrame — ref R9.
 
@@ -211,39 +223,65 @@ def apply_stateful(
     (GroupState) — identical semantics either way: one opaque blob per
     key, events applied in (ts, event_id) order, state overwritten per
     event (InvokeStatefulLambda.java:75-109).
+
+    ``ttl_ms`` bounds per-key state lifetime — the 100 TB hygiene knob:
+    without it, every key ever seen lives in the store forever (the
+    reference has the same unbounded-state problem).  A key idle past
+    the TTL reads as EMPTY on its next event — first-touch semantics
+    (``InvokeStatefulLambda.java:75-77``).  TWS path (production
+    clusters, protobuf runtime present): native ValueState TTL — both
+    read-expiry AND background eviction of idle keys.  Fallback path:
+    the blob is wrapped with its last-update timestamp and expiry is
+    decided on read (exact, same observable semantics); storage for a
+    never-touched-again key is not reclaimed here — GroupState's
+    ProcessingTimeTimeout would evict it, but a registered timeout
+    keeps an availableNow query alive past its data (measured: query
+    never terminates), so the fallback trades idle-key eviction for
+    bounded-run semantics and documents it.
     """
     grouped = events.groupBy("user_id")
     if HAS_TWS_RUNTIME:
         return grouped.transformWithStateInPandas(
-            statefulProcessor=EntityFoldProcessor(operator_name),
+            statefulProcessor=EntityFoldProcessor(operator_name, ttl_ms=ttl_ms),
             outputStructType=_FOLD_OUTPUT,
             outputMode="Append",
-            timeMode="None",
+            timeMode="ProcessingTime" if ttl_ms is not None else "None",
         )
 
     fn = get_stateful(operator_name)
     vfn = get_stateful_vectorized(operator_name)
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        import time
+
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-        blob = state.get[0] if state.exists else b""
+        now_ms = int(time.time() * 1000)
+        if ttl_ms is None:
+            blob = state.get[0] if state.exists else b""
+        elif state.exists:
+            stored_ms, blob = state.get
+            if now_ms - stored_ms > ttl_ms:
+                blob = b""  # expired -> EMPTY first-touch re-init
+        else:
+            blob = b""
         if vfn is not None:
             out_pdf, blob = vfn(pdf, blob)
-            state.update((blob,))
-            yield out_pdf
-            return
-        outs = []
-        for event in pdf.to_dict("records"):
-            out, blob = fn(event, blob)
-            outs.append(out)
-        state.update((blob,))
-        yield pd.DataFrame(outs)
+        else:
+            outs = []
+            for event in pdf.to_dict("records"):
+                out, blob = fn(event, blob)
+                outs.append(out)
+            out_pdf = pd.DataFrame(outs)
+        state.update((blob,) if ttl_ms is None else (now_ms, blob))
+        yield out_pdf
 
     return grouped.applyInPandasWithState(
         fold_group,
         outputStructType=_FOLD_OUTPUT,
-        stateStructType="blob binary",
+        stateStructType=(
+            "blob binary" if ttl_ms is None else "ts_ms long, blob binary"
+        ),
         outputMode="Append",
         timeoutConf="NoTimeout",
     )
@@ -254,18 +292,25 @@ def run_stateful_stream(
     events: DataFrame,
     operator_name: str = "engine/Fold",
     query_name: str = "sfs_stateful_fold_stream",
+    checkpoint_dir: str | None = None,
+    ttl_ms: int | None = None,
 ) -> DataFrame:
     """Run the keyed stateful operator over a (bounded) event stream and
-    materialize the result via the memory sink."""
-    result = apply_stateful(events, operator_name)
+    materialize the result via the memory sink.  ``checkpoint_dir``
+    lets callers resume the SAME state across multiple availableNow
+    runs (the restart path TTL tests exercise); ``ttl_ms`` bounds
+    per-key state lifetime (see apply_stateful)."""
+    result = apply_stateful(events, operator_name, ttl_ms=ttl_ms)
     with stream_partitions(spark):
-        qy = (
+        writer = (
             result.writeStream.format("memory")
             .queryName(query_name)
             .outputMode("append")
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        qy = writer.start()
         qy.awaitTermination()
     return spark.table(query_name)
 

@@ -296,63 +296,109 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
-def run_incremental_rollup(spark: SparkSession, stream: DataFrame) -> DataFrame:
-    """Drive the versioned-merge rollup over any events stream (ts,
-    event_type, value) — see q_rollup_incremental for the contract.
-    Exposed separately so tests can feed a deliberately multi-batch
-    source (maxFilesPerTrigger) through the merge path."""
-    import tempfile
+def rollup_versions_on_disk(root: str, below: int | None = None) -> list[int]:
+    """Version numbers present under the durable rollup root (sorted
+    ascending), optionally restricted to versions < `below`.  Local
+    filesystem listing — on an object-store root this seam is where a
+    Hadoop-FS listing would go."""
+    import os
 
-    root = tempfile.mkdtemp(prefix="sfs_rollup_")
-    latest: dict[str, str] = {}
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return []
+    vs = [int(n[1:]) for n in names if n.startswith("v") and n[1:].isdigit()]
+    if below is not None:
+        vs = [v for v in vs if v < below]
+    return sorted(vs)
 
-    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        delta = (
-            batch_df.groupBy(
-                F.date_trunc("hour", F.col("ts")).alias("hour"),
+
+def merge_rollup_batch(root: str, batch_df: DataFrame, batch_id: int) -> None:
+    """Merge one micro-batch's delta into the versioned rollup under
+    `root`, writing v{batch_id} from the newest version BELOW batch_id.
+
+    Recovery contract (the part that makes replay safe): the previous
+    version is derived from the BATCH ID against durable storage, never
+    from process memory.  Two failure shapes this covers:
+
+    - crash between v{N} write and checkpoint commit, then driver
+      RESTART: the replayed batch N reads max(v < N) = v{N-1} from disk
+      and regenerates v{N} by overwrite — history intact.  (An
+      in-memory `latest` pointer — the round-3 spelling — is empty
+      after restart, so the replay would merge onto None and silently
+      drop all accumulated history.)
+    - same-process replay of batch N (new checkpoint, same root): the
+      `below=batch_id` bound means batch N can never read its OWN
+      output v{N} as the previous version and double-count.
+
+    A partially-written v{N} from the crashed attempt is harmless: it
+    is excluded by the bound and rewritten by the replay's overwrite.
+    Full re-runs from batch 0 regenerate every version deterministically
+    for the same reason."""
+    delta = (
+        batch_df.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("value") * 1_000_000).cast("decimal(38,0)")
+            ).alias("sum_scaled"),
+        )
+    )
+    prevs = rollup_versions_on_disk(root, below=batch_id)
+    if prevs:
+        prev = batch_df.sparkSession.read.parquet(f"{root}/v{prevs[-1]}")
+        merged = (
+            prev.alias("p")
+            .join(delta.alias("d"), ["hour", "event_type"], "full_outer")
+            .select(
+                "hour",
                 "event_type",
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum(
-                    (F.col("value") * 1_000_000).cast("decimal(38,0)")
-                ).alias("sum_scaled"),
+                (
+                    F.coalesce(F.col("p.n_events"), F.lit(0))
+                    + F.coalesce(F.col("d.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("p.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
+                    + F.coalesce(F.col("d.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
+                ).cast("decimal(38,0)").alias("sum_scaled"),
             )
         )
-        prev_dir = latest.get("dir")
-        if prev_dir is not None:
-            prev = batch_df.sparkSession.read.parquet(prev_dir)
-            merged = (
-                prev.alias("p")
-                .join(delta.alias("d"), ["hour", "event_type"], "full_outer")
-                .select(
-                    "hour",
-                    "event_type",
-                    (
-                        F.coalesce(F.col("p.n_events"), F.lit(0))
-                        + F.coalesce(F.col("d.n_events"), F.lit(0))
-                    ).alias("n_events"),
-                    (
-                        F.coalesce(F.col("p.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
-                        + F.coalesce(F.col("d.sum_scaled"), F.lit(0).cast("decimal(38,0)"))
-                    ).cast("decimal(38,0)").alias("sum_scaled"),
-                )
-            )
-        else:
-            merged = delta
-        out = f"{root}/v{batch_id}"
-        merged.write.mode("overwrite").parquet(out)
-        latest["dir"] = out
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(f"{root}/v{batch_id}")
+
+
+def run_incremental_rollup(
+    spark: SparkSession, stream: DataFrame, root: str | None = None
+) -> DataFrame:
+    """Drive the versioned-merge rollup over any events stream (ts,
+    event_type, value) — see q_rollup_incremental for the contract and
+    merge_rollup_batch for the replay-safe recovery semantics.  `root`
+    is the caller-supplied DURABLE rollup location (production: object
+    store beside the checkpoint); defaults to a tempdir for the
+    fixture-scale query path.  Exposed separately so tests can feed a
+    deliberately multi-batch source (maxFilesPerTrigger) through the
+    merge path and replay individual batches."""
+    import tempfile
+
+    if root is None:
+        root = tempfile.mkdtemp(prefix="sfs_rollup_")
 
     with stream_partitions(spark):
         q = (
-            stream.writeStream.foreachBatch(merge_batch)
+            stream.writeStream.foreachBatch(
+                lambda df, bid: merge_rollup_batch(root, df, bid)
+            )
             .trigger(availableNow=True)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="sfs_rollup_ckpt_"))
             .start()
         )
         q.awaitTermination()
-    rolled = spark.read.parquet(latest["dir"])
+    versions = rollup_versions_on_disk(root)
+    rolled = spark.read.parquet(f"{root}/v{versions[-1]}")
     return rolled.select(
         "hour",
         "event_type",

@@ -94,3 +94,22 @@ def test_bench_artifact_matches_registry():
     bad = {k: v for k, v in bench["queries"].items() if not v > 0}
     assert not bad, f"error/zero timings committed: {bad}"
     assert bench["sf"] == 0.1
+
+
+def test_operators_md_matches_registry():
+    """The committed OPERATORS.md must be exactly what the generator
+    renders from the live registry — catches the 'added a query, forgot
+    to regenerate the index' drift (OPERATORS.md said 144 for a round
+    while the registry held 145).  On failure:
+    python -m stateflow_flink_spark.plans.operators_md > OPERATORS.md"""
+    import pathlib
+
+    from stateflow_flink_spark.plans.operators_md import render_operators_md
+
+    committed = (
+        pathlib.Path(__file__).resolve().parent.parent / "OPERATORS.md"
+    ).read_text()
+    assert committed == render_operators_md(), (
+        "OPERATORS.md is stale — regenerate with "
+        "`python -m stateflow_flink_spark.plans.operators_md > OPERATORS.md`"
+    )

@@ -323,3 +323,43 @@ def test_aqe_splits_skewed_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_eval_broadcasts_prediction_not_truth(spark):
+    """The eval join must broadcast the N_PROBES-row prediction, never
+    the corpus-sized truth table (the round-3 spelling broadcast truth,
+    which OOMs executors at 100x scale).  Bonus of the right build side:
+    Catalyst infers the probe-id constraint through the equi-join, so
+    the truth-side embeddings scan is pruned to probe rows at the
+    parquet reader (second LessThan(vec_id pushdown)."""
+    plan = plan_of(QUERIES["q_knn_eval"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    bx_inputs = [
+        lines[i + 1]
+        for i, ln in enumerate(lines)
+        if ln.lstrip().startswith("(") and ln.rstrip().endswith("BroadcastExchange")
+    ]
+    pred_side = [ln for ln in bx_inputs if "pred_label" in ln]
+    assert pred_side, f"no BroadcastExchange carries pred_label: {bx_inputs}"
+    assert not any("true_label" in ln for ln in bx_inputs), bx_inputs
+    # probe filter reaches BOTH embeddings scans (probe side + inferred
+    # onto the truth side)
+    assert plan.count("LessThan(vec_id") >= 2, plan
+
+
+def test_window_ntile_no_global_single_reducer_sort(spark):
+    """Global NTILE must NOT funnel the full table through one
+    partition (the naive Window.orderBy spelling).  The scale-safe plan
+    range-partitions, ranks within partitions, and joins metadata-sized
+    offsets back — so no window spec may order the raw table without a
+    partition key.  (The offsets cumsum IS single-partition, but over
+    one row per shuffle partition — metadata, not data.)"""
+    plan = plan_of(QUERIES["q_window_ntile"](spark, SF_SMOKE))
+    # un-partitioned full-table window would show the sort key as the
+    # leading windowspecdefinition argument
+    assert "windowspecdefinition(c_acctbal" not in plan, plan
+    assert "ntile(" not in plan  # rank+formula spelling, not WindowExec ntile
+    # the big side arrives pre-ranked via the pinned checkpoint; the
+    # broadcast side is the metadata offsets table
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan

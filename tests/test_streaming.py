@@ -371,3 +371,51 @@ def test_incremental_rollup_replayed_batch_is_idempotent(spark, tmp_path):
             first_total = sum(sink_rows.values())
     assert sum(sink_rows.values()) == first_total  # restart added nothing
     assert len(truth) > 0
+
+
+def test_incremental_rollup_midrun_replay_preserves_history(spark, tmp_path):
+    """The recovery contract at the merge level, with NO process state:
+    the previous version must be derived from the batch id against the
+    durable root.  Scenario A (driver restart): after v0 and v1 exist,
+    replaying batch 1 — as a restarted driver would, with empty process
+    memory — must regenerate v1 from v0, not from None (which would
+    silently drop batch 0's history).  Scenario B (self-read): the
+    replay of batch 1 must never read its own surviving v1 output as
+    the previous version and double-count batch 1."""
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.streaming.stream_queries import (
+        merge_rollup_batch,
+        rollup_versions_on_disk,
+    )
+
+    from .conftest import SF_SMOKE
+
+    events = load(spark, SF_SMOKE, "events").select("ts", "event_type", "value")
+    b0 = events.filter(F.hour("ts") < 12)
+    b1 = events.filter(F.hour("ts") >= 12)
+    assert b0.count() > 0 and b1.count() > 0
+    root = str(tmp_path / "rollup")
+
+    merge_rollup_batch(root, b0, 0)
+    merge_rollup_batch(root, b1, 1)
+    assert rollup_versions_on_disk(root) == [0, 1]
+    v1_once = sorted(
+        tuple(r) for r in spark.read.parquet(f"{root}/v1").collect()
+    )
+    total_once = sum(r[2] for r in v1_once)
+    assert total_once == events.count()  # v1 holds ALL history
+
+    # replay batch 1 twice more: stateless calls, v1 already on disk
+    merge_rollup_batch(root, b1, 1)
+    merge_rollup_batch(root, b1, 1)
+    v1_replayed = sorted(
+        tuple(r) for r in spark.read.parquet(f"{root}/v1").collect()
+    )
+    assert v1_replayed == v1_once  # no double-count, history intact
+
+    # replay batch 0 too (crash even earlier): v0 regenerates from scratch
+    merge_rollup_batch(root, b0, 0)
+    v0 = spark.read.parquet(f"{root}/v0")
+    assert v0.agg(F.sum("n_events")).collect()[0][0] == b0.count()
