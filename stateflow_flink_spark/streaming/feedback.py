@@ -10,10 +10,19 @@ SURVEY.md §3.3(a) maps the loop to TWO independent streaming queries
 sharing the feedback topic; the topic itself remains the cycle's
 buffer, exactly as in the reference.
 
-This module runs that architecture LIVE, broker-free: each "topic" is
-a directory of parquet part-files (the sandbox stand-in for Kafka —
-``sources/kafka.py`` holds the production ``format("kafka")``
-builders; swapping the readers/writers is a two-line change):
+Two loops live here, same architecture, two altitudes:
+
+  * :func:`run_event_loop` — the WIRE-LEVEL loop: every topic byte is
+    a framed Event proto, every read crosses ``decode_frames``, every
+    route crosses ``streaming.routing`` — through the transport seam
+    (``streaming/transport.py``), so the identical code path runs on
+    directory-topics in-sandbox and ``format("kafka")`` in production.
+  * :func:`run_feedback_loop` — the plain-column twin below (flow
+    cursors as parquet rows, no framing), kept as the minimal live
+    demonstration of the two-query cycle itself.
+
+For the latter, each "topic" is a directory of parquet part-files (the
+sandbox stand-in for Kafka):
 
   * query A (ingress router, ref R3): streams ``client_request/``,
     stamps flow-cursor columns (route_ingress semantics: EventFlow
@@ -186,3 +195,178 @@ def run_feedback_loop(
         qa.stop()
         qb.stop()
     return spark.read.parquet(d_reply)
+
+
+# ---------------------------------------------------------------------------
+# The WIRE-LEVEL event loop — the same cycle, but over proto-framed Kafka
+# records through the transport seam (streaming/transport.py), i.e. the
+# production code path: every byte on every topic is an Event proto
+# (KafkaSerializeProto.java:24-30 framing), every read goes through
+# decode_frames, every route through routing.route_ingress/route_egress.
+# ---------------------------------------------------------------------------
+
+
+def make_flow_requests(spark: SparkSession, flows: DataFrame) -> DataFrame:
+    """Build EVENT_ENVELOPE EventFlow requests from ``(event_id,
+    steps_left)`` rows — the client's seed producing to client_request.
+
+    The flow cursor rides the envelope's EventFlowNode columns
+    (event.proto:44-47): ``current_fun_key`` carries the remaining-step
+    counter as a decimal string (the reference packs its flow graph into
+    the payload; a counter-in-key is this fixture's bounded stand-in),
+    ``current_node_type`` is the cursor the routers read
+    (IngressRouter.java:79-99)."""
+    return flows.select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.lit("flows").alias("fun_namespace"),
+        F.lit("flow").alias("fun_name"),
+        F.lit(True).alias("fun_stateful"),
+        F.col("event_id").cast("string").alias("fun_key"),
+        F.lit("EventFlow").alias("request"),
+        F.lit(None).cast("string").alias("reply"),
+        F.lit(b"").alias("payload"),
+        F.lit("flows").alias("current_fun_namespace"),
+        F.lit("step_fun").alias("current_fun_name"),
+        F.col("steps_left").cast("string").alias("current_fun_key"),
+        F.lit("step").alias("current_node_type"),
+    )
+
+
+def advance_envelope(env: DataFrame) -> DataFrame:
+    """One flow hop on the wire envelope (the stateful-apply stand-in,
+    SURVEY §3.3 step 2): burn one step off the cursor; an exhausted flow
+    becomes a Reply event (oneof flips request->reply, event.proto:52-56)
+    so route_egress sends it CLIENT (EgressRouter.java:36-42)."""
+    steps = F.col("current_fun_key").cast("long") - 1
+    done = steps <= 0
+    return env.withColumns(
+        {
+            "current_fun_key": steps.cast("string"),
+            "current_node_type": F.when(done, RETURN_NODE).otherwise("step"),
+            "reply": F.when(done, "SuccessfulInvocation").otherwise(F.col("reply")),
+            "request": F.when(done, F.lit(None).cast("string")).otherwise(
+                F.col("request")
+            ),
+        }
+    )
+
+
+def run_event_loop(
+    spark: SparkSession,
+    transport,
+    seed: DataFrame,
+    advance: Callable[[DataFrame], DataFrame] = advance_envelope,
+    expected_replies: int | None = None,
+    timeout_s: float = 120.0,
+    trigger_s: str = "250 milliseconds",
+) -> DataFrame:
+    """Run the production-shaped two-query cycle over a transport.
+
+    ``seed`` is an EVENT_ENVELOPE DataFrame of client requests (e.g.
+    :func:`make_flow_requests` output, optionally mixed with Pings).
+    Returns the decoded client replies.
+
+    Data path (identical on DirectoryTransport and KafkaTransport):
+
+      client --encode_frames--> client_request
+      query A: decode_frames -> route_ingress -> {EGRESS -> client_reply,
+               INTERNAL -> internal}                       (R3 ingress)
+      query B: decode_frames -> advance -> route_egress -> egress_split
+               -> {client_reply, internal (the feedback edge)}  (R4+R11+R13)
+    """
+    from ..sources.kafka import (
+        TOPIC_CLIENT_REPLY,
+        TOPIC_CLIENT_REQUEST,
+        TOPIC_INTERNAL,
+        decode_frames,
+        egress_split as split_frames,
+        encode_frames,
+    )
+    from ..schemas import EGRESS, INTERNAL
+    from .routing import route_egress, route_ingress
+
+    base = tempfile.mkdtemp(prefix="sfs_wireloop_ck_")
+    n_expected = expected_replies if expected_replies is not None else seed.count()
+
+    # Seed: the client produces proto-framed requests to client_request.
+    transport.append(encode_frames(seed, TOPIC_CLIENT_REQUEST), TOPIC_CLIENT_REQUEST)
+
+    env_cols = [f.name for f in FLOW_ENVELOPE_FIELDS()]
+
+    # --- query A: ingress router (client_request -> internal/reply) --
+    ingress = route_ingress(
+        decode_frames(transport.read_stream(spark, TOPIC_CLIENT_REQUEST))
+    )
+
+    def ingress_batch(batch_df: DataFrame, batch_id: int) -> None:
+        routed = batch_df.localCheckpoint()  # route ONCE, split twice
+        # Ping / already-finished flows answer the client directly
+        # (IngressRouter.java:42-52, :79-90): stamp out_reply into the
+        # oneof before framing.
+        direct = (
+            routed.filter(F.col("direction") == EGRESS)
+            .withColumns(
+                {
+                    "reply": F.col("out_reply"),
+                    "request": F.lit(None).cast("string"),
+                }
+            )
+            .select(*env_cols)
+        )
+        if not direct.isEmpty():
+            transport.append(
+                encode_frames(direct, TOPIC_CLIENT_REPLY), TOPIC_CLIENT_REPLY
+            )
+        mid = routed.filter(F.col("direction") == INTERNAL).select(*env_cols)
+        if not mid.isEmpty():
+            transport.append(encode_frames(mid, TOPIC_INTERNAL), TOPIC_INTERNAL)
+
+    qa = (
+        ingress.writeStream.foreachBatch(ingress_batch)
+        .option("checkpointLocation", os.path.join(base, "ck_a"))
+        .trigger(processingTime=trigger_s)
+        .start()
+    )
+
+    # --- query B: flow worker (internal -> advance -> egress split) --
+    internal = decode_frames(transport.read_stream(spark, TOPIC_INTERNAL))
+
+    def worker_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hopped = advance(batch_df).localCheckpoint()  # advance ONCE, split twice
+        client_frames, internal_frames = split_frames(route_egress(hopped))
+        if not client_frames.isEmpty():
+            transport.append(client_frames, TOPIC_CLIENT_REPLY)
+        if not internal_frames.isEmpty():
+            # THE FEEDBACK EDGE: produce back into query B's own source
+            # topic (StateFlowFlinkJob.java:127-132).
+            transport.append(internal_frames, TOPIC_INTERNAL)
+
+    qb = (
+        internal.writeStream.foreachBatch(worker_batch)
+        .option("checkpointLocation", os.path.join(base, "ck_b"))
+        .trigger(processingTime=trigger_s)
+        .start()
+    )
+
+    try:
+        deadline = time.time() + timeout_s
+        done = 0
+        while time.time() < deadline:
+            done = transport.read_batch(spark, TOPIC_CLIENT_REPLY).count()
+            if done >= n_expected:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"wire loop drained {done}/{n_expected} within {timeout_s}s"
+            )
+    finally:
+        qa.stop()
+        qb.stop()
+    return decode_frames(transport.read_batch(spark, TOPIC_CLIENT_REPLY))
+
+
+def FLOW_ENVELOPE_FIELDS():
+    from ..schemas import EVENT_ENVELOPE
+
+    return EVENT_ENVELOPE.fields
