@@ -518,6 +518,188 @@ def _gemm_block_pairs(pdf) -> "pd.DataFrame":
     return pd.DataFrame({"vec_a": lo, "vec_b": hi, "cos_sim": c[r, col]})
 
 
+# ---------------------------------------------------------------------------
+# LSH-bucketed embedding near-dup pairs — the SCALE PATH twin of
+# q_dedup_embedding: same output contract (pairs with cos >= tau among
+# candidates), but candidates come from L sign-hash tables instead of
+# the n^2 block-GEMM.  Unlike the ANN queries above (float projections,
+# engine-specific), this scheme is ENGINE-EXACT so the DuckDB oracle
+# replicates the candidate set bit-for-bit:
+#   * hyperplane weights are integers derived from md5("i_d") — both
+#     engines (and the Python driver) compute identical values;
+#   * embeddings are quantized to integers (round(x * 1000)) before the
+#     dot product, so the projection is an INTEGER sum — associative,
+#     order-independent, no cross-engine ULP drift flipping a sign bit
+#     near zero (the same integer-votes discipline as SimHash).
+# Recall is the honest LSH trade, and the fixtures are its worst case
+# (isotropic random vectors — the same frontier documented for the ANN
+# queries above): the fixture "near-dups" sit at cos 0.4-0.5 where
+# per-bit flip prob is ~0.37, giving measured recall 0.12-0.13 at 1.2%
+# candidate fraction (b=12, L=32; the closed form 1-(1-0.63^12)^32
+# predicts 0.12).  For ACTUAL near-duplicates — the dedup use case,
+# cos >= 0.85, flip prob <= 0.18 — the same bands give P(miss) < 1e-4;
+# tests/test_edgecases.py plants such pairs and requires all of them
+# found, and separately pins the subset-of-exact property and the
+# candidate fraction on the fixtures.
+# ---------------------------------------------------------------------------
+
+EMB_LSH_TABLES = 32
+EMB_LSH_BITS = 12
+EMB_LSH_QUANT = 1000  # fixed-point scale for engine-exact integer dots
+
+
+def _emb_lsh_weights() -> list[list[int]]:
+    """(L*b) x DIM integer hyperplanes, md5-derived: the same values
+    the oracle recomputes in SQL via MD5(i || '_' || d)."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:8], 16) % 2001) - 1000
+            for d in range(DIM)
+        ]
+        for i in range(EMB_LSH_TABLES * EMB_LSH_BITS)
+    ]
+
+
+def _emb_lsh_bucket_matrix(embs: np.ndarray) -> np.ndarray:
+    """(n, DIM) float embeddings -> (n, EMB_LSH_TABLES) int64 bucket ids
+    — integer projections, sign bits folded MSB-first per table.
+
+    numpy on purpose, not JVM higher-order functions: the projection is
+    a (batch x DIM) @ (DIM x L*b) integer matmul, and Spark's
+    transform/aggregate lambdas are CodegenFallback (interpreted
+    row-at-a-time) — the zip_with/aggregate spelling measured 22.3 s at
+    sf0.01 vs ~0.3 s for this kernel; a naive spelling that re-inlined
+    the dot array per bit reference never finished at all.  Every value
+    here is int64 arithmetic (quantized embeddings x md5-derived integer
+    hyperplanes), so the buckets are bit-identical to the SQL oracle's
+    — no float summation order anywhere."""
+    W = np.asarray(_emb_lsh_weights(), dtype=np.int64)  # (L*b, DIM)
+    pow2 = 1 << np.arange(EMB_LSH_BITS - 1, -1, -1, dtype=np.int64)
+    x = embs.astype(np.float64) * EMB_LSH_QUANT
+    # round half AWAY FROM ZERO — what both Spark round() and DuckDB
+    # ROUND() do; np.rint would tie-break to even and could flip a
+    # bucket on a dyadic-rational embedding value.
+    q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)  # (n, DIM)
+    bits = (q @ W.T > 0).astype(np.int64)                          # (n, L*b)
+    return bits.reshape(len(q), EMB_LSH_TABLES, EMB_LSH_BITS) @ pow2
+
+
+@pandas_udf(ArrayType(LongType()))
+def emb_lsh_buckets(emb: pd.Series) -> pd.Series:
+    """Column form of the bucket projection (tests, ad-hoc probes).  The
+    operator itself uses the mapInPandas spelling below: a filter on a
+    UDF column makes ExtractPythonUDFs evaluate the UDF once for the
+    filter and AGAIN for the surviving projection, while mapInPandas is
+    one opaque node the optimizer cannot split (plan-gated)."""
+    return pd.Series(list(_emb_lsh_bucket_matrix(np.stack(emb.to_numpy()))))
+
+
+def _emb_lsh_sig_batches(batches):
+    """mapInPandas kernel: (vec_id, embedding) -> (vec_id, bks)."""
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"],
+                "bks": list(
+                    _emb_lsh_bucket_matrix(np.stack(pdf["embedding"].to_numpy()))
+                ),
+            }
+        )
+
+
+_EMB_LSH_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qe AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(e, x -> CAST(ROUND(x * {EMB_LSH_QUANT}) AS BIGINT)) AS q
+        FROM emb
+    ),
+    w AS (
+        SELECT i.i AS i, d.d AS d,
+               ((('0x' || SUBSTRING(MD5(i.i::VARCHAR || '_' || d.d::VARCHAR), 1, 8))::UBIGINT
+                 % 2001)::BIGINT - 1000) AS wt
+        FROM (SELECT UNNEST(RANGE(0, {EMB_LSH_TABLES * EMB_LSH_BITS})) AS i) i,
+             (SELECT UNNEST(RANGE(0, {DIM})) AS d) d
+    ),
+    dots AS (
+        SELECT qe.vec_id, w.i, SUM(qe.q[w.d + 1] * w.wt) AS dot
+        FROM qe, w GROUP BY qe.vec_id, w.i
+    ),
+    sigs AS (
+        SELECT vec_id, i // {EMB_LSH_BITS} AS t,
+               SUM(CASE WHEN dot > 0
+                        THEN 1::BIGINT << ({EMB_LSH_BITS} - 1 - (i % {EMB_LSH_BITS}))
+                        ELSE 0 END) AS bucket
+        FROM dots GROUP BY vec_id, i // {EMB_LSH_BITS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM sigs a JOIN sigs b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b,
+           ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cos_sim
+    FROM cand
+    JOIN emb ea ON va = ea.vec_id
+    JOIN emb eb ON vb = eb.vec_id
+    WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= {NEAR_DUP_TAU}
+"""
+
+
+@query("q_dedup_embedding_lsh", _EMB_LSH_ORACLE)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (cos >= NEAR_DUP_TAU) among LSH-bucket candidates.
+
+    Plan shape for 100 TB: bucket projection rides the scan (zero
+    shuffle), the candidate join shuffles SLIM (vec_id, t, bucket) rows
+    only — embeddings join back by id for the exact verify, so the L=32
+    bucket fan-out never amplifies the 64-float payload.  Dedup happens
+    post-verify (the SimHash lesson: survivors are far fewer than
+    bucket collisions).  At cluster scale the signature table is
+    written once, bucket-partitioned, and the per-bucket join is
+    co-located — same storage story as the ANN tables above."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sigs = e.mapInPandas(
+        _emb_lsh_sig_batches, "vec_id long, bks array<long>"
+    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.t") == F.col("b.t"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    dot = F.aggregate(
+        F.zip_with(
+            "emb_a", "emb_b", lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    cos = F.round(dot / (norm(F.col("emb_a")) * norm(F.col("emb_b"))), 6)
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEAR_DUP_TAU)
+        .distinct()
+    )
+
+
 N_CENTROIDS = 16  # IVF coarse-quantizer cells; ~sqrt(n) per classic IVF sizing
 N_PROBE_CELLS = 2  # cells searched per probe
 

@@ -272,6 +272,75 @@ def test_lsh_candidate_fraction(spark):
             e.unpersist()
 
 
+def test_emb_lsh_dedup_finds_all_planted_near_dups(spark):
+    """The dedup contract that matters at 100 TB: ACTUAL near-duplicates
+    (cos >= 0.85, the use case) must essentially never be missed —
+    P(miss) < 1e-4 per pair at b=12/L=32 — while the candidate join
+    admits only a small fraction of all pairs.  300 isotropic vectors +
+    30 planted copies (copy + small noise, cos ~0.97-0.99): every
+    planted pair must survive, candidates < 3% of pairs."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.operators.similarity import (
+        NEAR_DUP_TAU,
+        emb_lsh_buckets,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((300, 64)).astype(np.float32)
+    planted = []
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    for j in range(30):
+        noisy = base[j] + 0.08 * rng.standard_normal(64).astype(np.float32)
+        rows.append((300 + j, [float(x) for x in noisy]))
+        planted.append((j, 300 + j))
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    sigs = e.select(
+        "vec_id", F.posexplode(emb_lsh_buckets(F.col("embedding"))).alias("t", "bucket")
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb"))
+        .distinct()
+    )
+    got = {(r.va, r.vb) for r in cand.collect()}
+    missed = [p for p in planted if p not in got]
+    assert not missed, f"planted near-dups missed by LSH buckets: {missed}"
+    n = 330
+    assert len(got) < 0.03 * n * (n - 1) / 2, f"candidates {len(got)} too many"
+
+
+def test_emb_lsh_dedup_subset_of_exact(spark):
+    """On the fixtures the LSH query's output must be a SUBSET of the
+    exact block-GEMM query's (identical tau, exact verify — LSH can
+    only lose candidates, never invent pairs), with the measured
+    worst-case recall floor (isotropic data, pairs at cos 0.4-0.5 —
+    see the frontier note in similarity.py)."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_CORRECTNESS
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_dedup_embedding"](spark, SF_CORRECTNESS).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_dedup_embedding_lsh"](spark, SF_CORRECTNESS).collect()
+    }
+    assert lsh <= exact
+    assert len(lsh) / len(exact) >= 0.08, f"recall {len(lsh)}/{len(exact)}"
+
+
 def test_approx_distinct_within_rsd_of_exact(spark):
     """The HLL++ estimate stays within 3x the configured 2% relative
     standard deviation of the exact distinct count — checked on the raw

@@ -363,3 +363,17 @@ def test_window_ntile_no_global_single_reducer_sort(spark):
     # the big side arrives pre-ranked via the pinned checkpoint; the
     # broadcast side is the metadata offsets table
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_emb_lsh_dedup_single_projection_per_side_no_cartesian(spark):
+    """The LSH dedup's bucket projection must be ONE opaque MapInPandas
+    per self-join side — the column-UDF spelling gets split by
+    ExtractPythonUDFs into a filter evaluation PLUS a projection
+    evaluation (4 Python crossings instead of 2) — and the candidate
+    join must be a hash join on (t, bucket), never a cartesian."""
+    plan = plan_of(QUERIES["q_dedup_embedding_lsh"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # formatted explain lists each node twice (tree + detail); count the
+    # "(n) MapInPandas" detail headers only
+    assert plan.count(") MapInPandas") == 2
+    assert "ArrowEvalPython" not in plan
