@@ -15,11 +15,12 @@ Four tiers, increasingly approximate and increasingly scalable:
                      Jaccard verifies.  All JVM built-ins (xxhash64 +
                      higher-order array functions) — no Python, no
                      pyspark.ml vector conversion.
-  * SimHash        — 64-bit bit-majority signature per doc, computed as
-                     a pure JVM projection (higher-order array fold —
-                     zero shuffle); near-dups are signatures within
-                     Hamming distance r, found via the 3-of-6-block
-                     exact-match join (Manku et al., WWW'07).
+  * SimHash        — 60-bit bit-majority signature per doc, computed as
+                     a pure projection (Arrow-batched numpy voting
+                     kernel — zero shuffle); near-dups are signatures
+                     within Hamming distance r, found via the
+                     3-of-6-block exact-match join (Manku et al.,
+                     WWW'07).
 """
 
 from __future__ import annotations
@@ -308,54 +309,65 @@ _SIMHASH_COMBOS = [
 ]  # C(6,3) = 20
 
 
-# Per-token md5-derived hash halves, shared by the kernel and the pure
-# JVM fold: h1 = md5 hex chars 1-8 (bits 0..31), h2 = chars 9-15
-# (bits 32..59).
-_TOKEN_HASHES = """
-    transform(transform(array_distinct(split(text, ' ')), t -> md5(t)),
-              m -> named_struct(
-                  'h1', cast(conv(substring(m, 1, 8), 16, 10) as bigint),
-                  'h2', cast(conv(substring(m, 9, 7), 16, 10) as bigint)))
-"""
 
 
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """60-bit SimHash per doc — per-bit majority over distinct tokens,
-    token bits 0..31 from md5 hex chars 1-8, bits 32..59 from chars 9-15.
+    token bits 0..31 from md5 hex chars 1-8, bits 32..59 from chars 9-15
+    (md5 so DuckDB recomputes identical bits; see module note above).
 
-    SimHash is doc-local, so it is a pure PROJECTION: tokenize, hash
-    each distinct token (md5 + conv, whole-stage codegen), accumulate a
-    60-wide ±1 bit-count vector with aggregate/zip_with, and fold the
-    sign bits into one long inside the aggregate's `finish` lambda.
-    Zero shuffle — the signature build rides the parquet scan; the
-    explode+groupBy alternative shuffles every token of the corpus
-    first (~200x the signature bytes).  (An Arrow-batched numpy voting
-    kernel was benchmarked against this fold at sf0.1 and LOST — 0.7 s
-    vs 0.4 s — the per-batch Arrow framing outweighs the lambda
-    interpretation at realistic tokens/doc, so the no-Python spelling
-    is primary.)
+    SimHash is doc-local, so it is a pure PROJECTION (no shuffle — the
+    signature build rides the scan; the explode+groupBy alternative
+    shuffles every token of the corpus first, ~200x the signature
+    bytes).  The projection runs as an Arrow-batched numpy kernel: a
+    per-partition token->(±1)^60 row cache (Zipf vocabularies make this
+    hit-dominated) and one fancy-gather + column-sum per doc.  Measured
+    against the SQL-lambda fold that was primary through round 3
+    (aggregate/zip_with over sequence(0,59) — JVM but CodegenFallback,
+    i.e. interpreted per token-bit): 5k fixture docs 0.5 s vs 1.8 s,
+    50k stress docs ~2.5 s single-threaded vs 27 s on 32 cores — the
+    lambda interpreter loses by ~10x per core at any scale that
+    matters, so the Arrow kernel is now primary.  (np.add.at scatter
+    and np.add.reduceat segment-sum spellings measured 13 s and 33 s at
+    50k docs — both materialize the per-occurrence bit-row matrix; the
+    per-doc gather stays cache-resident.)"""
 
-    Written as SQL lambdas over `sequence(0, 59)` rather than 60
-    unrolled Python-built terms: the loop form compiles to ~100 bytes
-    of codegen instead of a 4,000-term expression tree (the unrolled
-    variant costs ~10 s of Janino compile per plan).  `acc` is a bound
-    lambda variable, so the finish fold reads it 60 times without
-    re-inlining the upstream aggregate (the Catalyst CollapseProject
-    gotcha)."""
-    sig = F.expr(
-        f"""
-        aggregate(
-          {_TOKEN_HASHES},
-          array_repeat(0, 60),
-          (acc, h) -> zip_with(acc, sequence(0, 59),
-                               (a, b) -> a + int(if(b < 32, shiftright(h.h1, b),
-                                                    shiftright(h.h2, b - 32)) & 1) * 2 - 1),
-          acc -> aggregate(sequence(0, 59), 0L,
-                           (s, b) -> s + shiftleft(if(element_at(acc, b + 1) > 0, 1L, 0L), b))
-        )
-        """
-    )
-    return docs.select("doc_id", sig.alias("sig"))
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        pow2 = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
+        shifts = np.arange(SIMHASH_BITS)
+        tok_idx: dict = {}
+        B = np.empty((4096, SIMHASH_BITS), dtype=np.int8)
+        n_tok = 0
+
+        def idx_of(t):
+            nonlocal B, n_tok
+            i = tok_idx.get(t)
+            if i is None:
+                h = hashlib.md5(t.encode()).hexdigest()
+                v = (int(h[8:15], 16) << 32) | int(h[0:8], 16)
+                if n_tok == len(B):
+                    B = np.concatenate([B, np.empty_like(B)])
+                B[n_tok] = ((v >> shifts) & 1).astype(np.int8) * 2 - 1
+                i = n_tok
+                tok_idx[t] = i
+                n_tok += 1
+            return i
+
+        for pdf in batches:
+            texts = pdf["text"].to_numpy()
+            sigs = np.empty(len(texts), dtype=np.int64)
+            for i, text in enumerate(texts):
+                idx = [idx_of(t) for t in set(text.split(" "))]
+                votes = B[idx].sum(0, dtype=np.int32)
+                sigs[i] = (votes > 0).astype(np.int64) @ pow2
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(kernel, "doc_id long, sig long")
 
 
 def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -379,12 +391,12 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
         return F.shiftright("sig", off).bitwiseAND(F.lit((1 << width) - 1))
 
     blocks = [block(off, w) for off, w in _SIMHASH_BLOCKS]
-    # Exchange barrier: sig is typically a 64-term projection (see
-    # simhash_signatures); without the barrier CollapseProject inlines
-    # that chain into all 60 block references below — a 3,800-term
-    # codegen bomb (the Catalyst re-inline gotcha).  Shuffling 16-byte
-    # (doc_id, sig) rows is negligible at any scale and materializes the
-    # signature exactly once.
+    # Exchange barrier: materializes the signature exactly once so the
+    # self-join below feeds both sides from one run of the Arrow kernel
+    # (and, historically, kept CollapseProject from re-inlining the
+    # SQL-lambda signature into all 60 block references — the 3,800-term
+    # codegen bomb).  Shuffling 16-byte (doc_id, sig) rows is negligible
+    # at any scale.
     sig = sig.repartition("doc_id")
     keyed = sig.select(
         "doc_id",
