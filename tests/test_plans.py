@@ -374,6 +374,9 @@ def test_emb_lsh_dedup_single_projection_per_side_no_cartesian(spark):
     plan = plan_of(QUERIES["q_dedup_embedding_lsh"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     # formatted explain lists each node twice (tree + detail); count the
-    # "(n) MapInPandas" detail headers only
-    assert plan.count(") MapInPandas") == 2
+    # "(n) <Node>" detail headers only
+    # 2 projection nodes (one per self-join side) + 1 verify node; a
+    # column-UDF verify referenced by filter AND projection would split
+    # into two ArrowEvalPython crossings
+    assert plan.count(") MapInPandas") == 3
     assert "ArrowEvalPython" not in plan

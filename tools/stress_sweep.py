@@ -51,6 +51,8 @@ TARGETS = [
     "q_dedup_fuzzy",
     "q_dedup_minhash",
     "q_dedup_simhash",
+    "q_dedup_substring",
+    "q_dedup_embedding_lsh",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_batch",
