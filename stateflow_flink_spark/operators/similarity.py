@@ -4,8 +4,12 @@ Three tiers:
 
   * brute-force cosine top-k — the exact baseline: one broadcast of the
     query vector, one pass over the table, TakeOrderedAndProject for
-    the top-k.  All arithmetic is JVM higher-order functions
-    (zip_with + aggregate), no Python in the scan.
+    the top-k.  Scoring is the Arrow-batched :func:`cosine_arrow`
+    kernel: the JVM higher-order spelling (:func:`cosine`) is
+    CodegenFallback — interpreted per element — and the round-4 stress
+    sweep measured it as the dominant cost of every scoring pass at 10x
+    scale; the batched numpy kernel is ~50x per core with identical
+    semantics.
   * kNN classification — probes x corpus scored the same way; per-probe
     rank + majority vote.
   * random-hyperplane LSH (ANN) — the 100 TB path: L independent
@@ -96,6 +100,32 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
+@pandas_udf(DoubleType())
+def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched twin of :func:`cosine` — identical semantics
+    (float64 of float32 products, NULL on a zero-norm side), ~50x the
+    throughput: the zip_with/aggregate spelling is CodegenFallback
+    (interpreted per element), which the round-4 stress sweep measured
+    as the dominant cost of every scoring pass at 10x scale (e.g.
+    q_sim_ann_ivf 's n x 16 centroid assignment).  Sum-order wobble vs
+    the JVM/DuckDB sequential fold is absorbed by the module-wide 6 dp
+    rounding, exactly as for the block-GEMM kernel."""
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    x = np.stack(a.to_numpy()).astype(np.float64)
+    y = np.stack(b.to_numpy()).astype(np.float64)
+    denom = np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+    out = np.divide(
+        (x * y).sum(axis=1),
+        denom,
+        out=np.full(len(x), np.nan),
+        where=denom != 0,
+    )
+    s = pd.array(out, dtype="Float64")  # nullable: NaN stays a VALUE,
+    s[denom == 0] = pd.NA  # zero-norm becomes SQL NULL (try_divide parity)
+    return pd.Series(s)
+
+
 # list_cosine_similarity over DOUBLE[] is bit-identical to the
 # SUM-over-UNNEST spelling and ~100x faster (the float32 column MUST be
 # cast first — the float overload computes in single precision).
@@ -126,7 +156,7 @@ def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -173,7 +203,7 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_id",
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("pe")), 6).alias("c"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("pe")), 6).alias("c"),
         )
     )
     rank_w = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
@@ -432,7 +462,7 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -781,7 +811,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         "cent_id",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("cs"),
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
@@ -802,7 +832,7 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands.select(
             "vec_id",
             "label",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(10)
@@ -876,7 +906,7 @@ def q_sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         "embedding",
         "cent_id",
-        F.round(cosine(F.col("embedding"), F.col("ce")), 6).alias("cs"),
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("cs"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
     ranked = scored.withColumn("rn", F.row_number().over(w))
@@ -901,7 +931,7 @@ def q_sim_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_id",
         "vec_id",
         "label",
-        F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
     )
     topw = Window.partitionBy("probe_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (

@@ -46,11 +46,22 @@ NOTES = {
     ),
     "q_dedup_simhash": (
         "The 60-bit md5-derived signature is a zero-shuffle projection "
-        "(SQL-lambda fold riding the scan); one exchange materializes "
-        "(doc_id, sig) 16-byte rows before the 20-key 3-of-6-block explode, "
-        "and the candidate self-join shuffles on the ~30-bit combo bucket — "
-        "the bucket space grows with the corpus instead of saturating at "
+        "(Arrow-batched numpy voting kernel riding the scan — the SQL-lambda "
+        "fold it replaced is CodegenFallback and cost 10x, caught by the "
+        "round-4 stress sweep); one exchange materializes (doc_id, sig) "
+        "16-byte rows before the 20-key 3-of-6-block explode, and the "
+        "candidate self-join shuffles on the ~30-bit combo bucket — the "
+        "bucket space grows with the corpus instead of saturating at "
         "2^16 per band."
+    ),
+    "q_dedup_embedding_lsh": (
+        "The scale-path twin of the exact block-GEMM near-dup query: one "
+        "MapInPandas integer-matmul projection per self-join side (engine-"
+        "exact md5-derived hyperplanes), a SLIM (vec_id, t, bucket) "
+        "candidate self-join — the 32-table fan-out never amplifies the "
+        "64-float payload — then embeddings join back by id into one opaque "
+        "MapInPandas verify (score + threshold fused: a column-UDF verify "
+        "would be split by ExtractPythonUDFs into two Python crossings)."
     ),
     "q_dedup_substring": (
         "The sliding-window hash stream is materialized once: min/max(doc) "
