@@ -369,3 +369,119 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter pre-filtered join (runtime semi-join pushdown, spelled out)
+# ---------------------------------------------------------------------------
+#
+# Spark's InjectRuntimeFilter does exactly this automatically when it
+# fires (bloom built on the small side, pushed into the big side's
+# scan), but it is heuristic-gated and its `bloom_filter_agg` is not in
+# the public function registry — so this query spells the pattern out
+# as a DataFrame composition a user can apply deliberately:
+#
+#   1. build: d hash positions per dim key -> (word, bit) -> one
+#      partial-aggregating groupBy `bit_or` -> ONE row holding the
+#      whole filter as a map<word, bits-long>.  The sketch is
+#      BLOOM_WORDS longs (~128 KiB here) regardless of dim size.
+#   2. probe: broadcast that one row; each fact row tests its d
+#      positions with pure JVM bit arithmetic — a map-side filter that
+#      never shuffles the fact.
+#   3. exact join after the pre-filter removes bloom false positives,
+#      so the result is EXACTLY the plain join (the oracle).
+#
+# At 100 TB the win is shuffle volume: the fact side entering the join
+# exchange shrinks by the dim's selectivity (here: one mktsegment of
+# customers), for the price of one broadcast of a fixed-size bitset.
+
+BLOOM_WORDS = 16_384  # 2^14 longs = 2^20 bits
+BLOOM_HASHES = 3
+
+
+def _bloom_positions(key, n_hashes: int = BLOOM_HASHES):
+    """(word, mask) pairs for key under seeded xxhash64 (engine-local:
+    the bloom never crosses engines — correctness comes from the exact
+    post-join)."""
+    out = []
+    for j in range(n_hashes):
+        bitpos = F.pmod(F.xxhash64(key, F.lit(j)), F.lit(BLOOM_WORDS * 64))
+        out.append(
+            (
+                (bitpos / 64).cast("int"),
+                # F.shiftleft takes a Python-int shift; call the SQL
+                # function directly to shift by a per-row column
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (bitpos % 64).cast("int")
+                ),
+            )
+        )
+    return out
+
+
+def bloom_build(dim: DataFrame, key_col: str) -> DataFrame:
+    """ONE-row DataFrame: {"bf": map<int, long>} bloom of dim[key_col]."""
+    pairs = _bloom_positions(F.col(key_col))
+    exploded = dim.select(
+        F.explode(
+            F.array(*[F.struct(w.alias("word"), m.alias("mask")) for w, m in pairs])
+        ).alias("p")
+    )
+    words = exploded.groupBy(F.col("p.word").alias("word")).agg(
+        F.bit_or("p.mask").alias("bits")
+    )
+    return words.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("word", "bits")))
+        ).alias("bf")
+    )
+
+
+def bloom_might_contain(bf, key):
+    """True iff all d positions are set (no false negatives)."""
+    cond = F.lit(True)
+    for w, m in _bloom_positions(key):
+        cond = cond & (
+            F.coalesce(F.element_at(bf, w), F.lit(0).cast("long")).bitwiseAND(m) != 0
+        )
+    return cond
+
+
+@query(
+    "q_join_bloom",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           {sql_sum("o.o_totalprice")} AS sum_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 1000.0
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ (selective customer subset) with a bloom-filter
+    pre-filter on the fact side — the explicit spelling of runtime
+    semi-join pushdown (see module comment above this query).
+
+    The bloom is built with one partial-aggregated groupBy over the dim
+    keys, broadcast as a single map row, and probed map-side with JVM
+    bit arithmetic; the exact join then removes false positives, so the
+    output is identical to the plain join and shares its oracle."""
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    dim = (
+        load(spark, sf_dir, "customer")
+        .filter((F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 1000.0))
+        .select("c_custkey", "c_mktsegment")
+    )
+    bf = bloom_build(dim, "c_custkey")
+    pre = orders.join(broadcast(bf)).filter(
+        bloom_might_contain(F.col("bf"), F.col("o_custkey"))
+    )
+    return (
+        pre.join(dim, pre.o_custkey == dim.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice").alias("sum_price"),
+        )
+    )

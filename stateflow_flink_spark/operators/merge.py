@@ -11,7 +11,7 @@ projection over the join output, and AQE handles skewed keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -87,4 +87,74 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c_custkey").isNull(), "insert")
         .otherwise("update")
         .alias("op"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 history build (CDC change tracking)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
+                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM changes
+"""
+
+# Kimball's open-row sentinel: current versions carry a far-future
+# valid_to instead of NULL, so BETWEEN probes need no null branch (and
+# the cross-engine value-hash never sees a null timestamp).  2200-01-01
+# rather than the classic 9999-12-31 because pandas datetime64[ns] —
+# the driver's toPandas dtype — overflows past 2262.
+_SCD2_HIGH_DATE = "2200-01-01 00:00:00"
+
+
+@query("q_scd2_track", _SCD2_ORACLE)
+def q_scd2_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 from a change stream (Kimball's
+    warehouse pattern; the batch shape of a CDC pipeline): collapse
+    each user's event_type sequence into validity intervals —
+    consecutive repeats merge, every change opens a new version row
+    with [valid_from, valid_to) stamped by LEAD, and the open-ended row
+    is flagged current.
+
+    Scale shape: both windows share ONE hash-partitioning on user_id
+    (Catalyst plans a single exchange + sort for the whole query); the
+    change-point filter runs before the second window, so the history
+    frame LEAD/ROW_NUMBER sorts only surviving change rows.  Ordering
+    inside a key is (ts, event_id) — total, so replays and engine
+    differences cannot reorder equal-timestamp events."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(order))
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    hist = Window.partitionBy("user_id").orderBy(F.asc("ts"))
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.coalesce(
+            F.lead("ts").over(hist),
+            F.lit(_SCD2_HIGH_DATE).cast("timestamp"),
+        ).alias("valid_to"),
+        F.row_number().over(hist).alias("version"),
+        F.lead("ts").over(hist).isNull().alias("is_current"),
     )

@@ -298,3 +298,53 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(w / F.col("total"), 6).alias("weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (weighted random sample without replacement)
+# ---------------------------------------------------------------------------
+
+_PRIORITY_K = 200
+
+
+@query(
+    "q_sample_weighted",
+    f"""
+    SELECT doc_id, source, n_chars
+    FROM (
+        SELECT doc_id, source, n_chars,
+               CAST(1 + {_SQL_BUCKET.format(c="doc_id")} AS DOUBLE)
+                   / {_BUCKETS} / n_chars AS priority
+        FROM documents
+    )
+    ORDER BY priority ASC, doc_id ASC
+    LIMIT {_PRIORITY_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample of 200 documents, length-proportional, via
+    PRIORITY SAMPLING (Duffield, Lund & Thorup, JACM 2007): each row
+    gets priority u/w with u content-hash-uniform in (0,1] and weight
+    w = n_chars; the k smallest priorities are the sample.  Selection
+    probability rises with w, the scheme is without-replacement, and
+    the w/tau estimator it induces is unbiased for subset sums — the
+    standard way to sample a 100 TB corpus by length without a global
+    sort: the plan is a pure projection into TakeOrderedAndProject
+    (per-partition top-k heaps, k rows to the driver).
+
+    Cross-engine determinism: u = (md5-bucket+1)/10000 is one correctly
+    rounded IEEE division of exact integers, /w is a second — both
+    engines produce bit-identical priorities, so the top-k set and
+    order agree exactly (doc_id breaks the measure-zero ties).  No
+    rand(): re-running, repartitioning, or growing the corpus never
+    changes an existing row's priority.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = (_hash_bucket("doc_id") + 1).cast("double") / _BUCKETS
+    priority = u / F.col("n_chars")
+    return (
+        d.select("doc_id", "source", "n_chars", priority.alias("priority"))
+        .orderBy(F.asc("priority"), F.asc("doc_id"))
+        .limit(_PRIORITY_K)
+        .drop("priority")
+    )

@@ -130,6 +130,27 @@ NOTES = {
         "centroid update shuffles exact 6dp-quantized integer sums keyed by "
         "(cent, dim). No CartesianProduct, no driver-side collect."
     ),
+    "q_join_bloom": (
+        "Runtime semi-join pushdown spelled out: the dim keys collapse via "
+        "partial-agg bit_or into ONE map row (a fixed-size bitset), which "
+        "arrives at the fact through BroadcastExchange; the membership probe "
+        "is a plain codegen Filter of bitwise ANDs, so the fact is "
+        "pre-filtered to the dim's selectivity BEFORE the join exchange — "
+        "that exchange is the term that shrinks at 100 TB."
+    ),
+    "q_emb_quantize": (
+        "The PQ encode pass: subspace slices are a zero-shuffle projection, "
+        "the 64-row codebook a BroadcastExchange, and the argmin a packed "
+        "min(d2*K + code) hash aggregate — partial before the exchange, no "
+        "Window, no Sort. Distances are exact BIGINT arithmetic on "
+        "floor(x*1000) quantized elements, so the codes are reproducible "
+        "bit-for-bit on any engine."
+    ),
+    "q_scd2_track": (
+        "Both window passes and the change-point filter ride ONE "
+        "hashpartitioning(user_id) exchange (plan-gated); the second "
+        "lead/row_number sort sees only surviving change rows."
+    ),
 }
 
 

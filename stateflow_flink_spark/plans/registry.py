@@ -65,8 +65,10 @@ def load_all_modules() -> None:
         udfs,
     )
     from ..operators import (  # noqa: F401
+        anomaly,
         curation,
         filters,
+        quantize,
         sampling,
         scans,
         sorts,

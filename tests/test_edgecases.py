@@ -533,3 +533,101 @@ def test_ann_batch_recall_per_probe(spark):
         truth = [i for i in order if ids[i] != p][:BATCH_TOP_K]
         recall = len(set(ids[truth]) & got[p])
         assert recall >= 3, f"probe {p}: recall {recall}/{BATCH_TOP_K}"
+
+
+def test_bloom_membership_exact_on_tiny_set(spark):
+    """Every inserted key tests positive (no false negatives — the
+    bloom invariant the pre-filter correctness rests on), and a
+    disjoint probe set is mostly rejected (the filter actually
+    filters)."""
+    from pyspark.sql.functions import broadcast
+
+    from stateflow_flink_spark.operators.joins import bloom_build, bloom_might_contain
+
+    keys = spark.range(0, 100).withColumnRenamed("id", "k")
+    bf = bloom_build(keys, "k")
+    probe = spark.range(0, 10_000).withColumnRenamed("id", "k")
+    hits = (
+        probe.join(broadcast(bf))
+        .filter(bloom_might_contain(F.col("bf"), F.col("k")))
+        .select("k")
+        .collect()
+    )
+    hit_set = {r["k"] for r in hits}
+    assert set(range(100)) <= hit_set  # zero false negatives
+    # 2^20 bits, 300 set bits: false-positive rate ~(300/2^20)^3 — a
+    # loose <1% bound catches a broken hash without being flaky
+    assert len(hit_set) - 100 < 100
+
+
+def test_priority_sampling_prefers_heavy_rows(spark):
+    """Priority sampling must select long documents at a higher rate
+    than short ones: with weights 1000 vs 10 the heavy half should
+    dominate the sample (statistical, wide margin)."""
+    from stateflow_flink_spark.operators.sampling import _BUCKETS, _hash_bucket
+
+    rows = [(i, 1000 if i % 2 == 0 else 10) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_chars"])
+    u = (_hash_bucket("doc_id") + 1).cast("double") / _BUCKETS
+    top = (
+        df.select("doc_id", "n_chars", (u / F.col("n_chars")).alias("priority"))
+        .orderBy("priority", "doc_id")
+        .limit(200)
+        .collect()
+    )
+    heavy = sum(1 for r in top if r["n_chars"] == 1000)
+    assert heavy > 150  # E[heavy] ≈ 198; <150 would mean broken weighting
+
+
+def test_scd2_collapses_runs_and_flags_current(spark):
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+    import pandas as pd
+
+    load_all_modules()
+
+    out = QUERIES["q_scd2_track"](spark, "/root/testdata/sf0.001").toPandas()
+    # exactly one current row per user, and it carries the sentinel
+    cur = out[out["is_current"]]
+    assert cur.groupby("user_id").size().eq(1).all()
+    assert (cur["valid_to"] == pd.Timestamp("2200-01-01")).all()
+    # versions are 1..n dense per user
+    for _, g in out.groupby("user_id"):
+        assert sorted(g["version"]) == list(range(1, len(g) + 1))
+    # intervals chain: next valid_from == previous valid_to
+    for _, g in out.sort_values(["user_id", "version"]).groupby("user_id"):
+        v = g.reset_index(drop=True)
+        for i in range(len(v) - 1):
+            assert v.loc[i, "valid_to"] == v.loc[i + 1, "valid_from"]
+
+
+def test_pq_codes_in_range_and_codebook_rows_zero_error(spark):
+    """Codebook members must encode to themselves (error 0, code = own
+    id per subspace); all codes must lie in [0, K)."""
+    from stateflow_flink_spark.operators.quantize import PQ_K, PQ_M
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    out = QUERIES["q_emb_quantize"](spark, "/root/testdata/sf0.001").toPandas()
+    for s in range(PQ_M):
+        assert out[f"code_{s}"].between(0, PQ_K - 1).all()
+    cb = out[out["vec_id"] < PQ_K]
+    assert (cb["err_q"] == 0).all()
+    for s in range(PQ_M):
+        assert (cb[f"code_{s}"] == cb["vec_id"]).all()
+
+
+def test_anomaly_mad_flags_planted_outlier(spark):
+    """A literal frame with one wild value: the MAD gate must flag
+    exactly that row, and the median/MAD must ignore it (robustness —
+    the property a mean/stddev z-score lacks)."""
+    import stateflow_flink_spark.operators.anomaly  # noqa: F401  (registers)
+    from pyspark.sql import Row
+
+    rows = [Row(event_type="t", value=float(v)) for v in
+            [10.0, 11.0, 12.0, 13.0, 14.0, 1_000_000.0, 9.0]]
+    df = spark.createDataFrame(rows)
+    med = df.selectExpr(
+        "percentile(CAST(CAST(value*1000000 AS DECIMAL(38,0)) AS DOUBLE), 0.5) AS m"
+    ).collect()[0]["m"]
+    assert med == 12_000_000.0  # median unmoved by the 1e6 outlier

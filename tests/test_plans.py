@@ -380,3 +380,69 @@ def test_emb_lsh_dedup_single_projection_per_side_no_cartesian(spark):
     # into two ArrowEvalPython crossings
     assert plan.count(") MapInPandas") == 3
     assert "ArrowEvalPython" not in plan
+
+
+def test_join_bloom_broadcasts_filter_and_prefilters_mapside(spark):
+    """The bloom bitset must reach the fact as a broadcast (never a
+    shuffle of orders before the pre-filter), and the exact join must
+    still be present to scrub false positives."""
+    plan = plan_of(QUERIES["q_join_bloom"](spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    # the bit-test probe is a plain Filter containing the bitwise AND
+    assert "&" in plan or "shiftleft" in plan
+
+
+def test_join_bloom_no_false_negatives(spark):
+    """Bloom pre-filter must keep every true match: pre-filtered join
+    count equals plain join count (false positives are scrubbed by the
+    exact join; false NEGATIVES would silently drop rows)."""
+    from pyspark.sql import functions as F
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.joins import bloom_build, bloom_might_contain
+
+    dim = (
+        load(spark, SF_SMOKE, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, SF_SMOKE, "orders").select("o_custkey")
+    bf = bloom_build(dim, "c_custkey")
+    pre = orders.join(F.broadcast(bf)).filter(
+        bloom_might_contain(F.col("bf"), F.col("o_custkey"))
+    )
+    exact = orders.join(dim, orders.o_custkey == dim.c_custkey).count()
+    prefiltered = pre.join(dim, pre.o_custkey == dim.c_custkey).count()
+    assert prefiltered == exact
+
+
+def test_sample_weighted_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(QUERIES["q_sample_weighted"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_emb_quantize_has_no_window_sort(spark):
+    """The PQ argmin is a packed-integer MIN — pure hash aggregation;
+    a Window/Sort in the plan would mean the encode pass sorts the
+    corpus."""
+    plan = plan_of(QUERIES["q_emb_quantize"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan  # codebook broadcast
+    assert plan.count("HashAggregate") >= 2  # partial+final
+
+
+def test_scd2_windows_share_one_exchange(spark):
+    """Both window passes key on user_id; Catalyst must plan exactly
+    one hash-partitioning exchange for the whole query."""
+    plan = plan_of(QUERIES["q_scd2_track"](spark, SF_SMOKE))
+    assert plan.count(") Exchange") == 1
+    assert plan.count("hashpartitioning(user_id") >= 1
+
+
+def test_anomaly_mad_broadcasts_stats_frames(spark):
+    """Both stats joins (median, MAD) broadcast the #event_types-sized
+    frame; the events fact must never be the build side."""
+    plan = plan_of(QUERIES["q_anomaly_mad"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
