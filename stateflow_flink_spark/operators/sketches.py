@@ -167,3 +167,72 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n",
         (F.col("cms_est") - F.col("true_n")).alias("overestimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Partitioned HLL sketches + lossless union merge (Apache DataSketches)
+# ---------------------------------------------------------------------------
+
+_HLL_LGK = 12  # 2^12 registers: ~1.6% standard error; tolerance below is 3x
+_HLL_TOL = 0.05
+
+_HLL_ORACLE = """
+    WITH per_type AS (
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users_exact
+        FROM events GROUP BY event_type
+    ),
+    overall AS (
+        SELECT 'ALL' AS event_type, COUNT(DISTINCT user_id) AS n_users_exact
+        FROM events
+    )
+    SELECT event_type, n_users_exact, TRUE AS hll_within_tol
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM overall)
+"""
+
+
+@query("q_sketch_hll_partitioned", _HLL_ORACLE)
+def q_sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-users-per-event-type AND overall via Apache DataSketches
+    HLL (`hll_sketch_agg` / `hll_union_agg`) — the MERGEABILITY pattern
+    `q_agg_approx` doesn't show: the per-type sketches are a tiny
+    materializable artifact (one ~2^12-register blob per type), and the
+    global count is a LOSSLESS union of those blobs that never rescans
+    the fact table.  At 100 TB this is the daily-partition playbook:
+    sketch each partition once on ingest, answer any cross-partition
+    distinct query by merging kilobytes.
+
+    Estimates are sketch-impl-specific, so (house pattern, see
+    q_agg_approx) the checkable output is the exact count + a boolean
+    asserting the estimate within ±5% (3x the lgK=12 standard error).
+    The exact twins live on their own plan; deleting them leaves the
+    pure sketch pipeline.  tests/test_edgecases.py bounds the raw
+    estimates too."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = e.groupBy("event_type").agg(
+        F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
+    )
+    per_type_est = sk.select(
+        "event_type", F.expr("hll_sketch_estimate(sk)").alias("est")
+    )
+    union_est = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est")
+    ).select(F.lit("ALL").alias("event_type"), "est")
+    exact_type = e.groupBy("event_type", "user_id").agg(F.lit(1)).groupBy(
+        "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_users_exact"))
+    exact_all = (
+        e.select("user_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_users_exact"))
+        .select(F.lit("ALL").alias("event_type"), "n_users_exact")
+    )
+    ests = per_type_est.unionByName(union_est)
+    exacts = exact_type.unionByName(exact_all)
+    return ests.join(exacts, "event_type").select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("est") - F.col("n_users_exact"))
+            <= _HLL_TOL * F.col("n_users_exact")
+        ).alias("hll_within_tol"),
+    )

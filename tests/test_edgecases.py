@@ -631,3 +631,24 @@ def test_anomaly_mad_flags_planted_outlier(spark):
         "percentile(CAST(CAST(value*1000000 AS DECIMAL(38,0)) AS DOUBLE), 0.5) AS m"
     ).collect()[0]["m"]
     assert med == 12_000_000.0  # median unmoved by the 1e6 outlier
+
+
+def test_hll_union_is_lossless_vs_flat_sketch(spark):
+    """Merging per-group HLL sketches must estimate the SAME value as
+    one flat sketch over all rows (DataSketches union is lossless at
+    equal lgK) — the mergeability property the partitioned pattern
+    rests on — and both must land within tolerance of the truth."""
+    from stateflow_flink_spark.operators.sketches import _HLL_LGK
+
+    df = spark.range(0, 20_000).selectExpr("id % 7 AS grp", "id % 4999 AS v")
+    flat = df.selectExpr(
+        f"hll_sketch_estimate(hll_sketch_agg(v, {_HLL_LGK})) AS est"
+    ).collect()[0]["est"]
+    merged = (
+        df.groupBy("grp")
+        .agg(F.expr(f"hll_sketch_agg(v, {_HLL_LGK})").alias("sk"))
+        .selectExpr("hll_sketch_estimate(hll_union_agg(sk, true)) AS est")
+        .collect()[0]["est"]
+    )
+    assert abs(flat - 4999) <= 0.05 * 4999
+    assert abs(merged - 4999) <= 0.05 * 4999
