@@ -416,3 +416,76 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph/sentence-level exact dedup (the C4 / Dolma pattern)
+# ---------------------------------------------------------------------------
+
+_SENT_MIN_CHARS = 20  # ignore fragments; C4 used 3-sentence spans, Dolma paragraphs
+
+
+_PARA_ORACLE = f"""
+    WITH sents AS (
+        SELECT doc_id, TRIM(s) AS sent
+        FROM documents, UNNEST(STRING_SPLIT(text, '. ')) AS t(s)
+        WHERE LENGTH(TRIM(s)) >= {_SENT_MIN_CHARS}
+    ),
+    dup AS (
+        SELECT MD5(sent) AS h,
+               COUNT(DISTINCT doc_id) > 1 AS is_dup
+        FROM sents GROUP BY MD5(sent)
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_sents,
+           CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_sents,
+           CASE WHEN SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) * 2
+                     > COUNT(*) THEN 'flag' ELSE 'keep' END AS verdict
+    FROM sents s JOIN dup d ON MD5(s.sent) = d.h
+    GROUP BY s.doc_id
+"""
+
+
+@query("q_dedup_paragraph", _PARA_ORACLE)
+def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence/paragraph-level exact dedup exposure — the granularity
+    C4 (Raffel et al. 2020, three-sentence spans) and Dolma (paragraph
+    hashes) dedup at, between whole-document `q_dedup_exact` and
+    token-window `q_dedup_substring`: a span shared by >1 document
+    marks BOTH documents' copies, and a document whose shared spans
+    exceed half its sentences is flagged.
+
+    Scale shape: sentences explode once; the duplicated-span table
+    groups by span hash (partial agg — the shuffle carries one row per
+    distinct span per partition, hashes not text), joins back by hash,
+    and rolls up per doc.  Here the hash is md5 (shared bit-for-bit
+    with the oracle); a production run swaps in xxhash64 for 8-byte
+    shuffle keys — one line, same plan."""
+    d = load(spark, sf_dir, "documents")
+    sents = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("text"), "\\. ")).alias("raw"),
+    ).select("doc_id", F.trim(F.col("raw")).alias("sent")).filter(
+        F.length("sent") >= _SENT_MIN_CHARS
+    )
+    hashed = sents.select("doc_id", F.md5("sent").alias("h"))
+    dup = hashed.groupBy("h").agg(
+        (F.countDistinct("doc_id") > 1).alias("is_dup")
+    )
+    return (
+        hashed.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_sents"),
+        )
+        .select(
+            "doc_id",
+            "n_sents",
+            "n_dup_sents",
+            F.when(F.col("n_dup_sents") * 2 > F.col("n_sents"), "flag")
+            .otherwise("keep")
+            .alias("verdict"),
+        )
+    )

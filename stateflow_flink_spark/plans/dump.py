@@ -151,6 +151,20 @@ NOTES = {
         "hashpartitioning(user_id) exchange (plan-gated); the second "
         "lead/row_number sort sees only surviving change rows."
     ),
+    "q_zorder_layout": (
+        "The Morton interleave is 32 shift/mask terms inside "
+        "WholeStageCodegen riding the scan — layout assignment costs one "
+        "projection; the distinct-file census partial-aggregates. At "
+        "deploy time the z column feeds repartitionByRange + write, and "
+        "the payoff is file-level min/max pruning on EVERY interleaved "
+        "dimension."
+    ),
+    "q_dedup_paragraph": (
+        "Sentences explode once and immediately reduce to md5 hashes; "
+        "the dup-span groupBy partial-aggregates per partition and the "
+        "join-back carries (doc_id, hash) pairs — document text never "
+        "enters an exchange."
+    ),
 }
 
 

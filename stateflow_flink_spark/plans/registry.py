@@ -68,6 +68,7 @@ def load_all_modules() -> None:
         anomaly,
         curation,
         filters,
+        layout,
         quantize,
         sampling,
         scans,

@@ -652,3 +652,53 @@ def test_hll_union_is_lossless_vs_flat_sketch(spark):
     )
     assert abs(flat - 4999) <= 0.05 * 4999
     assert abs(merged - 4999) <= 0.05 * 4999
+
+
+def test_zorder_touches_fewer_files_than_linear_for_date_probe(spark):
+    """The point of the Z-order layout: a pure date-range probe touches
+    a smaller fraction of z-files than of custkey-sorted files (which
+    it must touch ~all of)."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    rows = {
+        r["layout"]: r
+        for r in QUERIES["q_zorder_layout"](spark, "/root/testdata/sf0.01").collect()
+    }
+    lin = rows["linear_custkey"]
+    z = rows["zorder"]
+    lin_frac = lin["files_touched"] / lin["n_files"]
+    z_frac = z["files_touched"] / z["n_files"]
+    assert lin_frac > 0.9  # custkey sort cannot prune dates
+    assert z_frac < lin_frac
+
+
+def test_dedup_paragraph_planted_duplicate_flags_both_docs(spark):
+    """Two docs sharing their only (long) sentence must both flag; a
+    doc of unique sentences must keep."""
+    from stateflow_flink_spark.operators.curation import q_dedup_paragraph  # noqa: F401
+    from stateflow_flink_spark.io import load as _load  # noqa: F401
+    from pyspark.sql import functions as SF
+
+    shared = "this exact sentence appears in two different documents"
+    df = spark.createDataFrame(
+        [
+            (1, shared + ". unique tail sentence number one here"),
+            (2, shared + ". a different unique tail sentence two"),
+            (3, "entirely unique content with no shared spans at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    sents = df.select(
+        "doc_id", SF.explode(SF.split("text", "\\. ")).alias("raw")
+    ).select("doc_id", SF.trim("raw").alias("sent")).filter(SF.length("sent") >= 20)
+    hashed = sents.select("doc_id", SF.md5("sent").alias("h"))
+    dup = hashed.groupBy("h").agg((SF.countDistinct("doc_id") > 1).alias("is_dup"))
+    out = (
+        hashed.join(dup, "h")
+        .groupBy("doc_id")
+        .agg(SF.sum(SF.when(SF.col("is_dup"), 1).otherwise(0)).alias("n_dup"))
+        .collect()
+    )
+    n_dup = {r["doc_id"]: r["n_dup"] for r in out}
+    assert n_dup[1] == 1 and n_dup[2] == 1 and n_dup[3] == 0

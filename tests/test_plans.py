@@ -446,3 +446,20 @@ def test_anomaly_mad_broadcasts_stats_frames(spark):
     plan = plan_of(QUERIES["q_anomaly_mad"](spark, SF_SMOKE))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
+
+
+def test_zorder_interleave_stays_in_codegen(spark):
+    """The Morton projection must be pure JVM expressions (no
+    BatchEvalPython / ArrowEvalPython) and feed partial aggregation."""
+    plan = plan_of(QUERIES["q_zorder_layout"](spark, SF_SMOKE))
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_dedup_paragraph_shuffles_hashes_not_text(spark):
+    """The span-dedup exchange must carry md5 hashes; the document text
+    column must not survive past the scan projection."""
+    plan = plan_of(QUERIES["q_dedup_paragraph"](spark, SF_SMOKE))
+    assert "Exchange" in plan and plan.count("HashAggregate") >= 2
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema

@@ -52,10 +52,12 @@ TARGETS = [
     "q_dedup_minhash",
     "q_dedup_simhash",
     "q_dedup_substring",
+    "q_dedup_paragraph",
     "q_dedup_embedding_lsh",
     "q_sim_ann_lsh",
     "q_sim_ann_ivf",
     "q_sim_ann_batch",
+    "q_emb_quantize",
 ]
 
 
