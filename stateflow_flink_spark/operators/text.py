@@ -379,3 +379,136 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Full training-data pipeline (quality -> dedup -> span-dedup -> split)
+# ---------------------------------------------------------------------------
+
+_TP_QUALITY_SQL = """
+    ROUND((
+        LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
+        + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
+                             ['the', 'a', 'of', 'and', 'to']))
+          * 1.0 / LEN(STRING_SPLIT(text, ' '))
+        + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
+                / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
+    ) / 3.0, 6)
+"""
+
+_TP_BUCKET_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " AS BIGINT) % 10000"
+)
+
+_TRAINING_PIPELINE_ORACLE = f"""
+    WITH kept AS (
+        SELECT doc_id, source, text
+        FROM (SELECT doc_id, source, text, {_TP_QUALITY_SQL} AS q FROM documents)
+        WHERE q >= 0.3
+    ),
+    deduped AS (
+        SELECT doc_id, source, text
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                           ORDER BY doc_id) AS rn
+              FROM kept)
+        WHERE rn = 1
+    ),
+    sents AS (
+        SELECT doc_id, TRIM(s) AS sent
+        FROM deduped, UNNEST(STRING_SPLIT(text, '. ')) AS t(s)
+        WHERE LENGTH(TRIM(s)) >= 20
+    ),
+    dupspan AS (
+        SELECT MD5(sent) AS h, COUNT(DISTINCT doc_id) > 1 AS is_dup
+        FROM sents GROUP BY MD5(sent)
+    ),
+    flagged AS (
+        SELECT s.doc_id
+        FROM sents s JOIN dupspan d ON MD5(s.sent) = d.h
+        GROUP BY s.doc_id
+        HAVING SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) * 2 > COUNT(*)
+    ),
+    clean AS (
+        SELECT doc_id, source, text FROM deduped
+        WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    )
+    SELECT CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (SELECT *, {_TP_BUCKET_SQL} AS b FROM clean)
+    GROUP BY 1, source
+"""
+
+
+@query("q_pipeline_training_data", _TRAINING_PIPELINE_ORACLE)
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data preparation pipeline in one job — every
+    stage an operator this engine ships, composed the way a 100 TB
+    corpus actually flows:
+
+        quality filter (q >= 0.3, q_text_quality's score)
+        -> exact dedup (keep lowest doc_id per md5, q_dedup_exact)
+        -> paragraph dedup (drop docs majority-composed of spans shared
+           with OTHER surviving docs, q_dedup_paragraph's flag)
+        -> deterministic 90/5/5 hash split (q_split_hash)
+        -> per-(split, source) doc/token census (the mixing-weight
+           input, q_mix_weights)
+
+    Scale shape: quality + split are zero-shuffle projections; the
+    pipeline's three exchanges are all hash-keyed (content digest,
+    sentence-span digest, final group keys) and each stage prunes rows
+    before the next pays for them — the filter runs before the dedup
+    window, the dedup before the sentence explode.  At 100 TB the
+    MinHash stage (q_dedup_minhash) slots between the span dedup and
+    the split as one more anti-join on the same frame."""
+    d = load(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id", "source", "text",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    ).filter(F.col("q") >= 0.3)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    sents = (
+        deduped.select("doc_id", F.explode(F.split("text", "\\. ")).alias("raw"))
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .filter(F.length("sent") >= 20)
+        .select("doc_id", F.md5("sent").alias("h"))
+    )
+    dupspan = sents.groupBy("h").agg(
+        (F.countDistinct("doc_id") > 1).alias("is_dup")
+    )
+    flagged = (
+        sents.join(dupspan, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sents"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        )
+        .filter(F.col("n_dup") * 2 > F.col("n_sents"))
+        .select("doc_id")
+    )
+    clean = deduped.join(flagged, "doc_id", "left_anti")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10_000
+    )
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "source", F.size(tokens(F.col("text"))).alias("n_toks"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("n_tokens"),
+        )
+    )

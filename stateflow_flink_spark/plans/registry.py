@@ -69,6 +69,7 @@ def load_all_modules() -> None:
         curation,
         filters,
         layout,
+        profiling,
         quantize,
         sampling,
         scans,

@@ -332,3 +332,111 @@ def q_stateful_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ValueState fold must agree exactly with the batch window fold."""
     events, _ = stream_events_dir(spark, sf_dir)
     return run_stateful_stream(spark, events)
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD Type-2 (incremental CDC history, ref-R9 state semantics)
+# ---------------------------------------------------------------------------
+
+_SCD2_STREAM_OUTPUT = (
+    "user_id long, event_type string, valid_from timestamp, "
+    "valid_to timestamp, version int"
+)
+
+
+def apply_scd2_stream(events: DataFrame) -> DataFrame:
+    """Incremental SCD2: per user, ValueState holds the OPEN version
+    (type, valid_from, version); an event of a different type CLOSES it
+    — the closed interval streams out, the new open version replaces it
+    in the state store.  Append-mode streaming can only emit facts that
+    are final, so the output contract is exactly the CLOSED rows of
+    `q_scd2_track`; open rows live in state (the state store IS the
+    current-dimension table — at scale you snapshot it, you don't
+    stream it).
+
+    Within a micro-batch each key folds in (ts, event_id) order, so
+    replays produce identical intervals; state is 3 scalar fields per
+    key, the same footprint discipline as the R9 fold."""
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        if state.exists:
+            cur_type, cur_from_us, cur_ver = state.get
+        else:
+            cur_type, cur_from_us, cur_ver = None, 0, 0
+        out = []
+        for row in pdf.itertuples():
+            ts_us = row.ts.value // 1000  # pandas ns -> micros
+            if cur_type is None:
+                cur_type, cur_from_us, cur_ver = row.event_type, ts_us, 1
+            elif row.event_type != cur_type:
+                out.append(
+                    (
+                        key[0],
+                        cur_type,
+                        pd.Timestamp(cur_from_us, unit="us"),
+                        pd.Timestamp(ts_us, unit="us"),
+                        cur_ver,
+                    )
+                )
+                cur_type, cur_from_us, cur_ver = row.event_type, ts_us, cur_ver + 1
+        state.update((cur_type, cur_from_us, cur_ver))
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "event_type", "valid_from", "valid_to", "version"],
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold_group,
+        outputStructType=_SCD2_STREAM_OUTPUT,
+        stateStructType="cur_type string, from_us long, version int",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query(
+    "q_scd2_stream",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               LAG(event_type) OVER
+                   (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS prev_type
+        FROM events
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts
+        FROM ordered
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    hist AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version
+        FROM changes
+    )
+    SELECT user_id, event_type, valid_from, valid_to, version
+    FROM hist WHERE valid_to IS NOT NULL
+    """,
+)
+def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_scd2_track: the incremental CDC fold must
+    emit exactly the batch query's CLOSED intervals (open versions stay
+    in the state store — see apply_scd2_stream)."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    result = apply_scd2_stream(
+        events.select("user_id", "event_type", "ts", "event_id")
+    )
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_scd2_stream")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_scd2_stream")

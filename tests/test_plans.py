@@ -463,3 +463,33 @@ def test_dedup_paragraph_shuffles_hashes_not_text(spark):
     assert "Exchange" in plan and plan.count("HashAggregate") >= 2
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_training_pipeline_filters_before_heavy_stages(spark):
+    """The composed pipeline must keep its stage order: the quality
+    filter is a scan-stage Filter (before any exchange), and all
+    exchanges are hash-keyed — no SinglePartition, no cartesian."""
+    plan = plan_of(QUERIES["q_pipeline_training_data"](spark, SF_SMOKE))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    # exact dedup must keep only min-doc rows via one window, span dedup
+    # via hash aggregates — bounded exchange count for the whole job
+    assert plan.count(") Exchange") <= 8
+
+
+def test_profile_branches_prune_to_single_columns(spark):
+    """Each profile UNION branch must scan exactly its own column —
+    the columnar identity the module docstring claims."""
+    plan = plan_of(QUERIES["q_profile_columns"](spark, SF_SMOKE))
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 4
+    for line in schemas:
+        # "ReadSchema: struct<col:type>" — label colon + exactly one
+        # field colon means a single-column scan
+        assert line.count(":") == 2, line
+
+
+def test_histogram_aggregates_partially_over_bounded_keys(spark):
+    plan = plan_of(QUERIES["q_histogram"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan and "SinglePartition" not in plan.split("Exchange")[0]

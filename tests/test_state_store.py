@@ -118,3 +118,46 @@ def test_rocksdb_provider_is_result_identical(spark, tmp_path):
     # evidence RocksDB ran: changelog/zip artifacts under the state dir
     state_files = glob.glob(str(tmp_path / "ck_rocks" / "state" / "**"), recursive=True)
     assert any(f.endswith((".changelog", ".zip")) for f in state_files), state_files[:20]
+
+
+def test_scd2_stream_carries_open_version_across_runs(spark, tmp_path):
+    """Incremental CDC resume: run 1 ends with an OPEN version in state
+    (nothing emitted for it); run 2's first type change must close it
+    with run 1's valid_from and the continued version number — the
+    property that makes the streaming history identical to a single
+    batch pass."""
+    import datetime as _dt
+
+    from stateflow_flink_spark.streaming.state import apply_scd2_stream
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> list:
+        rows: list = []
+        result = apply_scd2_stream(_stream(spark, staged))
+        with stream_partitions(spark):
+            q = (
+                result.writeStream.foreachBatch(
+                    lambda df, bid: rows.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return rows
+
+    def ev(eid, etype):
+        return (_dt.datetime(2024, 1, 1, 0, 0, eid), eid, 1, etype, 1.0)
+
+    # run 1: click,click,view -> emits (click v1, closed at the view)
+    _write_events(spark, staged, [ev(1, "click"), ev(2, "click"), ev(3, "view")])
+    first = run()
+    assert [(r.event_type, r.version) for r in first] == [("click", 1)]
+
+    # run 2: error -> closes the OPEN view version (v2), from run 1's ts
+    _write_events(spark, staged, [ev(4, "error")])
+    second = run()
+    assert [(r.event_type, r.version) for r in second] == [("view", 2)]
+    assert second[0].valid_from == _dt.datetime(2024, 1, 1, 0, 0, 3)
+    assert second[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 4)
