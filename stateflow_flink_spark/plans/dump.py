@@ -165,6 +165,14 @@ NOTES = {
         "join-back carries (doc_id, hash) pairs — document text never "
         "enters an exchange."
     ),
+    "q_graph_pagerank": (
+        "Power iteration: per round, edges join ranks on src (the edge "
+        "frame is pinned once — at scale a src-partitioned table, so the "
+        "join is co-located), contributions partial-sum before the "
+        "groupBy(dst) exchange, and the node-count scalar broadcasts. "
+        "Integer-quantized ranks keep every iteration engine-exact; "
+        "top-20 via TakeOrderedAndProject."
+    ),
 }
 
 

@@ -702,3 +702,40 @@ def test_dedup_paragraph_planted_duplicate_flags_both_docs(spark):
     )
     n_dup = {r["doc_id"]: r["n_dup"] for r in out}
     assert n_dup[1] == 1 and n_dup[2] == 1 and n_dup[3] == 0
+
+
+def test_pagerank_star_graph_ranks_hub_highest(spark):
+    """On a star (hub customer trading with every supplier, spokes with
+    one), the hub must out-rank every spoke — the defining PageRank
+    property — and total rank must stay within integer-floor loss of
+    the scale constant (conservation)."""
+    from stateflow_flink_spark.operators.graph import (
+        PR_SCALE,
+        PR_SUPP_OFFSET,
+        _pr_step,
+    )  # noqa: F401
+    from pyspark.sql import functions as SF
+    from pyspark.sql.functions import broadcast
+
+    # hub node 1 connects to suppliers 1..8; spoke customers 2..9 each
+    # connect only to supplier 1
+    pairs = [(1, s) for s in range(1, 9)] + [(c, 1) for c in range(2, 10)]
+    p = spark.createDataFrame(pairs, ["c", "s"]).distinct()
+    fwd = p.select(SF.col("c").alias("src"), (SF.col("s") + PR_SUPP_OFFSET).alias("dst"))
+    rev = p.select((SF.col("s") + PR_SUPP_OFFSET).alias("src"), SF.col("c").alias("dst"))
+    edges = fwd.unionByName(rev)
+    deg = edges.groupBy(SF.col("src").alias("node")).agg(
+        SF.count(SF.lit(1)).alias("d")
+    )
+    nn = deg.agg(SF.count(SF.lit(1)).alias("n"))
+    ranks = deg.crossJoin(broadcast(nn)).select(
+        "node", SF.expr(f"{PR_SCALE} div n").alias("r"), "n", "d"
+    )
+    for _ in range(2):
+        ranks = _pr_step(edges, ranks)
+    out = {r["node"]: r["r"] for r in ranks.collect()}
+    hub = out[1]
+    spokes = [out[c] for c in range(2, 10)]
+    assert all(hub > s for s in spokes)
+    total = sum(out.values())
+    assert abs(total - PR_SCALE) < 0.16 * PR_SCALE  # damping base + floor loss

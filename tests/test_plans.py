@@ -493,3 +493,9 @@ def test_histogram_aggregates_partially_over_bounded_keys(spark):
     plan = plan_of(QUERIES["q_histogram"](spark, SF_SMOKE))
     assert plan.count("HashAggregate") >= 2
     assert "Exchange" in plan and "SinglePartition" not in plan.split("Exchange")[0]
+
+
+def test_pagerank_broadcasts_node_count_no_cartesian(spark):
+    plan = plan_of(QUERIES["q_graph_pagerank"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20, no global sort
