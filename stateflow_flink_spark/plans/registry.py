@@ -71,6 +71,7 @@ def load_all_modules() -> None:
         layout,
         profiling,
         quantize,
+        timeseries,
         sampling,
         scans,
         sorts,

@@ -739,3 +739,50 @@ def test_pagerank_star_graph_ranks_hub_highest(spark):
     assert all(hub > s for s in spokes)
     total = sum(out.values())
     assert abs(total - PR_SCALE) < 0.16 * PR_SCALE  # damping base + floor loss
+
+
+def test_timeseries_fill_gaps_carry_forward(spark):
+    """A literal two-hour-gap series: silent grid hours must appear
+    with n_events=0 and the PREVIOUS hour's value; hours before the
+    first observation stay null."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    rows = [
+        ("a", _dt.datetime(2024, 1, 1, 0, 30), 10.0),
+        ("a", _dt.datetime(2024, 1, 1, 3, 10), 7.0),  # hours 1-2 silent
+    ]
+    e = spark.createDataFrame(rows, "event_type string, ts timestamp, value double")
+    hourly = e.groupBy(
+        "event_type",
+        SF.timestamp_seconds(SF.expr("unix_timestamp(ts) div 3600") * 3600).alias(
+            "bucket_start"
+        ),
+    ).agg(SF.count(SF.lit(1)).alias("n_events"), SF.sum("value").alias("sum_value"))
+    grid = e.select("event_type").distinct().crossJoin(
+        spark.range(5).select(
+            SF.timestamp_seconds(
+                SF.unix_timestamp(SF.lit("2024-01-01 00:00:00").cast("timestamp"))
+                + SF.col("id") * 3600
+            ).alias("bucket_start")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = (
+        grid.join(hourly, ["event_type", "bucket_start"], "left")
+        .select(
+            "bucket_start",
+            SF.coalesce("n_events", SF.lit(0)).alias("n"),
+            SF.last("sum_value", ignorenulls=True).over(w).alias("v"),
+        )
+        .orderBy("bucket_start")
+        .collect()
+    )
+    assert [r["n"] for r in out] == [1, 0, 0, 1, 0]
+    assert [r["v"] for r in out] == [10.0, 10.0, 10.0, 7.0, 7.0]
