@@ -7,7 +7,7 @@ flow along edges, one keyed shuffle per iteration.
 
 Graph: the bipartite trade graph — an undirected edge between customer
 c and supplier s for every distinct (c, s) pair that shares a lineitem
-(suppliers offset by 1e6 into a shared node-id space).  PageRank per
+(suppliers offset by 2^40 into a shared node-id space).  PageRank per
 Brin & Page 1998 with damping 0.85, two unrolled iterations from a
 uniform start.
 
@@ -37,7 +37,10 @@ from ..io import load
 from ..plans.registry import query
 
 PR_SCALE = 1_000_000_000
-PR_SUPP_OFFSET = 1_000_000
+# supplier ids shift into a disjoint range of the shared node-id space;
+# 2^40 keeps customer keys collision-free up to ~10^12 rows (a 1e6
+# offset would collide at TPC-H SF >= ~7)
+PR_SUPP_OFFSET = 1 << 40
 PR_TOP = 20
 
 _PR_ORACLE = f"""

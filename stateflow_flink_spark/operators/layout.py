@@ -57,7 +57,8 @@ _SQL_INTERLEAVE = " + ".join(
 
 _ZORDER_ORACLE = f"""
     WITH dims AS (
-        SELECT CAST(o_custkey AS BIGINT) & {(1 << Z_BITS) - 1} AS ck,
+        SELECT CAST(o_custkey AS BIGINT) AS ck_raw,
+               CAST(o_custkey AS BIGINT) & {(1 << Z_BITS) - 1} AS ck,
                CAST(DATEDIFF('day', DATE '{_EPOCH}',
                              CAST(o_orderdate AS DATE)) AS BIGINT)
                    & {(1 << Z_BITS) - 1} AS dy,
@@ -66,7 +67,7 @@ _ZORDER_ORACLE = f"""
     ),
     filed AS (
         SELECT ({_SQL_INTERLEAVE}) >> {Z_FILE_SHIFT} AS z_file,
-               ck >> {LIN_FILE_SHIFT} AS lin_file,
+               ck_raw >> {LIN_FILE_SHIFT} AS lin_file,
                od >= TIMESTAMP '{_DATE_LO}' AND od < TIMESTAMP '{_DATE_HI}'
                    AS hit
         FROM dims
@@ -102,6 +103,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << Z_BITS) - 1
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
     dims = o.select(
+        F.col("o_custkey").cast("long").alias("ck_raw"),
         F.col("o_custkey").cast("long").bitwiseAND(F.lit(mask)).alias("ck"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit(_EPOCH).cast("date"))
         .cast("long")
@@ -116,7 +118,9 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(_interleave(F.col("ck"), F.col("dy")), Z_FILE_SHIFT).alias(
             "z_file"
         ),
-        F.shiftright(F.col("ck"), LIN_FILE_SHIFT).alias("lin_file"),
+        # the linear baseline files on the UNMASKED key: a masked key
+        # would wrap past 65535 and stop modeling a custkey-sorted layout
+        F.shiftright(F.col("ck_raw"), LIN_FILE_SHIFT).alias("lin_file"),
         "hit",
     )
     z_row = filed.agg(

@@ -94,7 +94,17 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SCD Type-2 history build (CDC change tracking)
 # ---------------------------------------------------------------------------
 
-_SCD2_ORACLE = """
+# Kimball's open-row sentinel: current versions carry a far-future
+# valid_to instead of NULL, so BETWEEN probes need no null branch (and
+# the cross-engine value-hash never sees a null timestamp).  2200-01-01
+# rather than the classic 9999-12-31 because pandas datetime64[ns] —
+# the driver's toPandas dtype — overflows past 2262.
+_SCD2_HIGH_DATE = "2200-01-01 00:00:00"
+
+# Both windows order by (ts, event_id) — the change row's event_id
+# rides along so equal-timestamp changes keep a TOTAL order in both
+# engines (and in the streaming twin, which sorts the same way).
+_SCD2_ORACLE = f"""
     WITH ordered AS (
         SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
                LAG(event_type) OVER
@@ -103,25 +113,20 @@ _SCD2_ORACLE = """
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR event_type <> prev_type
     )
     SELECT user_id, event_type,
            ts AS valid_from,
-           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts),
-                    TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
-           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+           COALESCE(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    TIMESTAMP '{_SCD2_HIGH_DATE}') AS valid_to,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               AS is_current
     FROM changes
 """
-
-# Kimball's open-row sentinel: current versions carry a far-future
-# valid_to instead of NULL, so BETWEEN probes need no null branch (and
-# the cross-engine value-hash never sees a null timestamp).  2200-01-01
-# rather than the classic 9999-12-31 because pandas datetime64[ns] —
-# the driver's toPandas dtype — overflows past 2262.
-_SCD2_HIGH_DATE = "2200-01-01 00:00:00"
 
 
 @query("q_scd2_track", _SCD2_ORACLE)
@@ -144,9 +149,9 @@ def q_scd2_track(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(order))
         .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    hist = Window.partitionBy("user_id").orderBy(F.asc("ts"))
+    hist = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
     return changes.select(
         "user_id",
         "event_type",

@@ -130,18 +130,24 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", language_id(F.col("text")).alias("lang_pred"))
 
 
-@query(
-    "q_text_quality",
-    """
-    SELECT doc_id,
-           ROUND((
+# DuckDB twin of quality_score (the SAME string feeds every oracle that
+# filters or reports quality, so the heuristic can never fork between
+# the standalone query and the composed pipelines)
+QUALITY_SQL = """ROUND((
                LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
                + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
                                     ['the', 'a', 'of', 'and', 'to']))
                  * 1.0 / LEN(STRING_SPLIT(text, ' '))
                + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
                        / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
-           ) / 3.0, 6) AS quality
+           ) / 3.0, 6)"""
+
+
+@query(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           {QUALITY_SQL} AS quality
     FROM documents
     """,
 )
@@ -198,15 +204,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pipeline_corpus",
     f"""
     WITH scored AS (
-        SELECT doc_id, source, text,
-               ROUND((
-                   LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
-                   + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
-                                        ['the', 'a', 'of', 'and', 'to']))
-                     * 1.0 / LEN(STRING_SPLIT(text, ' '))
-                   + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
-                           / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
-               ) / 3.0, 6) AS q
+        SELECT doc_id, source, text, {QUALITY_SQL} AS q
         FROM documents
     ),
     kept AS (SELECT * FROM scored WHERE q >= 0.3),
@@ -385,26 +383,17 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Full training-data pipeline (quality -> dedup -> span-dedup -> split)
 # ---------------------------------------------------------------------------
 
-_TP_QUALITY_SQL = """
-    ROUND((
-        LEAST(LEN(STRING_SPLIT(text, ' ')) / 100.0, 1.0)
-        + LEN(LIST_INTERSECT(STRING_SPLIT(text, ' '),
-                             ['the', 'a', 'of', 'and', 'to']))
-          * 1.0 / LEN(STRING_SPLIT(text, ' '))
-        + LEAST((LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) * 1.0)
-                / LEN(STRING_SPLIT(text, ' ')) / 10.0, 1.0)
-    ) / 3.0, 6)
-"""
-
-_TP_BUCKET_SQL = (
-    "CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
-    " AS BIGINT) % 10000"
-)
+# every stage reuses the CANONICAL constant of the operator it composes
+# (quality expression, split bucket, sentence minimum) — the pipeline can
+# never drift from the standalone queries it claims to equal
+from .curation import _SENT_MIN_CHARS as _TP_SENT_MIN_CHARS  # noqa: E402
+from .sampling import _SQL_BUCKET as _TP_SQL_BUCKET  # noqa: E402
+from .sampling import _hash_bucket as _tp_hash_bucket  # noqa: E402
 
 _TRAINING_PIPELINE_ORACLE = f"""
     WITH kept AS (
         SELECT doc_id, source, text
-        FROM (SELECT doc_id, source, text, {_TP_QUALITY_SQL} AS q FROM documents)
+        FROM (SELECT doc_id, source, text, {QUALITY_SQL} AS q FROM documents)
         WHERE q >= 0.3
     ),
     deduped AS (
@@ -417,7 +406,7 @@ _TRAINING_PIPELINE_ORACLE = f"""
     sents AS (
         SELECT doc_id, TRIM(s) AS sent
         FROM deduped, UNNEST(STRING_SPLIT(text, '. ')) AS t(s)
-        WHERE LENGTH(TRIM(s)) >= 20
+        WHERE LENGTH(TRIM(s)) >= {_TP_SENT_MIN_CHARS}
     ),
     dupspan AS (
         SELECT MD5(sent) AS h, COUNT(DISTINCT doc_id) > 1 AS is_dup
@@ -439,7 +428,7 @@ _TRAINING_PIPELINE_ORACLE = f"""
            source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
-    FROM (SELECT *, {_TP_BUCKET_SQL} AS b FROM clean)
+    FROM (SELECT *, {_TP_SQL_BUCKET.format(c="doc_id")} AS b FROM clean)
     GROUP BY 1, source
 """
 
@@ -479,7 +468,7 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     sents = (
         deduped.select("doc_id", F.explode(F.split("text", "\\. ")).alias("raw"))
         .select("doc_id", F.trim("raw").alias("sent"))
-        .filter(F.length("sent") >= 20)
+        .filter(F.length("sent") >= _TP_SENT_MIN_CHARS)
         .select("doc_id", F.md5("sent").alias("h"))
     )
     dupspan = sents.groupBy("h").agg(
@@ -496,11 +485,7 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     clean = deduped.join(flagged, "doc_id", "left_anti")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("long")
-        % 10_000
-    )
+    bucket = _tp_hash_bucket("doc_id")
     split = (
         F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
     )

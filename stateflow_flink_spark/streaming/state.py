@@ -407,15 +407,17 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
         FROM events
     ),
     changes AS (
-        SELECT user_id, event_type, ts
+        SELECT user_id, event_type, ts, event_id
         FROM ordered
         WHERE prev_type IS NULL OR event_type <> prev_type
     ),
     hist AS (
         SELECT user_id, event_type,
                ts AS valid_from,
-               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
-               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS version
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS version
         FROM changes
     )
     SELECT user_id, event_type, valid_from, valid_to, version

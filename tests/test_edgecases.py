@@ -786,3 +786,43 @@ def test_timeseries_fill_gaps_carry_forward(spark):
     )
     assert [r["n"] for r in out] == [1, 0, 0, 1, 0]
     assert [r["v"] for r in out] == [10.0, 10.0, 10.0, 7.0, 7.0]
+
+
+def test_scd2_equal_timestamp_changes_are_total_ordered(spark):
+    """Two change events at the SAME timestamp (review finding): the
+    (ts, event_id) tiebreak must order them deterministically in both
+    the batch query shape and the streaming fold — event_id 1's type
+    gets version 1, event_id 2's closes it with a zero-length
+    interval."""
+    import datetime as _dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as SF
+
+    T = _dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "A", T, 1),
+        (1, "B", T, 2),  # same ts, later event_id
+        (1, "B", _dt.datetime(2024, 1, 1, 13, 0, 0), 3),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    order = Window.partitionBy("user_id").orderBy(SF.asc("ts"), SF.asc("event_id"))
+    changes = (
+        e.withColumn("prev", SF.lag("event_type").over(order))
+        .filter(SF.col("prev").isNull() | (SF.col("event_type") != SF.col("prev")))
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    hist = Window.partitionBy("user_id").orderBy(SF.asc("ts"), SF.asc("event_id"))
+    out = (
+        changes.select(
+            "event_type",
+            SF.row_number().over(hist).alias("version"),
+            SF.lead("ts").over(hist).alias("valid_to"),
+        )
+        .orderBy("version")
+        .collect()
+    )
+    assert [(r["event_type"], r["version"]) for r in out] == [("A", 1), ("B", 2)]
+    assert out[0]["valid_to"] == T  # zero-length interval, deterministic
