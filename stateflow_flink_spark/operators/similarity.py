@@ -1120,3 +1120,116 @@ def q_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..plans.registry import oracle as _attach_oracle  # noqa: E402
 
 _attach_oracle("q_knn_eval", _knn_eval_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Triplet mining for metric learning (hardest positive / hardest negative)
+# ---------------------------------------------------------------------------
+#
+# Contrastive/triplet training (FaceNet, Schroff et al. CVPR 2015) wants,
+# per anchor, the HARDEST positive (least-similar same-label vector) and
+# HARDEST negative (most-similar different-label vector).  The mining
+# pass is the expensive part of every metric-learning pipeline — per
+# anchor batch, one scored pass over the corpus.
+#
+# Plan discipline: NO window sort — the per-anchor argmin/argmax are
+# packed-integer MINs (the PQ recipe): cs = round(cos*1e6)+2e6 (always
+# positive, so integer division never meets an engine-specific negative
+# floor/truncate split), packed = cs*2^20 + vec_id.  min(packed) is the
+# lexicographic (cos, vec_id) minimum; negatives use (4e6-cs) to flip
+# the order.  Both reductions partial-aggregate map-side.
+
+TRIPLET_ANCHORS = 8
+_T_CS_SHIFT = 2_000_000  # cos*1e6 in [-1e6, 1e6] -> [1e6, 3e6]
+_T_PACK = 1 << 20  # vec_id < 2^20 rides in the low bits
+
+
+def _triplet_oracle() -> str:
+    return f"""
+    WITH scored AS (
+        SELECT p.vec_id AS anchor_id, p.label AS anchor_label,
+               e.vec_id AS vec_id, e.label = p.label AS is_pos,
+               CAST(ROUND(list_cosine_similarity(
+                   e.embedding::DOUBLE[], p.embedding::DOUBLE[]) * 1000000)
+                   AS BIGINT) + {_T_CS_SHIFT} AS cs
+        FROM embeddings e
+        JOIN embeddings p ON p.vec_id < {TRIPLET_ANCHORS}
+                         AND e.vec_id <> p.vec_id
+    ),
+    mined AS (
+        SELECT anchor_id,
+               ANY_VALUE(anchor_label) AS anchor_label,
+               MIN(CASE WHEN is_pos THEN cs * {_T_PACK} + vec_id END) AS p_packed,
+               MIN(CASE WHEN NOT is_pos
+                        THEN ({2 * _T_CS_SHIFT} - cs) * {_T_PACK} + vec_id END)
+                   AS n_packed
+        FROM scored GROUP BY anchor_id
+    )
+    SELECT anchor_id, anchor_label,
+           CAST(p_packed % {_T_PACK} AS BIGINT) AS pos_id,
+           CAST(p_packed // {_T_PACK} - {_T_CS_SHIFT} AS DOUBLE) / 1000000
+               AS pos_cos,
+           CAST(n_packed % {_T_PACK} AS BIGINT) AS neg_id,
+           CAST({_T_CS_SHIFT} - (n_packed // {_T_PACK}) AS DOUBLE) / 1000000
+               AS neg_cos
+    FROM mined
+    """
+
+
+@query("q_triplet_mining", _triplet_oracle())
+def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hardest-positive / hardest-negative mining for the first
+    TRIPLET_ANCHORS anchor vectors (see block comment above): one
+    broadcast of the anchor batch, one Arrow-scored corpus pass, one
+    packed-integer hash aggregate — no window, no sort, fully
+    partial-aggregated.  At 100 TB the anchor batch is the training
+    mini-batch and this plan runs per step over the candidate pool."""
+    e = load(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("ae"),
+    )
+    cs = (
+        F.round(cosine_arrow(F.col("embedding"), F.col("ae")) * 1_000_000)
+        .cast("long")
+        + _T_CS_SHIFT
+    )
+    scored = (
+        e.crossJoin(broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            (F.col("label") == F.col("anchor_label")).alias("is_pos"),
+            cs.alias("cs"),
+        )
+    )
+    mined = scored.groupBy("anchor_id").agg(
+        F.first("anchor_label").alias("anchor_label"),
+        F.min(
+            F.when(F.col("is_pos"), F.col("cs") * _T_PACK + F.col("vec_id"))
+        ).alias("p_packed"),
+        F.min(
+            F.when(
+                ~F.col("is_pos"),
+                (2 * _T_CS_SHIFT - F.col("cs")) * _T_PACK + F.col("vec_id"),
+            )
+        ).alias("n_packed"),
+    )
+    return mined.select(
+        "anchor_id",
+        "anchor_label",
+        (F.col("p_packed") % _T_PACK).cast("long").alias("pos_id"),
+        (
+            (F.floor(F.col("p_packed") / _T_PACK) - _T_CS_SHIFT).cast("double")
+            / 1_000_000
+        ).alias("pos_cos"),
+        (F.col("n_packed") % _T_PACK).cast("long").alias("neg_id"),
+        # n_packed // PACK = 2*SHIFT - cs, so cos = (SHIFT - that) / 1e6
+        (
+            (_T_CS_SHIFT - F.floor(F.col("n_packed") / _T_PACK)).cast("double")
+            / 1_000_000
+        ).alias("neg_cos"),
+    )

@@ -72,6 +72,7 @@ def load_all_modules() -> None:
         profiling,
         quantize,
         timeseries,
+        tokenizer,
         sampling,
         scans,
         sorts,

@@ -826,3 +826,37 @@ def test_scd2_equal_timestamp_changes_are_total_ordered(spark):
     )
     assert [(r["event_type"], r["version"]) for r in out] == [("A", 1), ("B", 2)]
     assert out[0]["valid_to"] == T  # zero-length interval, deterministic
+
+
+def test_bpe_pairs_multiplicity_and_short_word_guard(spark):
+    """'aaa' contributes (a,a) twice; 1-char words contribute nothing
+    (the sequence(1,0) counts-down pitfall)."""
+    from stateflow_flink_spark.operators.tokenizer import _char_pairs
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame([("aaa",), ("x",), ("ab",)], ["word"])
+    out = {
+        r["word"]: r["p"]
+        for r in df.select("word", _char_pairs(SF.col("word")).alias("p")).collect()
+    }
+    assert out["aaa"] == ["aa", "aa"]
+    assert out["x"] == []
+    assert out["ab"] == ["ab"]
+
+
+def test_triplet_mining_labels_and_bounds(spark):
+    """The mined positive must share the anchor's label, the negative
+    must not, and decoded cosines must be real cosines in [-1, 1]."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["q_triplet_mining"](spark, sf).toPandas()
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")[["vec_id", "label"]]
+    labels = dict(zip(emb.vec_id, emb.label))
+    for r in out.itertuples():
+        assert labels[r.pos_id] == r.anchor_label
+        assert labels[r.neg_id] != r.anchor_label
+        assert -1.0 <= r.pos_cos <= 1.0 and -1.0 <= r.neg_cos <= 1.0

@@ -499,3 +499,21 @@ def test_pagerank_broadcasts_node_count_no_cartesian(spark):
     plan = plan_of(QUERIES["q_graph_pagerank"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20, no global sort
+
+
+def test_bpe_pairs_topk_and_word_type_preagg(spark):
+    """The pair count must ride the word-TYPE table (two aggregation
+    levels: word freq, then pair sum — both partial) and take the
+    top-k without a global sort."""
+    plan = plan_of(QUERIES["q_bpe_pairs"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+
+def test_triplet_mining_is_windowless_hash_agg(spark):
+    """The per-anchor argmin/argmax are packed-integer MINs — the plan
+    must contain no Window and partial-aggregate before its exchange."""
+    plan = plan_of(QUERIES["q_triplet_mining"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastExchange" in plan  # anchors broadcast
