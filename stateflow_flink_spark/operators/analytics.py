@@ -1,0 +1,170 @@
+"""Product analytics — cohort retention; operational data-quality checks.
+
+Two staples every warehouse runs daily:
+
+  * `q_cohort_retention` — the classic retention triangle: users are
+    cohorted by first-activity week, and each (cohort, week-offset)
+    cell counts how many came back.  Weeks are epoch floor-division
+    (integer exact, the gap-fill discipline); the retention ratio is
+    one division of identical integers, so the triangle hash-checks
+    across engines.
+  * `q_dq_checks` — a dbt-tests-style constraint suite in ONE job:
+    uniqueness, referential integrity, not-null, and domain checks,
+    each a pruned single-purpose aggregate, unioned into the long
+    (check_name, n_violations, passed) format a CI gate consumes.
+
+Scale shapes: retention is two user-keyed shuffles (first-activity agg,
+activity-distinct agg) + one join re-using the same key, then a
+cells-sized aggregate; the DQ suite is one pruned pass per check —
+columnar scans make N single-column checks cost the same bytes as one
+wide pass, and each check partial-aggregates to a scalar before any
+exchange.  Referential integrity is the only join: a LEFT ANTI against
+the parent keys, the shape that stays shuffle-bounded at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..plans.registry import query
+
+_WEEK = 7 * 24 * 3600
+
+_COHORT_ORACLE = f"""
+    WITH act AS (
+        SELECT user_id,
+               CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / {_WEEK}) AS BIGINT)
+                   AS week
+        FROM events
+        GROUP BY 1, 2
+    ),
+    first AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id
+    ),
+    cohort_size AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM first GROUP BY cohort_week
+    ),
+    cells AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM act a JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, c.week_offset, c.n_active, s.n_cohort,
+           CAST(c.n_active AS DOUBLE) / s.n_cohort AS retention
+    FROM cells c JOIN cohort_size s USING (cohort_week)
+"""
+
+
+@query("q_cohort_retention", _COHORT_ORACLE)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle over events (see module docstring)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts")
+    act = (
+        e.select(
+            "user_id",
+            F.expr(f"unix_timestamp(ts) div {_WEEK}").alias("week"),
+        )
+        .distinct()
+    )
+    first = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    cells = (
+        act.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return cells.join(cohort_size, "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
+
+
+_DQ_ORACLE = """
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+           COUNT(*) = COUNT(DISTINCT o_orderkey) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           CAST(COUNT(*) AS BIGINT),
+           COUNT(*) = 0
+    FROM (SELECT l.l_orderkey FROM lineitem l
+          LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderkey IS NULL)
+    UNION ALL
+    SELECT 'customer_key_not_null',
+           CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT),
+           COUNT(*) = COUNT(c_custkey)
+    FROM customer
+    UNION ALL
+    SELECT 'events_value_nonnegative',
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) = 0
+    FROM events
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           CAST(SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END) AS BIGINT),
+           SUM(CASE WHEN LENGTH(text) = 0 THEN 1 ELSE 0 END) = 0
+    FROM documents
+"""
+
+
+@query("q_dq_checks", _DQ_ORACLE)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-constraint data-quality suite in one job (see module
+    docstring): primary-key uniqueness, referential integrity, not-null,
+    and two domain checks, long-format output."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    customer = load(spark, sf_dir, "customer")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    def check(name: str, viol):
+        return viol.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+            (F.col("n") == 0).alias("passed"),
+        )
+
+    pk = check(
+        "orders_pk_unique",
+        orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n")
+        ),
+    )
+    fk = check(
+        "lineitem_fk_orders",
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select("o_orderkey"),
+            lineitem.l_orderkey == orders.o_orderkey,
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n")),
+    )
+    nn = check(
+        "customer_key_not_null",
+        customer.agg((F.count(F.lit(1)) - F.count("c_custkey")).alias("n")),
+    )
+    dom1 = check(
+        "events_value_nonnegative",
+        events.agg(
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n")
+        ),
+    )
+    dom2 = check(
+        "documents_text_nonempty",
+        documents.agg(
+            F.sum(F.when(F.length("text") == 0, 1).otherwise(0)).alias("n")
+        ),
+    )
+    return pk.unionByName(fk).unionByName(nn).unionByName(dom1).unionByName(dom2)

@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         udfs,
     )
     from ..operators import (  # noqa: F401
+        analytics,
         anomaly,
         curation,
         filters,

@@ -517,3 +517,15 @@ def test_triplet_mining_is_windowless_hash_agg(spark):
     assert "Window" not in plan
     assert plan.count("HashAggregate") >= 2
     assert "BroadcastExchange" in plan  # anchors broadcast
+
+
+def test_cohort_retention_no_cartesian_and_partial_aggs(spark):
+    plan = plan_of(QUERIES["q_cohort_retention"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4  # distinct, first, sizes, cells
+
+
+def test_dq_checks_referential_uses_anti_join(spark):
+    plan = plan_of(QUERIES["q_dq_checks"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
