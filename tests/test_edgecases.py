@@ -860,3 +860,17 @@ def test_triplet_mining_labels_and_bounds(spark):
         assert labels[r.pos_id] == r.anchor_label
         assert labels[r.neg_id] != r.anchor_label
         assert -1.0 <= r.pos_cos <= 1.0 and -1.0 <= r.neg_cos <= 1.0
+
+
+def test_pq_adc_ranks_codebook_twin_of_probe_first(spark):
+    """The probe's own nearest codeword combination gives the smallest
+    possible ADC distance; any vector sharing the probe's codes must
+    rank above vectors with strictly worse per-subspace lookups —
+    sanity: the top result's ADC distance equals the minimum over the
+    output and distances are non-negative and monotone in the list."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    out = QUERIES["q_sim_pq_adc"](spark, "/root/testdata/sf0.01").toPandas()
+    assert (out["d2_adc"] >= 0).all()
+    assert list(out["d2_adc"]) == sorted(out["d2_adc"])

@@ -529,3 +529,12 @@ def test_dq_checks_referential_uses_anti_join(spark):
     plan = plan_of(QUERIES["q_dq_checks"](spark, SF_SMOKE))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scores_without_reading_embeddings_twice(spark):
+    """ADC scoring must be a broadcast lookup join over the codes —
+    no window, no cartesian; top-k via TakeOrderedAndProject."""
+    plan = plan_of(QUERIES["q_sim_pq_adc"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
