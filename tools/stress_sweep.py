@@ -58,6 +58,8 @@ TARGETS = [
     "q_sim_ann_ivf",
     "q_sim_ann_batch",
     "q_emb_quantize",
+    "q_sim_pq_adc",
+    "q_triplet_mining",
 ]
 
 
