@@ -60,7 +60,11 @@ _COHORT_ORACLE = f"""
 
 @query("q_cohort_retention", _COHORT_ORACLE)
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weekly retention triangle over events (see module docstring)."""
+    """Weekly retention triangle over events (see module docstring).
+
+    Epoch assumption: `div` (truncate) and the oracle's FLOOR agree
+    only for ts >= 1970 — the domain of product telemetry; a pre-epoch
+    corpus would need floor-division on both sides."""
     e = load(spark, sf_dir, "events").select("user_id", "ts")
     act = (
         e.select(

@@ -1141,7 +1141,10 @@ _attach_oracle("q_knn_eval", _knn_eval_oracle())
 
 TRIPLET_ANCHORS = 8
 _T_CS_SHIFT = 2_000_000  # cos*1e6 in [-1e6, 1e6] -> [1e6, 3e6]
-_T_PACK = 1 << 20  # vec_id < 2^20 rides in the low bits
+# vec_id rides in the low 40 bits: cs <= 3e6 < 2^22 and 2^22 * 2^40 =
+# 2^62 < 2^63, so a trillion-vector corpus still packs without overflow
+# (the graph.py offset lesson applied here from the start)
+_T_PACK = 1 << 40
 
 
 def _triplet_oracle() -> str:
@@ -1155,6 +1158,7 @@ def _triplet_oracle() -> str:
         FROM embeddings e
         JOIN embeddings p ON p.vec_id < {TRIPLET_ANCHORS}
                          AND e.vec_id <> p.vec_id
+        WHERE LEN(LIST_FILTER(e.embedding, x -> x <> 0)) > 0
     ),
     mined AS (
         SELECT anchor_id,
@@ -1196,7 +1200,10 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _T_CS_SHIFT
     )
     scored = (
-        e.crossJoin(broadcast(anchors))
+        # zero-norm vectors carry no similarity signal and the engines
+        # disagree on their cosine (NULL vs -1) — exclude them up front
+        e.filter(F.exists("embedding", lambda x: x != 0))
+        .crossJoin(broadcast(anchors))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",

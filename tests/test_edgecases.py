@@ -788,45 +788,59 @@ def test_timeseries_fill_gaps_carry_forward(spark):
     assert [r["v"] for r in out] == [10.0, 10.0, 10.0, 7.0, 7.0]
 
 
-def test_scd2_equal_timestamp_changes_are_total_ordered(spark):
+def test_scd2_equal_timestamp_changes_are_total_ordered(spark, tmp_path):
     """Two change events at the SAME timestamp (review finding): the
-    (ts, event_id) tiebreak must order them deterministically in both
-    the batch query shape and the streaming fold — event_id 1's type
-    gets version 1, event_id 2's closes it with a zero-length
-    interval."""
+    PRODUCTION queries — q_scd2_track and the streaming fold — must
+    order them by (ts, event_id): event_id 1's type gets version 1,
+    event_id 2's closes it with a zero-length interval, and the
+    streaming twin emits the identical closed rows."""
     import datetime as _dt
 
-    from pyspark.sql import Window
-    from pyspark.sql import functions as SF
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+    from stateflow_flink_spark.streaming.state import apply_scd2_stream
 
+    load_all_modules()
     T = _dt.datetime(2024, 1, 1, 12, 0, 0)
-    rows = [
-        (1, "A", T, 1),
-        (1, "B", T, 2),  # same ts, later event_id
-        (1, "B", _dt.datetime(2024, 1, 1, 13, 0, 0), 3),
-    ]
-    e = spark.createDataFrame(
-        rows, "user_id long, event_type string, ts timestamp, event_id long"
-    )
-    order = Window.partitionBy("user_id").orderBy(SF.asc("ts"), SF.asc("event_id"))
-    changes = (
-        e.withColumn("prev", SF.lag("event_type").over(order))
-        .filter(SF.col("prev").isNull() | (SF.col("event_type") != SF.col("prev")))
-        .select("user_id", "event_type", "ts", "event_id")
-    )
-    hist = Window.partitionBy("user_id").orderBy(SF.asc("ts"), SF.asc("event_id"))
-    out = (
-        changes.select(
-            "event_type",
-            SF.row_number().over(hist).alias("version"),
-            SF.lead("ts").over(hist).alias("valid_to"),
-        )
+    T2 = _dt.datetime(2024, 1, 1, 13, 0, 0)
+    rows = [(T, 1, 1, "A", 1.0), (T, 2, 1, "B", 1.0), (T2, 3, 1, "B", 1.0)]
+    schema = "ts timestamp, event_id bigint, user_id bigint, event_type string, value double"
+    sf_dir = str(tmp_path / "fixture")
+    import os
+    import pandas as pd
+
+    os.makedirs(sf_dir)
+    # single FILE like the real fixture (io.load sniffs its footer)
+    pd.DataFrame(
+        rows, columns=["ts", "event_id", "user_id", "event_type", "value"]
+    ).to_parquet(f"{sf_dir}/events.parquet", index=False)
+    batch = (
+        QUERIES["q_scd2_track"](spark, sf_dir)
         .orderBy("version")
         .collect()
     )
-    assert [(r["event_type"], r["version"]) for r in out] == [("A", 1), ("B", 2)]
-    assert out[0]["valid_to"] == T  # zero-length interval, deterministic
+    assert [(r.event_type, r.version) for r in batch] == [("A", 1), ("B", 2)]
+    assert batch[0].valid_to == T  # zero-length interval, deterministic
+    assert batch[1].is_current and batch[1].valid_from == T
 
+    # streaming file source wants a DIRECTORY; stage the same rows
+    staged = str(tmp_path / "staged")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(staged)
+    stream = apply_scd2_stream(spark.readStream.schema(schema).parquet(staged))
+    from stateflow_flink_spark.session import stream_partitions
+
+    got: list = []
+    with stream_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(lambda df, bid: got.extend(df.collect()))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    closed = [r for r in batch if not r.is_current]
+    assert [(r.event_type, r.version, r.valid_to) for r in got] == [
+        (r.event_type, r.version, r.valid_to) for r in closed
+    ]
 
 def test_bpe_pairs_multiplicity_and_short_word_guard(spark):
     """'aaa' contributes (a,a) twice; 1-char words contribute nothing
@@ -862,15 +876,38 @@ def test_triplet_mining_labels_and_bounds(spark):
         assert -1.0 <= r.pos_cos <= 1.0 and -1.0 <= r.neg_cos <= 1.0
 
 
-def test_pq_adc_ranks_codebook_twin_of_probe_first(spark):
-    """The probe's own nearest codeword combination gives the smallest
-    possible ADC distance; any vector sharing the probe's codes must
-    rank above vectors with strictly worse per-subspace lookups —
-    sanity: the top result's ADC distance equals the minimum over the
-    output and distances are non-negative and monotone in the list."""
+def test_pq_adc_matches_numpy_reference(spark):
+    """Independent cross-check: recompute the full ADC pipeline in
+    numpy (quantize -> encode -> probe LUT -> lookup sums) and require
+    the query's top-10 (ids AND distances) to match exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from stateflow_flink_spark.operators.quantize import (
+        ADC_PROBE,
+        ADC_TOP,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+    )
     from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
 
     load_all_modules()
-    out = QUERIES["q_sim_pq_adc"](spark, "/root/testdata/sf0.01").toPandas()
-    assert (out["d2_adc"] >= 0).all()
-    assert list(out["d2_adc"]) == sorted(out["d2_adc"])
+    sf = "/root/testdata/sf0.01"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet").sort_values("vec_id")
+    Q = np.floor(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1000
+    ).astype(np.int64)
+    ids = emb["vec_id"].to_numpy()
+    subs = Q.reshape(len(Q), PQ_M, PQ_SUBDIM)
+    cb = subs[ids < PQ_K]  # (K, M, SUBDIM), ordered by vec_id
+    # encode: per (vec, sub) the lexicographic (d2, code) argmin
+    d2 = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(-1)  # (n, K, M)
+    codes = np.argmin(d2, axis=1)  # ties -> lowest code, same as packed min
+    probe_idx = int(np.where(ids == ADC_PROBE)[0][0])
+    lut = ((subs[probe_idx][None, :, :] - cb) ** 2).sum(-1)  # (K, M)
+    adc = lut[codes, np.arange(PQ_M)].sum(-1)
+    mask = ids != ADC_PROBE
+    order = sorted(zip(adc[mask], ids[mask]))[:ADC_TOP]
+    got = QUERIES["q_sim_pq_adc"](spark, sf).collect()
+    assert [(r.vec_id, r.d2_adc) for r in got] == [(int(i), int(d)) for d, i in order]
