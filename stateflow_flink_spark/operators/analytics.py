@@ -172,3 +172,59 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return pk.unionByName(fk).unionByName(nn).unionByName(dom1).unionByName(dom2)
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition statistics (first-order Markov model)
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type AS cur, event_type AS next, COUNT(*) AS n
+        FROM ordered WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    totals AS (SELECT cur, SUM(n) AS n_cur FROM pairs GROUP BY cur)
+    SELECT p.cur, p.next, p.n,
+           CAST(p.n AS DOUBLE) / t.n_cur AS prob
+    FROM pairs p JOIN totals t USING (cur)
+"""
+
+
+@query("q_markov_transitions", _MARKOV_ORACLE)
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence — the bigram statistics a behavioral/sequence model (or a
+    session simulator) trains on: P(next | cur) from per-user
+    (ts, event_id)-ordered adjacent pairs.
+
+    Scale shape: one user-keyed window for the lag (the corpus's only
+    sort), then the matrix lives on a #types² frame — counts
+    partial-aggregate, the row-normalizer joins a types-sized total
+    back, and the probability is one division of identical integers, so
+    the matrix hash-checks exactly.  Higher-order models change only
+    the lag arity."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    from pyspark.sql import Window
+
+    order = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    pairs = (
+        e.withColumn("cur", F.lag("event_type").over(order))
+        .filter(F.col("cur").isNotNull())
+        .groupBy("cur", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("cur").agg(F.sum("n").alias("n_cur"))
+    return pairs.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "next",
+        "n",
+        (F.col("n").cast("double") / F.col("n_cur")).alias("prob"),
+    )

@@ -911,3 +911,16 @@ def test_pq_adc_matches_numpy_reference(spark):
     order = sorted(zip(adc[mask], ids[mask]))[:ADC_TOP]
     got = QUERIES["q_sim_pq_adc"](spark, sf).collect()
     assert [(r.vec_id, r.d2_adc) for r in got] == [(int(i), int(d)) for d, i in order]
+
+def test_markov_rows_sum_to_one_per_state(spark):
+    """Transition probabilities out of every state must sum to exactly
+    1.0 (integer-count division makes this exact, not approximate)."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    out = QUERIES["q_markov_transitions"](spark, "/root/testdata/sf0.01").toPandas()
+    sums = out.groupby("cur")["n"].sum()
+    for cur, grp in out.groupby("cur"):
+        assert abs((grp["n"] / sums[cur]).sum() - 1.0) < 1e-12
+    # 5 event types -> a dense 5x5 matrix on this fixture
+    assert len(out) == 25
