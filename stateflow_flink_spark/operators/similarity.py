@@ -1159,6 +1159,7 @@ def _triplet_oracle() -> str:
         JOIN embeddings p ON p.vec_id < {TRIPLET_ANCHORS}
                          AND e.vec_id <> p.vec_id
         WHERE LEN(LIST_FILTER(e.embedding, x -> x <> 0)) > 0
+          AND LEN(LIST_FILTER(p.embedding, x -> x <> 0)) > 0
     ),
     mined AS (
         SELECT anchor_id,
@@ -1189,7 +1190,10 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-aggregated.  At 100 TB the anchor batch is the training
     mini-batch and this plan runs per step over the candidate pool."""
     e = load(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") < TRIPLET_ANCHORS).select(
+    anchors = e.filter(
+        (F.col("vec_id") < TRIPLET_ANCHORS)
+        & F.exists("embedding", lambda x: x != 0)
+    ).select(
         F.col("vec_id").alias("anchor_id"),
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("ae"),
@@ -1229,14 +1233,16 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anchor_id",
         "anchor_label",
         (F.col("p_packed") % _T_PACK).cast("long").alias("pos_id"),
+        # unpack with exact integer `div` — double-divide-then-floor is
+        # inexact past 2^53, and packed reaches ~2^62
         (
-            (F.floor(F.col("p_packed") / _T_PACK) - _T_CS_SHIFT).cast("double")
+            (F.expr(f"p_packed div {_T_PACK}") - _T_CS_SHIFT).cast("double")
             / 1_000_000
         ).alias("pos_cos"),
         (F.col("n_packed") % _T_PACK).cast("long").alias("neg_id"),
-        # n_packed // PACK = 2*SHIFT - cs, so cos = (SHIFT - that) / 1e6
+        # n_packed div PACK = 2*SHIFT - cs, so cos = (SHIFT - that) / 1e6
         (
-            (_T_CS_SHIFT - F.floor(F.col("n_packed") / _T_PACK)).cast("double")
+            (_T_CS_SHIFT - F.expr(f"n_packed div {_T_PACK}")).cast("double")
             / 1_000_000
         ).alias("neg_cos"),
     )

@@ -921,6 +921,8 @@ def test_markov_rows_sum_to_one_per_state(spark):
     out = QUERIES["q_markov_transitions"](spark, "/root/testdata/sf0.01").toPandas()
     sums = out.groupby("cur")["n"].sum()
     for cur, grp in out.groupby("cur"):
-        assert abs((grp["n"] / sums[cur]).sum() - 1.0) < 1e-12
+        # the PROB column itself: sums to 1 and equals n / rowsum
+        assert abs(grp["prob"].sum() - 1.0) < 1e-12
+        assert (grp["prob"] == grp["n"] / sums[cur]).all()
     # 5 event types -> a dense 5x5 matrix on this fixture
     assert len(out) == 25
