@@ -26,6 +26,8 @@ on both sides before any compare or rank.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import pandas as pd
 
@@ -121,9 +123,13 @@ def cosine_arrow(a: pd.Series, b: pd.Series) -> pd.Series:
         out=np.full(len(x), np.nan),
         where=denom != 0,
     )
-    s = pd.array(out, dtype="Float64")  # nullable: NaN stays a VALUE,
-    s[denom == 0] = pd.NA  # zero-norm becomes SQL NULL (try_divide parity)
-    return pd.Series(s)
+    # FloatingArray(values, mask): the mask marks ONLY zero-norm slots
+    # as SQL NULL (try_divide parity); a NaN coming from NaN INPUTS
+    # stays a value, matching the JVM twin's ordering (NaN sorts above
+    # every double; pd.array(out, dtype="Float64") would silently turn
+    # every NaN into NULL and flip those rows from top-of-ranking to
+    # excluded).
+    return pd.Series(pd.arrays.FloatingArray(out, denom == 0))
 
 
 # list_cosine_similarity over DOUBLE[] is bit-identical to the
@@ -578,18 +584,21 @@ EMB_LSH_BITS = 12
 EMB_LSH_QUANT = 1000  # fixed-point scale for engine-exact integer dots
 
 
-def _emb_lsh_weights() -> list[list[int]]:
+@functools.lru_cache(maxsize=1)
+def _emb_lsh_weights() -> tuple[tuple[int, ...], ...]:
     """(L*b) x DIM integer hyperplanes, md5-derived: the same values
-    the oracle recomputes in SQL via MD5(i || '_' || d)."""
+    the oracle recomputes in SQL via MD5(i || '_' || d).  Memoized —
+    the kernel below runs once per Arrow batch per partition, and
+    rebuilding 24,576 md5 digests each call was pure hot-path waste."""
     import hashlib
 
-    return [
-        [
+    return tuple(
+        tuple(
             (int(hashlib.md5(f"{i}_{d}".encode()).hexdigest()[:8], 16) % 2001) - 1000
             for d in range(DIM)
-        ]
+        )
         for i in range(EMB_LSH_TABLES * EMB_LSH_BITS)
-    ]
+    )
 
 
 def _emb_lsh_bucket_matrix(embs: np.ndarray) -> np.ndarray:
@@ -623,12 +632,16 @@ def emb_lsh_buckets(emb: pd.Series) -> pd.Series:
     UDF column makes ExtractPythonUDFs evaluate the UDF once for the
     filter and AGAIN for the surviving projection, while mapInPandas is
     one opaque node the optimizer cannot split (plan-gated)."""
+    if len(emb) == 0:
+        return pd.Series([], dtype="object")
     return pd.Series(list(_emb_lsh_bucket_matrix(np.stack(emb.to_numpy()))))
 
 
 def _emb_lsh_sig_batches(batches):
     """mapInPandas kernel: (vec_id, embedding) -> (vec_id, bks)."""
     for pdf in batches:
+        if len(pdf) == 0:  # np.stack raises on an empty batch
+            continue
         yield pd.DataFrame(
             {
                 "vec_id": pdf["vec_id"],
@@ -691,9 +704,16 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     written once, bucket-partitioned, and the per-bucket join is
     co-located — same storage story as the ANN tables above."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sigs = e.mapInPandas(
-        _emb_lsh_sig_batches, "vec_id long, bks array<long>"
-    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    # pin the SLIM signature frame once (the pagerank recipe): a plain
+    # repartition barrier is NOT enough here — AQE broadcasts one join
+    # side, and a BroadcastExchange over the same subtree is not
+    # reusable against the hash exchange, so the Arrow kernel would run
+    # over the full embeddings table once per self-join side
+    sigs = (
+        e.mapInPandas(_emb_lsh_sig_batches, "vec_id long, bks array<long>")
+        .select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+        .localCheckpoint()
+    )
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = a.join(
         b,

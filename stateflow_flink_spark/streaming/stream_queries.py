@@ -387,18 +387,37 @@ def run_incremental_rollup(
     if root is None:
         root = tempfile.mkdtemp(prefix="sfs_rollup_")
 
+    # track which versions THIS run produced: the final read must never
+    # pick up a stale higher version left in a reused durable root by an
+    # earlier, longer run
+    written: list[int] = []
+
+    def _merge(df: DataFrame, bid: int) -> None:
+        merge_rollup_batch(root, df, bid)
+        written.append(bid)
+
     with stream_partitions(spark):
         q = (
-            stream.writeStream.foreachBatch(
-                lambda df, bid: merge_rollup_batch(root, df, bid)
-            )
+            stream.writeStream.foreachBatch(_merge)
             .trigger(availableNow=True)
             .option("checkpointLocation", tempfile.mkdtemp(prefix="sfs_rollup_ckpt_"))
             .start()
         )
         q.awaitTermination()
-    versions = rollup_versions_on_disk(root)
-    rolled = spark.read.parquet(f"{root}/v{versions[-1]}")
+    if written:
+        final = max(written)
+    else:
+        # zero micro-batches fired (empty source or fully-committed
+        # checkpoint): fall back to the newest durable version; an empty
+        # root is a caller error worth naming
+        versions = rollup_versions_on_disk(root)
+        if not versions:
+            raise FileNotFoundError(
+                f"incremental rollup: no batches ran and no versions exist "
+                f"under {root!r} — empty source with a fresh root?"
+            )
+        final = versions[-1]
+    rolled = spark.read.parquet(f"{root}/v{final}")
     return rolled.select(
         "hour",
         "event_type",

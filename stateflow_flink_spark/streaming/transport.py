@@ -32,6 +32,8 @@ production path minus only the socket.
 
 from __future__ import annotations
 
+import threading
+
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -51,6 +53,10 @@ class DirectoryTransport:
         self.n_partitions = n_partitions
         self._epoch = 0  # producer-epoch counter (driver-side; appends
         # run in foreachBatch on the driver, so increments are ordered)
+        # two streaming-query threads share one transport (the feedback
+        # cycle): the epoch bump must be atomic or two appends stamp the
+        # same epoch and collide on offsets
+        self._epoch_lock = threading.Lock()
 
     def topic_dir(self, topic: str) -> str:
         d = os.path.join(self.base, topic)
@@ -75,7 +81,9 @@ class DirectoryTransport:
         — unique and append-ordered per topic rather than per-partition-
         contiguous, which is all the loop reads from it.
         """
-        self._epoch += 1
+        with self._epoch_lock:
+            self._epoch += 1
+            epoch = self._epoch
         stamped = frames.select(
             "key",
             "value",
@@ -84,7 +92,7 @@ class DirectoryTransport:
             .cast("int")
             .alias("partition"),
             (
-                F.lit(self._epoch).cast("long") * F.lit(1 << 40).cast("long")
+                F.lit(epoch).cast("long") * F.lit(1 << 40).cast("long")
                 + F.monotonically_increasing_id()
             ).alias("offset"),
             F.current_timestamp().alias("timestamp"),

@@ -365,20 +365,21 @@ def test_window_ntile_no_global_single_reducer_sort(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
-def test_emb_lsh_dedup_single_projection_per_side_no_cartesian(spark):
-    """The LSH dedup's bucket projection must be ONE opaque MapInPandas
-    per self-join side — the column-UDF spelling gets split by
-    ExtractPythonUDFs into a filter evaluation PLUS a projection
-    evaluation (4 Python crossings instead of 2) — and the candidate
-    join must be a hash join on (t, bucket), never a cartesian."""
+def test_emb_lsh_dedup_single_projection_no_cartesian(spark):
+    """The LSH dedup's bucket projection must run ONCE — the signature
+    frame is pinned behind an exchange barrier so the self-join feeds
+    both sides from one kernel run (without the barrier the plan runs
+    MapInPandas over the full embeddings table per join side) — plus
+    one opaque verify node; and the candidate join must be a hash join
+    on (t, bucket), never a cartesian."""
     plan = plan_of(QUERIES["q_dedup_embedding_lsh"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # formatted explain lists each node twice (tree + detail); count the
-    # "(n) <Node>" detail headers only
-    # 2 projection nodes (one per self-join side) + 1 verify node; a
+    # the projection ran ONCE eagerly (checkpointed scan feeds both join
+    # sides); only the verify node remains in the lazy plan — a
     # column-UDF verify referenced by filter AND projection would split
     # into two ArrowEvalPython crossings
-    assert plan.count(") MapInPandas") == 3
+    assert plan.count(") MapInPandas") == 1
+    assert "Scan ExistingRDD" in plan  # the pinned signature frame
     assert "ArrowEvalPython" not in plan
 
 
