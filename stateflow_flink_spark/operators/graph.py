@@ -142,8 +142,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s") + PR_SUPP_OFFSET).alias("src"), F.col("c").alias("dst")
     )
     # the edge frame feeds two joins per iteration x two iterations:
-    # pin it once (at scale: a src-partitioned materialized table)
-    edges = fwd.unionByName(rev).localCheckpoint()
+    # pin it once, LAZILY (eager=False: constructing the query must not
+    # launch a Spark job).  localCheckpoint stores unreplicated blocks,
+    # so an executor loss loses the cut lineage — acceptable in
+    # local[*]; a cluster deployment should swap this for
+    # `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint()` to
+    # reliable storage (or a src-partitioned materialized edge table)
+    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
     # deg doubles as the node list (every node has an out-edge in the
     # undirected graph) — no separate distinct pass
     deg = edges.groupBy(F.col("src").alias("node")).agg(

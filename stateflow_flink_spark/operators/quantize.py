@@ -144,7 +144,10 @@ def q_emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("sub") == s, F.col("packed") % PQ_K)).alias(f"code_{s}")
             for s in range(PQ_M)
         ],
-        F.sum(F.floor(F.col("packed") / PQ_K)).alias("err_q"),
+        # integer `div`, not floor(double /): double-divide-then-floor
+        # goes inexact past 2^53 — same exact-unpack discipline as the
+        # triplet-mining argmin decode
+        F.sum(F.expr(f"packed div {PQ_K}")).alias("err_q"),
     )
 
 

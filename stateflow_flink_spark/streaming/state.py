@@ -356,7 +356,16 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
 
     Within a micro-batch each key folds in (ts, event_id) order, so
     replays produce identical intervals; state is 3 scalar fields per
-    key, the same footprint discipline as the R9 fold."""
+    key, the same footprint discipline as the R9 fold.
+
+    Cross-batch ordering contract: an event whose ts precedes the OPEN
+    version's valid_from (late arrival beyond the batch boundary) is
+    clamped forward to valid_from, so no interval can invert
+    (valid_to < valid_from) and versions stay monotone.  The clamp is
+    the bounded-damage guard, not the full fix — a deployment that
+    expects heavy cross-batch disorder should feed this operator
+    watermark-sorted input (buffer by `withWatermark` + event-time
+    sort in the upstream batch) so the clamp never fires."""
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs), ignore_index=True)
@@ -368,6 +377,10 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
         out = []
         for row in pdf.itertuples():
             ts_us = row.ts.value // 1000  # pandas ns -> micros
+            if ts_us < cur_from_us:
+                # late event from an earlier batch: clamp forward so the
+                # closed interval cannot invert (see docstring contract)
+                ts_us = cur_from_us
             if cur_type is None:
                 cur_type, cur_from_us, cur_ver = row.event_type, ts_us, 1
             elif row.event_type != cur_type:

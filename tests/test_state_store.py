@@ -161,3 +161,56 @@ def test_scd2_stream_carries_open_version_across_runs(spark, tmp_path):
     assert [(r.event_type, r.version) for r in second] == [("view", 2)]
     assert second[0].valid_from == _dt.datetime(2024, 1, 1, 0, 0, 3)
     assert second[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 4)
+
+
+def test_scd2_stream_late_cross_batch_event_cannot_invert_interval(spark, tmp_path):
+    """Guard for the cross-batch ordering contract (apply_scd2_stream
+    docstring): a later RUN delivering an event whose ts precedes the
+    open version's valid_from is clamped forward — the closed interval
+    degenerates to zero width instead of inverting, and the replacement
+    version reopens at the clamped timestamp, keeping valid_from
+    monotone per key."""
+    import datetime as _dt
+
+    from stateflow_flink_spark.streaming.state import apply_scd2_stream
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> list:
+        rows: list = []
+        result = apply_scd2_stream(_stream(spark, staged))
+        with stream_partitions(spark):
+            q = (
+                result.writeStream.foreachBatch(
+                    lambda df, bid: rows.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return rows
+
+    def ev(eid, sec, etype):
+        return (_dt.datetime(2024, 1, 1, 0, 0, sec), eid, 1, etype, 1.0)
+
+    # run 1 leaves "view" OPEN with valid_from = :10
+    _write_events(spark, staged, [ev(1, 10, "view")])
+    assert run() == []
+
+    # run 2: late "click" stamped :05 (< :10) closes the open version
+    _write_events(spark, staged, [ev(2, 5, "click")])
+    second = run()
+    assert [(r.event_type, r.version) for r in second] == [("view", 1)]
+    assert second[0].valid_from == _dt.datetime(2024, 1, 1, 0, 0, 10)
+    assert second[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 10), (
+        "late event must clamp to valid_from, not invert the interval"
+    )
+
+    # run 3: a normal later event closes the clamped "click" version —
+    # its valid_from must be the CLAMPED :10, not the late :05
+    _write_events(spark, staged, [ev(3, 20, "view")])
+    third = run()
+    assert [(r.event_type, r.version) for r in third] == [("click", 2)]
+    assert third[0].valid_from == _dt.datetime(2024, 1, 1, 0, 0, 10)
+    assert third[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 20)
