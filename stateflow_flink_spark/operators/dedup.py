@@ -567,6 +567,106 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Alternating star-contraction connected components (Kiveris et al.,
+# "Connected Components in MapReduce and Beyond", SoCC'14) — the
+# documented escape hatch for q_dedup_cluster's diameter-bound rounds:
+# label propagation needs diameter(G) shuffles, star contraction
+# converges in O(log n) regardless of diameter.
+# ---------------------------------------------------------------------------
+
+
+def _min_star(edges: DataFrame) -> DataFrame:
+    """(src, m): m = min(src, min over dst of src's edges)."""
+    return (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("mn"))
+        .select("src", F.least("src", "mn").alias("m"))
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round: every neighbor v > u of node u re-attaches
+    to m(u) = min(N(u) ∪ {u}).  Input directed, symmetrized here."""
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return (
+        sym.join(_min_star(sym), "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: orient every edge large→small, then every
+    small neighbor (and u itself) re-attaches to m(u)."""
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    with_m = oriented.join(_min_star(oriented), "src")
+    re_nbr = with_m.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    re_self = with_m.select("src", F.col("m").alias("dst"))
+    return (
+        re_nbr.union(re_self)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def star_contraction(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
+    """Connected components of an undirected edge list (``src``,
+    ``dst``; self-loops ignored) → (doc_id, cluster_id = component min).
+
+    Alternates large-star and small-star rounds until the small-star
+    output is a fixpoint (unchanged count + order-insensitive xxhash64
+    checksum — exact set equality for a deduplicated edge list, since
+    the sum only collides if the multisets differ by a hash collision).
+    Kiveris et al. prove O(log n) rounds w.h.p., so ``max_rounds=24``
+    covers any realistic component count; each round is two keyed
+    shuffles over edges that only ever point at smaller ids (total work
+    shrinks monotonically).  `localCheckpoint(eager=False)` cuts the
+    per-round lineage exactly as in q_dedup_cluster; on a cluster swap
+    for `.checkpoint()` to reliable storage.
+
+    At convergence the edge list IS a star forest child→root; labels
+    are those edges plus (root, root) for each root."""
+    e = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    prev = None
+    for _ in range(max_rounds):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cnt, chk = e.agg(
+            F.count(F.lit(1)),
+            # decimal(38,0) sum: long would overflow under ANSI mode
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        ).collect()[0]
+        if (cnt, chk) == prev:
+            break
+        prev = (cnt, chk)
+    roots = e.select(F.col("dst").alias("src"), F.col("dst")).distinct()
+    return e.union(roots).select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+
+
+@query("q_dedup_cluster_star", _CLUSTER_ORACLE)
+def q_dedup_cluster_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dedup_cluster's contract (same oracle: min-reachable-doc_id
+    per doc over the MinHash near-dup pairs) via alternating star
+    contraction instead of label propagation — the plan that survives
+    adversarially deep components (diameter-many shuffles → O(log n))."""
+    pairs = q_dedup_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return star_contraction(pairs)
+
+
+# ---------------------------------------------------------------------------
 # Token-level repeated-substring detection (Lee et al. 2022,
 # "Deduplicating Training Data Makes Language Models Better"):
 # boilerplate and cross-document copies show up as long token spans

@@ -215,6 +215,7 @@ def apply_stateful(
     events: DataFrame,
     operator_name: str = "engine/Fold",
     ttl_ms: int | None = None,
+    force_path: str | None = None,
 ) -> DataFrame:
     """Keyed stateful apply over a streaming DataFrame — ref R9.
 
@@ -222,7 +223,10 @@ def apply_stateful(
     protobuf runtime is available, else applyInPandasWithState
     (GroupState) — identical semantics either way: one opaque blob per
     key, events applied in (ts, event_id) order, state overwritten per
-    event (InvokeStatefulLambda.java:75-109).
+    event (InvokeStatefulLambda.java:75-109).  ``force_path`` pins the
+    implementation ("tws" / "apws") so the equivalence test can run
+    BOTH on one session and byte-compare; production callers leave it
+    None (auto-pick).
 
     ``ttl_ms`` bounds per-key state lifetime — the 100 TB hygiene knob:
     without it, every key ever seen lives in the store forever (the
@@ -240,7 +244,8 @@ def apply_stateful(
     bounded-run semantics and documents it.
     """
     grouped = events.groupBy("user_id")
-    if HAS_TWS_RUNTIME:
+    use_tws = HAS_TWS_RUNTIME if force_path is None else force_path == "tws"
+    if use_tws:
         return grouped.transformWithStateInPandas(
             statefulProcessor=EntityFoldProcessor(operator_name, ttl_ms=ttl_ms),
             outputStructType=_FOLD_OUTPUT,

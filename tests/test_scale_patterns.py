@@ -156,3 +156,80 @@ def test_priority_selection_monotone_in_weight():
     the property that makes the sample length-biased by construction."""
     for i in range(20):
         assert _py_priority(i, 500) < _py_priority(i, 50)
+
+
+# ---------------------------------------------------------------------------
+# star-contraction connected components (Kiveris et al., SoCC'14)
+# ---------------------------------------------------------------------------
+
+
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference: classic union-find, canonical label = component min."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_star_contraction_chain_converges_logarithmically(spark):
+    """The adversarial case for q_dedup_cluster's label propagation: a
+    64-node chain (diameter 63) must converge in at most 2*log2(64)
+    alternating rounds, not diameter-many — the property that makes star
+    contraction the deep-component escape hatch."""
+    import math
+
+    from stateflow_flink_spark.operators.dedup import (
+        _large_star,
+        _small_star,
+        star_contraction,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "src long, dst long"
+    )
+    e = edges.localCheckpoint(eager=False)
+    prev, rounds = None, 0
+    for _ in range(24):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+        cnt, chk = e.agg(
+            F.count(F.lit(1)),
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+        ).collect()[0]
+        rounds += 1
+        if (cnt, chk) == prev:
+            break
+        prev = (cnt, chk)
+    assert rounds <= 2 * int(math.log2(64)), f"took {rounds} rounds"
+
+    labels = star_contraction(edges).collect()
+    assert len(labels) == 64
+    assert all(r.cluster_id == 0 for r in labels)
+
+
+def test_star_contraction_matches_union_find_on_random_graph(spark):
+    """Set-exact parity with a Python union-find reference on a seeded
+    random graph (~1.3k nodes, ~120 components of mixed shapes) — the
+    same contract q_dedup_cluster's oracle checks, but against an
+    independent algorithm instead of SQL."""
+    import random
+
+    from stateflow_flink_spark.operators.dedup import star_contraction
+
+    rng = random.Random(7)
+    nodes = list(range(0, 5000, 3))
+    edges = [tuple(rng.sample(nodes, 2)) for _ in range(1200)]
+    expect = _union_find_labels(edges)
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.doc_id: r.cluster_id for r in star_contraction(df).collect()}
+    assert got == expect

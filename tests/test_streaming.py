@@ -419,3 +419,115 @@ def test_incremental_rollup_midrun_replay_preserves_history(spark, tmp_path):
     merge_rollup_batch(root, b0, 0)
     v0 = spark.read.parquet(f"{root}/v0")
     assert v0.agg(F.sum("n_events")).collect()[0][0] == b0.count()
+
+
+def _run_windowed_batches(spark, transform, batches, seed: int):
+    """Replay `batches` (list of row-lists) as successive availableNow
+    runs over one checkpoint, with each batch's rows shuffled by `seed`
+    (batch MEMBERSHIP fixed, intra-batch order randomized).  Returns the
+    append-mode output as a sorted row list."""
+    import random
+
+    rng = random.Random(seed)
+    stage = tempfile.mkdtemp(prefix=f"sfs_perm_{seed}_")
+    ckpt = tempfile.mkdtemp(prefix=f"sfs_perm_ck_{seed}_")
+    out = tempfile.mkdtemp(prefix=f"sfs_perm_out_{seed}_")
+
+    def write_batch(name, rows):
+        rows = rows[:]
+        rng.shuffle(rows)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [r[1] * 1_000_000 for r in rows], pa.timestamp("us")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(stage, name))
+
+    for i, batch in enumerate(batches):
+        write_batch(f"b{i}.parquet", batch)
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(stage)
+        qy = (
+            transform(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return sorted(tuple(r) for r in spark.read.parquet(out).collect())
+
+
+def test_watermark_eviction_is_invariant_under_intra_batch_reorder(spark):
+    """Property the 100 TB design leans on: watermark eviction depends
+    only on which micro-batch a row arrives in (max event time per
+    batch), never on the order rows happen to occupy within the batch.
+    Replay the same 3-batch late-data scenario under k seeded shuffles
+    — every permutation must produce the identical append-mode output,
+    and the beyond-watermark row must be dropped in all of them."""
+    hour = 3600
+    batches = [
+        # hours 0,0,1,1 -> watermark after batch 0 = (2h-1s) - 10min
+        [(1, 10, 1), (2, 50, 1), (3, hour + 10, 1), (4, 2 * hour - 1, 1)],
+        # (5) is 20s into hour 0: far behind the watermark -> dropped
+        [(5, 20, 1), (6, 2 * hour + 20, 1), (7, 3 * hour + 10, 1)],
+        [(8, 5 * hour, 1)],
+    ]
+
+    def windowed(stream):
+        return (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("start_s"), "n")
+        )
+
+    outputs = [
+        _run_windowed_batches(spark, windowed, batches, seed)
+        for seed in (0, 1, 2)
+    ]
+    assert outputs[0] == outputs[1] == outputs[2]
+    emitted = dict(outputs[0])
+    assert emitted.get(0) == 2, f"late event resurrected hour-0: {emitted}"
+    assert sum(emitted.values()) <= 7  # event 5 never counted
+
+
+def test_session_merge_is_invariant_under_intra_batch_reorder(spark):
+    """session_window state merge must be order-insensitive the same
+    way: two users' interleaved sessions replayed under k shuffles
+    produce identical closed sessions, with a beyond-watermark row
+    dropped deterministically."""
+    m = 60
+    batches = [
+        # user 1: two clusters 40min apart (-> 2 sessions); user 2: one
+        [(1, 0, 1), (2, 5 * m, 1), (3, 45 * m, 1), (4, 46 * m, 2),
+         (5, 120 * m, 1)],
+        # (6) at 8min is ~102min behind the watermark -> dropped;
+        # fresh rows extend both users
+        [(6, 8 * m, 2), (7, 125 * m, 1), (8, 126 * m, 2), (9, 300 * m, 1)],
+        [(10, 600 * m, 1)],
+    ]
+
+    outputs = [
+        _run_windowed_batches(
+            spark, session_window_stream, batches, seed
+        )
+        for seed in (0, 1, 2)
+    ]
+    assert outputs[0] == outputs[1] == outputs[2]
+    rows = outputs[0]
+    # user 2's only closed activity is the 46min row (the late 8min row
+    # must not have opened a session)
+    u2 = [r for r in rows if r[0] == 2]
+    assert all(r[2] == 1 for r in u2) and len(u2) >= 1, rows
