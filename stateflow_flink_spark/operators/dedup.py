@@ -513,9 +513,10 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     round is one shuffle keyed by node; `localCheckpoint` cuts the
     growing lineage (the iterate_flow discipline).  Rounds needed =
     component diameter — near-dup clusters are shallow (dup groups, not
-    social graphs); for adversarially long chains switch to the
-    alternating star-contraction scheme (Kiveris et al., "Connected
-    Components in MapReduce"), which converges in O(log n) rounds.
+    social graphs); for adversarially long chains use
+    :func:`q_dedup_cluster_star` below (alternating star contraction,
+    Kiveris et al., O(log n) rounds regardless of diameter — same
+    oracle, property-tested on a 64-node chain).
 
     Oracle: DuckDB recursive-CTE transitive closure over the same pairs
     (quadratic, fine at oracle scale — the Spark path is the one that
