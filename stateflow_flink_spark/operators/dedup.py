@@ -631,7 +631,35 @@ def star_contraction(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
     for `.checkpoint()` to reliable storage.
 
     At convergence the edge list IS a star forest child→root; labels
-    are those edges plus (root, root) for each root."""
+    are those edges plus (root, root) for each root.  The root
+    extraction is ONLY valid on a star forest, so a loop that exhausts
+    ``max_rounds`` without reaching the fixpoint raises rather than
+    silently emitting conflicting labels."""
+    e, rounds, converged = _contract_to_star_forest(edges, max_rounds)
+    if not converged:
+        raise RuntimeError(
+            f"star_contraction did not converge in {max_rounds} rounds — "
+            "raise max_rounds (O(log n) suffices per Kiveris et al.)"
+        )
+    roots = e.select(F.col("dst").alias("src"), F.col("dst")).distinct()
+    return e.union(roots).select(
+        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
+    )
+
+
+def _contract_to_star_forest(
+    edges: DataFrame, max_rounds: int
+) -> tuple[DataFrame, int, bool]:
+    """The alternating-round loop behind :func:`star_contraction`,
+    exposed so the convergence property test drives the SAME loop the
+    production query runs.  Returns (edge frame, rounds run, converged).
+
+    Each round pins the large-star output before small-star consumes it
+    — `_small_star` references its input in four plan branches
+    (min-star build, join probe, and both union arms), which would
+    otherwise re-execute the large-star join up to 4x per round (the
+    same reuse discipline q_dedup_cluster documents for its symmetric
+    union)."""
     e = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
@@ -639,20 +667,18 @@ def star_contraction(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     prev = None
-    for _ in range(max_rounds):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
+    for r in range(max_rounds):
+        big = _large_star(e).localCheckpoint(eager=False)
+        e = _small_star(big).localCheckpoint(eager=False)
         cnt, chk = e.agg(
             F.count(F.lit(1)),
             # decimal(38,0) sum: long would overflow under ANSI mode
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
         ).collect()[0]
         if (cnt, chk) == prev:
-            break
+            return e, r + 1, True
         prev = (cnt, chk)
-    roots = e.select(F.col("dst").alias("src"), F.col("dst")).distinct()
-    return e.union(roots).select(
-        F.col("src").alias("doc_id"), F.col("dst").alias("cluster_id")
-    )
+    return e, max_rounds, False
 
 
 @query("q_dedup_cluster_star", _CLUSTER_ORACLE)

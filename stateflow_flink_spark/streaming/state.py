@@ -243,6 +243,10 @@ def apply_stateful(
     never terminates), so the fallback trades idle-key eviction for
     bounded-run semantics and documents it.
     """
+    if force_path not in (None, "tws", "apws"):
+        raise ValueError(
+            f"force_path must be None, 'tws' or 'apws', got {force_path!r}"
+        )
     grouped = events.groupBy("user_id")
     use_tws = HAS_TWS_RUNTIME if force_path is None else force_path == "tws"
     if use_tws:
@@ -382,9 +386,12 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
         out = []
         for row in pdf.itertuples():
             ts_us = row.ts.value // 1000  # pandas ns -> micros
-            if ts_us < cur_from_us:
-                # late event from an earlier batch: clamp forward so the
-                # closed interval cannot invert (see docstring contract)
+            if cur_type is not None and ts_us < cur_from_us:
+                # late event behind an OPEN version: clamp forward so
+                # the closed interval cannot invert (see docstring
+                # contract).  Guarded on an open version existing — a
+                # key's FIRST event must keep its own ts even when it
+                # is pre-epoch (cur_from_us initializes to 0).
                 ts_us = cur_from_us
             if cur_type is None:
                 cur_type, cur_from_us, cur_ver = row.event_type, ts_us, 1

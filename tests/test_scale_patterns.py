@@ -185,35 +185,31 @@ def test_star_contraction_chain_converges_logarithmically(spark):
     """The adversarial case for q_dedup_cluster's label propagation: a
     64-node chain (diameter 63) must converge in at most 2*log2(64)
     alternating rounds, not diameter-many — the property that makes star
-    contraction the deep-component escape hatch."""
+    contraction the deep-component escape hatch.  Drives the SAME
+    production loop (`_contract_to_star_forest`), not a test-local
+    re-implementation that could drift."""
     import math
 
     from stateflow_flink_spark.operators.dedup import (
-        _large_star,
-        _small_star,
+        _contract_to_star_forest,
         star_contraction,
     )
 
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(63)], "src long, dst long"
     )
-    e = edges.localCheckpoint(eager=False)
-    prev, rounds = None, 0
-    for _ in range(24):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
-        cnt, chk = e.agg(
-            F.count(F.lit(1)),
-            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
-        ).collect()[0]
-        rounds += 1
-        if (cnt, chk) == prev:
-            break
-        prev = (cnt, chk)
+    _, rounds, converged = _contract_to_star_forest(edges, max_rounds=24)
+    assert converged
     assert rounds <= 2 * int(math.log2(64)), f"took {rounds} rounds"
 
     labels = star_contraction(edges).collect()
     assert len(labels) == 64
     assert all(r.cluster_id == 0 for r in labels)
+
+    # the non-convergence guard: too few rounds must raise, never emit
+    # conflicting labels from a non-star-forest edge list
+    with pytest.raises(RuntimeError, match="did not converge"):
+        star_contraction(edges, max_rounds=1).collect()
 
 
 def test_star_contraction_matches_union_find_on_random_graph(spark):

@@ -499,6 +499,9 @@ def test_watermark_eviction_is_invariant_under_intra_batch_reorder(spark):
     ]
     assert outputs[0] == outputs[1] == outputs[2]
     emitted = dict(outputs[0])
+    # a window emitted twice (resurrection) would collapse in dict():
+    # assert unique starts FIRST so the per-window checks stay honest
+    assert len(emitted) == len(outputs[0]), outputs[0]
     assert emitted.get(0) == 2, f"late event resurrected hour-0: {emitted}"
     assert sum(emitted.values()) <= 7  # event 5 never counted
 

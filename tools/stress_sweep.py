@@ -184,11 +184,19 @@ def main() -> None:
     print("|---|---|---|---|---|---|---|")
     failures = []
     for name in TARGETS:
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", name,
-             dirs[1], dirs[SCALE]],
-            capture_output=True, text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", name,
+                 dirs[1], dirs[SCALE]],
+                capture_output=True, text=True,
+                # a hung operator IS the pathology this sweep hunts —
+                # bound it and report it instead of stalling the gate
+                timeout=int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "3600")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"| {name} | TIMEOUT | | | | | |")
+            failures.append((name, "timeout"))
+            continue
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         if proc.returncode != 0 or not line.startswith("{"):
             print(f"| {name} | ERROR | | | | | |")
