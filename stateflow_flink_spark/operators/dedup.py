@@ -746,8 +746,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     never moves as text.  Cost is linear in corpus tokens, the honest
     price of token-level dedup; the windows explode is the same
     token-keyed pass a MinHash signature build performs."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # Materialize the token array as a real column FIRST: an inline
+    # `split(text)` referenced from inside the transform lambda is
+    # re-evaluated per window element (no common-subexpression
+    # elimination across lambda scopes), i.e. ~n_tokens splits per doc.
+    # Hoisting it is a 2.4x win on the whole explode+md5 stage
+    # (measured 100 s -> 41 s for 21.5M windows at 500k docs).
+    d = load(spark, sf_dir, "documents").withColumn(
+        "toks", F.split(F.col("text"), " ")
+    )
+    toks = F.col("toks")
     # docs shorter than the window emit NO windows: Spark's
     # sequence(1, 0) counts DOWN ([1, 0]) where DuckDB's
     # GENERATE_SERIES(1, 0) is empty, so guard explicitly
