@@ -691,78 +691,94 @@ _EMB_LSH_ORACLE = f"""
 """
 
 
+EMB_LSH_VERIFY_GROUPS = 64  # coarse Arrow groups for the bucket verify
+#   (the cogroup-funnel trick: ~64 Python crossings, pandas groupby
+#   vectorizes the per-bucket work inside each)
+_EMB_LSH_PAIR_CHUNK = 4_000_000  # bound per-step pair memory in a hot bucket
+
+
 @query("q_dedup_embedding_lsh", _EMB_LSH_ORACLE)
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (cos >= NEAR_DUP_TAU) among LSH-bucket candidates.
 
-    Plan shape for 100 TB: bucket projection rides the scan (zero
-    shuffle), the candidate join shuffles SLIM (vec_id, t, bucket) rows
-    only — embeddings join back by id for the exact verify, so the L=32
-    bucket fan-out never amplifies the 64-float payload.  Dedup happens
-    post-verify (the SimHash lesson: survivors are far fewer than
-    bucket collisions).  At cluster scale the signature table is
-    written once, bucket-partitioned, and the per-bucket join is
-    co-located — same storage story as the ANN tables above."""
+    Plan shape for 100 TB — verify PER BUCKET, never per pair: each
+    vector's embedding is shuffled once per table assignment (L x n
+    rows, ~1.6 GB at 200k vectors), grouped by a 64-way hash of
+    (t, bucket), and all of a bucket's pairs are scored inside one
+    numpy kernel.  The previous spelling joined embeddings onto the
+    exploded candidate PAIRS — at 200k vectors the 12-bit buckets hold
+    ~49 vectors each, so ~150M un-deduped candidate rows x 2 x 256 B of
+    payload spilled ~70 GB of shuffle and ran out of /tmp on the 10x
+    stress corpus.  Dedup still happens post-verify (survivors are far
+    fewer than bucket collisions), and the per-pair cosine arithmetic
+    is BIT-IDENTICAL to the old kernel (float64-of-float32 elementwise
+    products, row-sum, norms per vector), so a pair verified in several
+    buckets collapses in the final distinct.  At cluster scale the
+    signature table is written once, bucket-partitioned, and the
+    per-bucket verify reads co-located partitions — same storage story
+    as the ANN tables above (tests/test_ann_layout.py)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    # pin the SLIM signature frame once (the pagerank recipe): a plain
-    # repartition barrier is NOT enough here — AQE broadcasts one join
-    # side, and a BroadcastExchange over the same subtree is not
-    # reusable against the hash exchange, so the Arrow kernel would run
-    # over the full embeddings table once per self-join side
-    sigs = (
-        e.mapInPandas(_emb_lsh_sig_batches, "vec_id long, bks array<long>")
-        .select("vec_id", F.posexplode("bks").alias("t", "bucket"))
-        .localCheckpoint()
+    sigs = e.mapInPandas(
+        _emb_lsh_sig_batches, "vec_id long, bks array<long>"
+    ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
+    grouped = sigs.join(e, "vec_id").withColumn(
+        "grp", F.pmod(F.xxhash64("t", "bucket"), F.lit(EMB_LSH_VERIFY_GROUPS))
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.t") == F.col("b.t"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("vec_a"),
-        F.col("b.vec_id").alias("vec_b"),
-    )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
-    # Arrow-vectorized verify: at 10x stress scale the candidate set is
-    # ~1.6M pairs and the zip_with/aggregate cosine (CodegenFallback,
-    # interpreted per element) measured 53.7 s end-to-end vs ~6 s for
-    # this numpy kernel — same float64-of-float32-products discipline as
-    # _gemm_block_pairs, sum-order wobble absorbed by the 6 dp rounding.
-    # Score + threshold live in ONE mapInPandas (a pandas_udf column
-    # referenced by both a filter and a projection gets split by
-    # ExtractPythonUDFs into two Python crossings — plan-gated).
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .mapInPandas(_verify_cosine_batches, "vec_a long, vec_b long, cos_sim double")
+        grouped.groupBy("grp")
+        .applyInPandas(
+            _bucket_verify_group, "vec_a long, vec_b long, cos_sim double"
+        )
         .distinct()
     )
 
 
-def _verify_cosine_batches(batches):
-    """(vec_a, vec_b, emb_a, emb_b) -> pairs with cos_sim >= tau,
-    rounded to 6 dp (the cross-engine compare precision module-wide)."""
-    for pdf in batches:
-        if len(pdf) == 0:
+def _bucket_verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One coarse group of (vec_id, t, bucket, embedding) rows: score
+    every intra-bucket pair with the exact per-pair cosine (elementwise
+    float64 products + row sum — NOT a GEMM, so the value for a given
+    pair is identical no matter which bucket computes it) and keep
+    cos >= tau.  Pair enumeration is chunked to bound memory in a
+    pathologically hot bucket."""
+    out = []
+    for _, g in pdf.groupby(["t", "bucket"], sort=False):
+        n = len(g)
+        if n < 2:
             continue
-        a = np.stack(pdf["emb_a"].to_numpy()).astype(np.float64)
-        b = np.stack(pdf["emb_b"].to_numpy()).astype(np.float64)
-        cos = np.round(
-            (a * b).sum(axis=1)
-            / (np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)),
-            6,
-        )
-        keep = cos >= NEAR_DUP_TAU
-        yield pd.DataFrame(
+        ids = g["vec_id"].to_numpy()
+        emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
+        iu, ju = np.triu_indices(n, k=1)
+        for s in range(0, len(iu), _EMB_LSH_PAIR_CHUNK):
+            ii = iu[s : s + _EMB_LSH_PAIR_CHUNK]
+            jj = ju[s : s + _EMB_LSH_PAIR_CHUNK]
+            va, vb = emb[ii], emb[jj]
+            cos = np.round(
+                (va * vb).sum(axis=1)
+                / (np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)),
+                6,
+            )
+            keep = cos >= NEAR_DUP_TAU
+            if not keep.any():
+                continue
+            ia, ib = ids[ii[keep]], ids[jj[keep]]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "cos_sim": cos[keep],
+                    }
+                )
+            )
+    if not out:
+        return pd.DataFrame(
             {
-                "vec_a": pdf["vec_a"].to_numpy()[keep],
-                "vec_b": pdf["vec_b"].to_numpy()[keep],
-                "cos_sim": cos[keep],
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cos_sim": pd.Series([], dtype="float64"),
             }
         )
+    return pd.concat(out, ignore_index=True)
 
 
 N_CENTROIDS = 16  # IVF coarse-quantizer cells; ~sqrt(n) per classic IVF sizing

@@ -365,21 +365,18 @@ def test_window_ntile_no_global_single_reducer_sort(spark):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
 
 
-def test_emb_lsh_dedup_single_projection_no_cartesian(spark):
-    """The LSH dedup's bucket projection must run ONCE — the signature
-    frame is pinned behind an exchange barrier so the self-join feeds
-    both sides from one kernel run (without the barrier the plan runs
-    MapInPandas over the full embeddings table per join side) — plus
-    one opaque verify node; and the candidate join must be a hash join
-    on (t, bucket), never a cartesian."""
+def test_emb_lsh_dedup_per_bucket_verify_no_pair_amplification(spark):
+    """The LSH dedup must verify PER BUCKET: exactly one signature
+    kernel (MapInPandas) and one grouped verify (FlatMapGroupsInPandas)
+    keyed by the coarse group hash — the embedding payload crosses one
+    hashpartitioning(grp) exchange, never a per-candidate-pair join
+    (the spelling that spilled ~70 GB at the 10x stress scale).  No
+    cartesian, no split ArrowEvalPython crossings."""
     plan = plan_of(QUERIES["q_dedup_embedding_lsh"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
-    # the projection ran ONCE eagerly (checkpointed scan feeds both join
-    # sides); only the verify node remains in the lazy plan — a
-    # column-UDF verify referenced by filter AND projection would split
-    # into two ArrowEvalPython crossings
-    assert plan.count(") MapInPandas") == 1
-    assert "Scan ExistingRDD" in plan  # the pinned signature frame
+    assert plan.count(") MapInPandas") == 1  # signature kernel only
+    assert plan.count(") FlatMapGroupsInPandas") == 1  # bucket verify
+    assert "hashpartitioning(grp" in plan, plan
     assert "ArrowEvalPython" not in plan
 
 
