@@ -489,3 +489,78 @@ def q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality score (CCNet-style corpus filtering)
+# ---------------------------------------------------------------------------
+
+_LM_SCALE = 1_000_000
+
+_NGRAM_LM_ORACLE = f"""
+    WITH bg AS (
+        SELECT doc_id, UNNEST(gs) AS g FROM ({_gram_sql(2, distinct=False)})
+    ),
+    dg AS (SELECT doc_id, g, COUNT(*) AS n_dg FROM bg GROUP BY 1, 2),
+    scored AS (
+        SELECT doc_id, n_dg,
+               (SUM(n_dg) OVER (PARTITION BY g) * {_LM_SCALE})
+                   // SUM(n_dg) OVER (PARTITION BY SPLIT_PART(g, ' ', 1))
+                   AS p_scaled
+        FROM dg
+    )
+    SELECT doc_id,
+           CAST(SUM(n_dg) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_dg * p_scaled) AS DOUBLE)
+               / CAST(SUM(n_dg) AS DOUBLE) / {_LM_SCALE} AS lm_score
+    FROM scored GROUP BY doc_id
+"""
+
+
+@query("q_ngram_lm", _NGRAM_LM_ORACLE)
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram probability under the corpus's own
+    bigram statistics — the CCNet/Wenzek-style LM fluency score that
+    ranks documents for head/middle/tail quality bucketing: a document
+    whose adjacent-word pairs are common in the corpus scores high,
+    word salad scores low.  P(w2|w1) is estimated from the corpus
+    itself (c(w1 w2) / c(w1·)), quantized to 6 dp by integer floor
+    division so both engines produce the identical per-bigram
+    probability, then averaged per document with occurrence weights.
+
+    Scale shape: ONE explode pass builds per-doc bigram counts (the
+    groupBy(doc, gram) partial-aggregates map-side, collapsing repeats
+    before any exchange), and the corpus statistics are two unordered
+    window sums over that SAME aggregated frame — keyed by the bigram
+    and by its first word — instead of building and joining two count
+    tables (saves two joins; the windows' exchanges carry slim
+    (hash-sized key, count) rows).  No driver round-trip, no
+    vocabulary broadcast: the bigram table can be arbitrarily large.
+    Docs shorter than two tokens degenerate to the whole-doc "gram"
+    (the grams_all clamp), scoring them against themselves — harmless
+    and engine-identical."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    bg = d.select("doc_id", F.explode(grams_all(F.col("text"), 2)).alias("g"))
+    dg = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_dg"))
+    from pyspark.sql import Window
+
+    w_g = Window.partitionBy("g")
+    w_1 = Window.partitionBy(F.substring_index(F.col("g"), " ", 1))
+    scored = dg.select(
+        "doc_id",
+        "n_dg",
+        F.sum("n_dg").over(w_g).alias("c2"),
+        F.sum("n_dg").over(w_1).alias("c1"),
+    ).select(
+        "doc_id",
+        "n_dg",
+        F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("n_dg").cast("bigint").alias("n_bigrams"),
+        (
+            F.sum(F.col("n_dg") * F.col("p_scaled")).cast("double")
+            / F.sum("n_dg").cast("double")
+            / F.lit(_LM_SCALE)
+        ).alias("lm_score"),
+    )

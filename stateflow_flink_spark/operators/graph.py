@@ -175,3 +175,247 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("long").alias("rank_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-oriented) over the supplier co-supply graph
+# ---------------------------------------------------------------------------
+
+# co-supply projection: suppliers are adjacent when they supply the same
+# part.  TPC-H's supplier dimension is tiny relative to co-occurrence
+# opportunities, so the raw projection is near-complete — a fixture
+# artifact, not a property of real co-occurrence graphs.  A 1/16
+# content-keyed thinning (md5 of the edge key, the q_split_hash recipe)
+# restores the sparse regime the oriented algorithm is built for while
+# keeping edge selection deterministic and engine-identical.
+TRI_SAMPLE_MOD = 16
+# parts with pathological supplier fan-out would explode the per-part
+# C(k,2) pair enumeration; the cap bounds the worst part at CAP² pairs
+# (the SHINGLE_DF_CAP discipline from fuzzy dedup).  A no-op on TPC-H
+# (suppliers-per-part is spec-bounded) — it exists for the adversarial
+# distribution, and the oracle replicates it exactly.
+TRI_PART_CAP = 64
+
+_TRI_EDGE_SQL = f"""
+        ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        capped AS (
+            SELECT p, s FROM (
+                SELECT p, s, COUNT(*) OVER (PARTITION BY p) AS nsupp FROM ps
+            ) WHERE nsupp <= {TRI_PART_CAP}
+        ),
+        pairs AS (
+            SELECT DISTINCT a.s AS s1, b.s AS s2
+            FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
+        ),
+        edges AS (
+            SELECT s1, s2 FROM pairs
+            WHERE CAST(('0x' || SUBSTRING(MD5(
+                      CAST(s1 AS VARCHAR) || '-' || CAST(s2 AS VARCHAR)
+                  ), 1, 8))::UBIGINT AS BIGINT) % {TRI_SAMPLE_MOD} = 0
+        ),
+        und AS (
+            SELECT s1 AS src, s2 AS dst FROM edges
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst FROM edges
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM und GROUP BY src)
+"""
+
+_TRI_ORACLE = f"""
+    WITH {_TRI_EDGE_SQL},
+    oriented AS (
+        SELECT CASE WHEN (da.d, e.s1) < (db.d, e.s2) THEN e.s1 ELSE e.s2 END AS u,
+               CASE WHEN (da.d, e.s1) < (db.d, e.s2) THEN e.s2 ELSE e.s1 END AS v
+        FROM edges e
+        JOIN deg da ON e.s1 = da.node
+        JOIN deg db ON e.s2 = db.node
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM oriented e1
+        JOIN oriented e2 ON e1.u = e2.u AND e1.v < e2.v
+        JOIN oriented e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_nodes,
+               CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+        FROM deg
+    ),
+    ecount AS (SELECT COUNT(*) AS n_edges FROM edges)
+    SELECT s.n_nodes, ec.n_edges, s.n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN s.n_wedges = 0 THEN 0.0
+                ELSE CAST(3 * t.n_triangles AS DOUBLE) / CAST(s.n_wedges AS DOUBLE)
+           END AS global_clustering
+    FROM stats s, ecount ec, tri t
+"""
+
+
+@query("q_graph_triangles", _TRI_ORACLE)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count + clustering coefficient of the supplier
+    co-supply graph, by degree orientation (Chiba–Nishizeki / the
+    standard MapReduce triangle recipe): orient each undirected edge
+    from its lower-(degree, id) endpoint to the higher, enumerate pairs
+    of out-neighbors, and close each wedge against the oriented edge
+    list.
+
+    Why orientation matters at 100 TB: out-degree under this order is
+    bounded by O(sqrt(m)) (graph arboricity), so the wedge join — the
+    only super-linear step — generates Σ C(outdeg, 2) rows instead of
+    Σ C(deg, 2): a hub with degree 10⁶ contributes nothing beyond its
+    sqrt-bounded out-fan.  All three joins are equi-joins on node ids
+    (slim bigint pairs, no payload); the closing join keys on the full
+    (u, v) edge, so AQE sizes its shuffle off the wedge count.  The
+    final answer is a five-column single row — counts are exact
+    integers, the clustering coefficient is one division of two exact
+    integers, bit-identical cross-engine."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    from pyspark.sql import Window
+
+    capped = (
+        li.withColumn("nsupp", F.count(F.lit(1)).over(Window.partitionBy("p")))
+        .filter(F.col("nsupp") <= TRI_PART_CAP)
+        .drop("nsupp")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    ekey = F.concat(
+        F.col("s1").cast("string"), F.lit("-"), F.col("s2").cast("string")
+    )
+    # the thinning filter commutes with the distinct (row-wise on the
+    # key columns) — running it BEFORE cuts the dedup shuffle by the
+    # sampling factor, so the per-part pair explosion never exchanges
+    edges = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .filter(
+            F.conv(F.substring(F.md5(ekey), 1, 8), 16, 10).cast("bigint")
+            % TRI_SAMPLE_MOD
+            == 0
+        )
+        .distinct()
+    )
+    # the edge frame feeds degree, orientation, and the closing join:
+    # pin it lazily (the pagerank recipe) so the projection+thinning
+    # runs once, not once per consumer
+    edges = edges.localCheckpoint(eager=False)
+    und = edges.unionByName(
+        edges.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
+    )
+    deg = und.groupBy(F.col("s1").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    oriented = (
+        edges.join(deg.select(F.col("node").alias("s1"), F.col("d").alias("d1")), "s1")
+        .join(deg.select(F.col("node").alias("s2"), F.col("d").alias("d2")), "s2")
+        .select(
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.col("s1"),
+            )
+            .otherwise(F.col("s2"))
+            .alias("u"),
+            F.when(
+                (F.col("d1") < F.col("d2"))
+                | ((F.col("d1") == F.col("d2")) & (F.col("s1") < F.col("s2"))),
+                F.col("s2"),
+            )
+            .otherwise(F.col("s1"))
+            .alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+        )
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.v")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ecount = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(broadcast(ecount))
+        .crossJoin(broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                (F.lit(3) * F.col("n_triangles")).cast("double")
+                / F.col("n_wedges").cast("double")
+            )
+            .alias("global_clustering"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the customer↔supplier trade graph
+# ---------------------------------------------------------------------------
+
+_DEGREE_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    deg AS (
+        SELECT node_type, node_id, COUNT(*) AS d FROM (
+            SELECT 'customer' AS node_type, c AS node_id, s FROM pairs
+            UNION ALL
+            SELECT 'supplier' AS node_type, s AS node_id, c FROM pairs
+        ) GROUP BY node_type, node_id
+    )
+    SELECT node_type, d AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node_id) AS min_node
+    FROM deg
+    GROUP BY node_type, d
+"""
+
+
+@query("q_graph_degree_dist", _DEGREE_ORACLE)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the customer↔supplier trade graph (the
+    pagerank graph), split by node type — the first profiling query run
+    against any production graph (power-law check, skew forecast for
+    the joins downstream).
+
+    Two stacked aggregates, both with map-side partial combine: per-node
+    degree (keyed by node, the natural partitioning the graph ops
+    downstream reuse), then a histogram keyed by (type, degree) — the
+    second shuffle carries one slim row per DISTINCT degree per
+    partition, so the exchange is ~bounded by the degree range, not the
+    node count."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    both = pairs.select(
+        F.lit("customer").alias("node_type"), F.col("c").alias("node_id")
+    ).unionByName(
+        pairs.select(
+            F.lit("supplier").alias("node_type"), F.col("s").alias("node_id")
+        )
+    )
+    deg = both.groupBy("node_type", "node_id").agg(F.count(F.lit(1)).alias("d"))
+    return deg.groupBy("node_type", F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node_id").alias("min_node"),
+    )

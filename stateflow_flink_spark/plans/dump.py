@@ -56,12 +56,13 @@ NOTES = {
     ),
     "q_dedup_embedding_lsh": (
         "The scale-path twin of the exact block-GEMM near-dup query: one "
-        "MapInPandas integer-matmul projection per self-join side (engine-"
-        "exact md5-derived hyperplanes), a SLIM (vec_id, t, bucket) "
-        "candidate self-join — the 32-table fan-out never amplifies the "
-        "64-float payload — then embeddings join back by id into one opaque "
-        "MapInPandas verify (score + threshold fused: a column-UDF verify "
-        "would be split by ExtractPythonUDFs into two Python crossings)."
+        "MapInPandas integer-matmul signature kernel (engine-exact "
+        "md5-derived hyperplanes), then the verify runs PER BUCKET — each "
+        "embedding crosses exactly one hashpartitioning(grp) exchange per "
+        "table assignment (L x n rows) into a FlatMapGroupsInPandas that "
+        "scores all intra-bucket pairs in numpy. No per-candidate-pair "
+        "join: the old spelling shipped two 256-byte payloads per "
+        "un-deduped candidate and spilled ~70 GB at 10x stress scale."
     ),
     "q_dedup_substring": (
         "The sliding-window hash stream is materialized once: min/max(doc) "

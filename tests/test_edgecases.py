@@ -926,3 +926,94 @@ def test_markov_rows_sum_to_one_per_state(spark):
         assert (grp["prob"] == grp["n"] / sums[cur]).all()
     # 5 event types -> a dense 5x5 matrix on this fixture
     assert len(out) == 25
+
+
+def test_triangles_known_graph_counts_exactly(spark, tmp_path, monkeypatch):
+    """K4 (one part, four suppliers) plus a 5-spoke star (hub supplier
+    10): exactly 4 triangles, 11 edges, 10 nodes, 22 wedges, clustering
+    12/22.  Thinning is disabled (MOD=1 passes every edge) so the graph
+    under test is exactly the one constructed."""
+    import os
+
+    import pandas as pd
+
+    from stateflow_flink_spark.operators import graph as G
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    monkeypatch.setattr(G, "TRI_SAMPLE_MOD", 1)
+    rows = [(100, s) for s in (1, 2, 3, 4)]  # K4 via shared part 100
+    rows += [(200 + i, 10) for i in range(5)]  # star hub
+    rows += [(200 + i, 11 + i) for i in range(5)]  # one spoke per part
+    sf_dir = str(tmp_path / "fixture")
+    os.makedirs(sf_dir)
+    pd.DataFrame(rows, columns=["l_partkey", "l_suppkey"]).to_parquet(
+        f"{sf_dir}/lineitem.parquet", index=False
+    )
+    r = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (10, 11, 22, 4)
+    assert abs(r.global_clustering - 12 / 22) < 1e-12
+
+
+def test_ewma_matches_pandas_and_truncates_tail(spark, tmp_path):
+    """A 10-point series must reproduce pandas ewm(alpha=.5,
+    adjust=True).mean() exactly (2-dp inputs are lossless at the 1e6
+    scale); a 40-point series must use only the newest 16 (n_used
+    capped, weights renormalized over the window)."""
+    import datetime as _dt
+    import os
+
+    import pandas as pd
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    t0 = _dt.datetime(2024, 1, 1)
+    vals10 = [round(1.37 * (i % 7) + 0.25 * i, 2) for i in range(10)]
+    vals40 = [round(2.11 * ((i * 3) % 11) + 0.5, 2) for i in range(40)]
+    rows = [
+        (t0 + _dt.timedelta(hours=i), i, 1, "e", v) for i, v in enumerate(vals10)
+    ] + [
+        (t0 + _dt.timedelta(hours=i), 100 + i, 2, "e", v)
+        for i, v in enumerate(vals40)
+    ]
+    sf_dir = str(tmp_path / "fixture")
+    os.makedirs(sf_dir)
+    pd.DataFrame(
+        rows, columns=["ts", "event_id", "user_id", "event_type", "value"]
+    ).to_parquet(f"{sf_dir}/events.parquet", index=False)
+    out = {
+        r.user_id: r
+        for r in QUERIES["q_timeseries_ewma"](spark, sf_dir).collect()
+    }
+    expect10 = pd.Series(vals10).ewm(alpha=0.5, adjust=True).mean().iloc[-1]
+    assert out[1].n_used == 10
+    assert abs(out[1].ewma_value - expect10) < 1e-9
+    assert out[2].n_used == 16
+    # manual windowed expectation over the newest 16 of the 40
+    recent = vals40[-16:]
+    num = sum(int(round(v * 1e6)) * (1 << i) for i, v in enumerate(recent))
+    den = sum(1 << i for i in range(16))
+    assert abs(out[2].ewma_value - num / den / 1e6) < 1e-12
+
+
+def test_ngram_lm_hand_computed_bigram_probabilities(spark, tmp_path):
+    """Corpus {"a b a b", "a c"}: P(b|a) = 2/3 (floor-quantized to
+    666666/1e6), P(a|b) = 1, P(c|a) = 1/3 → doc scores
+    (2·666666 + 1000000)/3/1e6 and 333333/1e6 exactly."""
+    import os
+
+    import pandas as pd
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    sf_dir = str(tmp_path / "fixture")
+    os.makedirs(sf_dir)
+    pd.DataFrame(
+        [(1, "a b a b"), (2, "a c")], columns=["doc_id", "text"]
+    ).to_parquet(f"{sf_dir}/documents.parquet", index=False)
+    out = {r.doc_id: r for r in QUERIES["q_ngram_lm"](spark, sf_dir).collect()}
+    assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
+    assert abs(out[1].lm_score - (2 * 666666 + 1000000) / 3 / 1e6) < 1e-12
+    assert abs(out[2].lm_score - 333333 / 1e6) < 1e-12

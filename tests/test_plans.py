@@ -536,3 +536,63 @@ def test_pq_adc_scores_without_reading_embeddings_twice(spark):
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_graph_triangles_hash_joins_pruned_scan_no_cartesian(spark):
+    """Triangle counting must close wedges with equi-joins on node-id
+    keys — never a cartesian — and the lineitem scan must read ONLY the
+    two projection columns.  The single-row stats/edge-count/triangle
+    combine is the only nested-loop (all sides broadcast literals)."""
+    plan = plan_of(QUERIES["q_graph_triangles"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # the wedge + closing joins are equi-joins (hash/merge), and the
+    # pinned edge frame (lazy localCheckpoint) feeds them as an RDD scan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    )
+    assert "Scan ExistingRDD" in plan
+    # the projection reaches the parquet scan of the PRE-checkpoint
+    # subtree: only the two projection columns are read
+    from stateflow_flink_spark.io import load as _load
+    from pyspark.sql import functions as SF
+
+    pre = (
+        _load(spark, SF_SMOKE, "lineitem")
+        .select(SF.col("l_partkey").alias("p"), SF.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pre_plan = plan_of(pre)
+    read_schema = [l for l in pre_plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" in read_schema and "l_suppkey" in read_schema
+    assert "l_quantity" not in read_schema and "l_comment" not in read_schema
+
+
+def test_graph_degree_dist_partial_aggregates_both_levels(spark):
+    """Degree then histogram: both aggregates must partial-combine
+    map-side (>= 4 HashAggregate operators: partial+final per level),
+    and nothing funnels through a single partition."""
+    plan = plan_of(QUERIES["q_graph_degree_dist"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_ewma_window_partitioned_by_user_no_global_sort(spark):
+    """The recency row_number must partition by user_id — a global
+    (unpartitioned) window would funnel 100 TB through one reducer —
+    and the aggregate must reuse that same user keying."""
+    plan = plan_of(QUERIES["q_timeseries_ewma"](spark, SF_SMOKE))
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_ngram_lm_window_keyed_no_joins_no_python(spark):
+    """The LM score is two keyed window sums over ONE aggregated bigram
+    frame — no join back of count tables, no cartesian, no Python
+    boundary; the per-(doc, gram) aggregate partial-combines before its
+    exchange."""
+    plan = plan_of(QUERIES["q_ngram_lm"](spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "hashpartitioning(g" in plan, plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
