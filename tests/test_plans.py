@@ -552,15 +552,19 @@ def test_graph_triangles_hash_joins_pruned_scan_no_cartesian(spark):
     )
     assert "Scan ExistingRDD" in plan
     # the projection reaches the parquet scan of the PRE-checkpoint
-    # subtree: only the two projection columns are read
+    # subtree: only the two projection columns are read, and the
+    # collect_set edge build partial-aggregates map-side (partial +
+    # final HashAggregate around one exchange)
     from stateflow_flink_spark.io import load as _load
     from pyspark.sql import functions as SF
 
     pre = (
         _load(spark, SF_SMOKE, "lineitem")
         .select(SF.col("l_partkey").alias("p"), SF.col("l_suppkey").alias("s"))
-        .distinct()
+        .groupBy("p")
+        .agg(SF.sort_array(SF.collect_set("s")).alias("ss"))
     )
+    assert plan_of(pre).count("HashAggregate") >= 2
     pre_plan = plan_of(pre)
     read_schema = [l for l in pre_plan.splitlines() if "ReadSchema" in l][0]
     assert "l_partkey" in read_schema and "l_suppkey" in read_schema
