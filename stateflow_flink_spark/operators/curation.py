@@ -530,31 +530,37 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE explode pass builds per-doc bigram counts (the
     groupBy(doc, gram) partial-aggregates map-side, collapsing repeats
-    before any exchange), and the corpus statistics are two unordered
-    window sums over that SAME aggregated frame — keyed by the bigram
-    and by its first word — instead of building and joining two count
-    tables (saves two joins; the windows' exchanges carry slim
-    (hash-sized key, count) rows).  No driver round-trip, no
-    vocabulary broadcast: the bigram table can be arbitrarily large.
-    Docs shorter than two tokens degenerate to the whole-doc "gram"
-    (the grams_all clamp), scoring them against themselves — harmless
-    and engine-identical."""
+    before any exchange).  Corpus statistics are two PRE-AGGREGATED
+    count tables — per-bigram c2 = groupBy(g), and per-first-word
+    c1 = groupBy(w1) over the (much smaller) c2 table — joined back
+    onto the per-doc frame.  Windows over the per-doc frame would put
+    every occurrence row of a stop-bigram ("of the" ≈ every document)
+    on ONE reducer; groupBy's partial aggregation collapses that hot
+    key map-side before the exchange, so the hottest key costs one
+    slim (key, count) row per map task.  The g-join probes dg with
+    the bigram count table (both exchanges hash on g — Spark reuses
+    the exchange), and the w1-join carries only vocabulary-sized
+    rows.  No driver round-trip, no vocabulary broadcast: the bigram
+    table can be arbitrarily large.  Docs shorter than two tokens
+    degenerate to the whole-doc "gram" (the grams_all clamp), scoring
+    them against themselves — harmless and engine-identical."""
     d = spread(load(spark, sf_dir, "documents"), spark)
     bg = d.select("doc_id", F.explode(grams_all(F.col("text"), 2)).alias("g"))
     dg = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_dg"))
-    from pyspark.sql import Window
-
-    w_g = Window.partitionBy("g")
-    w_1 = Window.partitionBy(F.substring_index(F.col("g"), " ", 1))
-    scored = dg.select(
-        "doc_id",
-        "n_dg",
-        F.sum("n_dg").over(w_g).alias("c2"),
-        F.sum("n_dg").over(w_1).alias("c1"),
-    ).select(
-        "doc_id",
-        "n_dg",
-        F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"),
+    cg = dg.groupBy("g").agg(F.sum("n_dg").alias("c2"))
+    c1 = (
+        cg.groupBy(F.substring_index(F.col("g"), " ", 1).alias("w1"))
+        .agg(F.sum("c2").alias("c1"))
+    )
+    scored = (
+        dg.join(cg, "g")
+        .withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "n_dg",
+            F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"),
+        )
     )
     return scored.groupBy("doc_id").agg(
         F.sum("n_dg").cast("bigint").alias("n_bigrams"),

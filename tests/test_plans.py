@@ -589,14 +589,18 @@ def test_ewma_window_partitioned_by_user_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
 
 
-def test_ngram_lm_window_keyed_no_joins_no_python(spark):
-    """The LM score is two keyed window sums over ONE aggregated bigram
-    frame — no join back of count tables, no cartesian, no Python
-    boundary; the per-(doc, gram) aggregate partial-combines before its
-    exchange."""
+def test_ngram_lm_preaggregates_counts_no_window(spark):
+    """Corpus bigram/unigram statistics come from pre-aggregated count
+    tables joined back — NOT from windows over the per-(doc, gram)
+    frame.  A window partition is not pre-aggregated: a stop-bigram
+    ("of the") would put ~n_docs rows on one reducer at web scale,
+    while groupBy's partial aggregation collapses the hot key map-side
+    before the exchange.  No cartesian, no Python boundary."""
     plan = plan_of(QUERIES["q_ngram_lm"](spark, SF_SMOKE))
-    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
     assert "hashpartitioning(g" in plan, plan
-    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+    # partial+final pairs for: (doc,g) counts, per-g c2, per-w1 c1,
+    # and the final per-doc rollup
+    assert plan.count("HashAggregate") >= 6

@@ -64,6 +64,7 @@ TARGETS = [
     "q_emb_quantize",
     "q_sim_pq_adc",
     "q_triplet_mining",
+    "q_ngram_lm",
 ]
 
 
@@ -89,6 +90,16 @@ def gen_corpus(out_dir: str, n_docs: int, seed: int) -> None:
         toks[i] = toks[i - 1]
         for j in rng.integers(0, TOKENS_PER_DOC, size=rng.integers(1, 4)):
             toks[i, j] = vocab[rng.integers(0, VOCAB)]
+    # plant a HOT BIGRAM ("of the") in ~90% of docs — the q_ngram_lm
+    # skew probe: a window-partitioned plan would funnel every
+    # occurrence row of the hot key onto one reducer (super-linear
+    # tail); the pre-aggregated count-table plan collapses it map-side
+    # and stays linear.
+    hot_mask = rng.random(n_docs) < 0.9
+    for i in np.flatnonzero(hot_mask):
+        p = rng.integers(0, TOKENS_PER_DOC - 1)
+        toks[i, p] = "of"
+        toks[i, p + 1] = "the"
     texts = [" ".join(row) for row in toks]
     docs = pd.DataFrame(
         {
