@@ -691,10 +691,25 @@ _EMB_LSH_ORACLE = f"""
 """
 
 
-EMB_LSH_VERIFY_GROUPS = 64  # coarse Arrow groups for the bucket verify
-#   (the cogroup-funnel trick: ~64 Python crossings, pandas groupby
+EMB_LSH_VERIFY_GROUPS = 64  # FLOOR for the coarse Arrow verify groups
+#   (the cogroup-funnel trick: few Python crossings, pandas groupby
 #   vectorizes the per-bucket work inside each)
+_EMB_LSH_GROUP_ROWS = 200_000  # target (t, bucket, embedding) rows per
+#   verify group — each applyInPandas group materializes its slice as
+#   ONE pandas frame, so per-group rows must stay ~constant as the
+#   corpus grows: groups = clamp(L*n / target, 64, 65536), overridable
+#   via SPARK_GRAFT_EMB_LSH_GROUPS for cluster tuning.
 _EMB_LSH_PAIR_CHUNK = 4_000_000  # bound per-step pair memory in a hot bucket
+
+
+def _emb_lsh_verify_groups(n_vectors: int) -> int:
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_EMB_LSH_GROUPS")
+    if env:
+        return max(1, int(env))
+    rows = n_vectors * EMB_LSH_TABLES
+    return min(65536, max(EMB_LSH_VERIFY_GROUPS, rows // _EMB_LSH_GROUP_ROWS))
 
 
 @query("q_dedup_embedding_lsh", _EMB_LSH_ORACLE)
@@ -718,11 +733,15 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket verify reads co-located partitions — same storage story
     as the ANN tables above (tests/test_ann_layout.py)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one metadata-cheap parquet count sizes the verify fan-out so each
+    # Arrow group holds ~_EMB_LSH_GROUP_ROWS rows regardless of corpus
+    # size (a fixed group count would grow per-group memory linearly)
+    n_groups = _emb_lsh_verify_groups(e.count())
     sigs = e.mapInPandas(
         _emb_lsh_sig_batches, "vec_id long, bks array<long>"
     ).select("vec_id", F.posexplode("bks").alias("t", "bucket"))
     grouped = sigs.join(e, "vec_id").withColumn(
-        "grp", F.pmod(F.xxhash64("t", "bucket"), F.lit(EMB_LSH_VERIFY_GROUPS))
+        "grp", F.pmod(F.xxhash64("t", "bucket"), F.lit(n_groups))
     )
     return (
         grouped.groupBy("grp")
@@ -738,8 +757,11 @@ def _bucket_verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
     every intra-bucket pair with the exact per-pair cosine (elementwise
     float64 products + row sum — NOT a GEMM, so the value for a given
     pair is identical no matter which bucket computes it) and keep
-    cos >= tau.  Pair enumeration is chunked to bound memory in a
-    pathologically hot bucket."""
+    cos >= tau.  Pair enumeration walks the upper triangle in ROW
+    BLOCKS, generating each block's (i, j) indices on the fly — peak
+    index memory is O(block * n), never the O(n^2) a whole-triangle
+    np.triu_indices would materialize (~80 GB of int64 at n = 100k),
+    so a pathologically hot bucket degrades to more steps, not OOM."""
     out = []
     for _, g in pdf.groupby(["t", "bucket"], sort=False):
         n = len(g)
@@ -747,10 +769,12 @@ def _bucket_verify_group(pdf: pd.DataFrame) -> pd.DataFrame:
             continue
         ids = g["vec_id"].to_numpy()
         emb = np.stack(g["embedding"].to_numpy()).astype(np.float64)
-        iu, ju = np.triu_indices(n, k=1)
-        for s in range(0, len(iu), _EMB_LSH_PAIR_CHUNK):
-            ii = iu[s : s + _EMB_LSH_PAIR_CHUNK]
-            jj = ju[s : s + _EMB_LSH_PAIR_CHUNK]
+        blk = max(1, _EMB_LSH_PAIR_CHUNK // n)
+        for s in range(0, n - 1, blk):
+            bi = np.arange(s, min(s + blk, n - 1))
+            mask = np.arange(n)[None, :] > bi[:, None]
+            ii = np.broadcast_to(bi[:, None], mask.shape)[mask]
+            jj = np.broadcast_to(np.arange(n)[None, :], mask.shape)[mask]
             va, vb = emb[ii], emb[jj]
             cos = np.round(
                 (va * vb).sum(axis=1)
