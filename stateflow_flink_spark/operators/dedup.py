@@ -25,11 +25,14 @@ Four tiers, increasingly approximate and increasingly scalable:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, spread
 from ..plans.registry import query
+from ..session import pin
 
 JACCARD_TAU = 0.3
 MINHASH_K = 16  # signature length
@@ -510,8 +513,9 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its own label and its neighbors' labels; labels only decrease, so
     ``sum(label)`` is strictly monotone and an unchanged sum IS the
     fixpoint test (one tiny agg per round, no row-wise diff join).  Each
-    round is one shuffle keyed by node; `localCheckpoint` cuts the
-    growing lineage (the iterate_flow discipline).  Rounds needed =
+    round is one shuffle keyed by node; `session.pin` cuts the growing
+    lineage (localCheckpoint by default, reliable `.checkpoint()` when
+    spark.stateflow.checkpointDir is set).  Rounds needed =
     component diameter — near-dup clusters are shallow (dup groups, not
     social graphs); for adversarially long chains use
     :func:`q_dedup_cluster_star` below (alternating star contraction,
@@ -527,9 +531,24 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closure oracle applies).  Checkpoint BEFORE the symmetric union:
     # its two branches are different projections of the same subplan,
     # which Spark would otherwise execute twice.
-    pairs = (
-        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint()
+    pairs = pin(
+        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b"), eager=True
     )
+    return label_propagation_cluster(pairs)
+
+
+def label_propagation_cluster(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over (doc_a, doc_b) pairs → (doc_id,
+    cluster_id), auto-escalating to star contraction on deep graphs.
+
+    Label propagation needs diameter(G) rounds (one shuffle each);
+    near-dup clusters are shallow, so it usually wins.  But a
+    pathological chain would run diameter-many shuffles — after
+    ceil(log2(n)) + 2 rounds without a fixpoint (the budget star
+    contraction would have needed to FINISH, per Kiveris et al.'s
+    O(log n) w.h.p. bound) this escalates to
+    :func:`star_contraction`, so the worst case is bounded at
+    O(log n) rounds regardless of the caller's graph."""
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
@@ -537,10 +556,14 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(32):
+    labels = pin(labels, eager=True)
+    prev_sum, n_nodes = labels.agg(F.sum("label"), F.count(F.lit(1))).collect()[0]
+    max_rounds = max(4, int(math.ceil(math.log2(max(n_nodes, 2)))) + 2)
+    converged = n_nodes == 0
+    for _ in range(max_rounds):
+        if converged:
+            break
         nbr_min = (
             edges.join(
                 labels.select(F.col("doc_id").alias("doc_b"), "label"), "doc_b"
@@ -557,13 +580,17 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        labels = pin(labels, eager=True)
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
-            break
+            converged = True
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        return star_contraction(
+            pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 
@@ -626,9 +653,10 @@ def star_contraction(edges: DataFrame, max_rounds: int = 24) -> DataFrame:
     Kiveris et al. prove O(log n) rounds w.h.p., so ``max_rounds=24``
     covers any realistic component count; each round is two keyed
     shuffles over edges that only ever point at smaller ids (total work
-    shrinks monotonically).  `localCheckpoint(eager=False)` cuts the
-    per-round lineage exactly as in q_dedup_cluster; on a cluster swap
-    for `.checkpoint()` to reliable storage.
+    shrinks monotonically).  `session.pin` cuts the per-round lineage
+    exactly as in q_dedup_cluster — localCheckpoint by default, reliable
+    `.checkpoint()` when spark.stateflow.checkpointDir /
+    SPARK_GRAFT_CHECKPOINT_DIR is set (the cluster-reliability knob).
 
     At convergence the edge list IS a star forest child→root; labels
     are those edges plus (root, root) for each root.  The root
@@ -664,20 +692,29 @@ def _contract_to_star_forest(
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    e = pin(e)
     prev = None
+    prev_e = None
     for r in range(max_rounds):
-        big = _large_star(e).localCheckpoint(eager=False)
-        e = _small_star(big).localCheckpoint(eager=False)
+        big = pin(_large_star(e))
+        e = pin(_small_star(big))
         cnt, chk = e.agg(
             F.count(F.lit(1)),
             # decimal(38,0) sum: long would overflow under ANSI mode
             F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
         ).collect()[0]
         if (cnt, chk) == prev:
-            return e, r + 1, True
+            # the checksum is a screen, not a proof: a colliding sum
+            # could pass a non-star-forest to the root extraction and
+            # silently emit conflicting labels.  One exact set check at
+            # the DETECTED fixpoint only (both frames are distinct and
+            # equal-count, so one-direction subtract-empty == set
+            # equality) makes the guard airtight for one cheap job.
+            if e.subtract(prev_e).isEmpty():
+                return e, r + 1, True
         prev = (cnt, chk)
+        prev_e = e
     return e, max_rounds, False
 
 

@@ -35,6 +35,7 @@ from pyspark.sql.functions import broadcast
 
 from ..io import load
 from ..plans.registry import query
+from ..session import pin
 
 PR_SCALE = 1_000_000_000
 # supplier ids shift into a disjoint range of the shared node-id space;
@@ -143,12 +144,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the edge frame feeds two joins per iteration x two iterations:
     # pin it once, LAZILY (eager=False: constructing the query must not
-    # launch a Spark job).  localCheckpoint stores unreplicated blocks,
-    # so an executor loss loses the cut lineage — acceptable in
-    # local[*]; a cluster deployment should swap this for
-    # `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint()` to
-    # reliable storage (or a src-partitioned materialized edge table)
-    edges = fwd.unionByName(rev).localCheckpoint(eager=False)
+    # launch a Spark job).  `pin` is localCheckpoint by default and
+    # reliable `.checkpoint()` when spark.stateflow.checkpointDir /
+    # SPARK_GRAFT_CHECKPOINT_DIR is set — the cluster-reliability knob
+    edges = pin(fwd.unionByName(rev))
     # deg doubles as the node list (every node has an out-edge in the
     # undirected graph) — no separate distinct pass
     deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -259,6 +258,8 @@ _TRI_ORACLE = f"""
     ecount AS (SELECT COUNT(*) AS n_edges FROM edges)
     SELECT s.n_nodes, ec.n_edges, s.n_wedges,
            CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           CAST(t.n_triangles * {TRI_SAMPLE_MOD * TRI_SAMPLE_MOD} AS BIGINT)
+               AS est_triangles,
            CASE WHEN s.n_wedges = 0 THEN 0.0
                 ELSE CAST(3 * t.n_triangles AS DOUBLE) / CAST(s.n_wedges AS DOUBLE)
            END AS global_clustering
@@ -325,7 +326,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the edge frame feeds degree, orientation, and the closing join:
     # pin it lazily (the pagerank recipe) so the projection+thinning
     # runs once, not once per consumer
-    edges = edges.localCheckpoint(eager=False)
+    edges = pin(edges)
     und = edges.unionByName(
         edges.select(F.col("s2").alias("s1"), F.col("s1").alias("s2"))
     )
@@ -351,8 +352,8 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.col("s1"))
             .alias("v"),
         )
-        .localCheckpoint(eager=False)
     )
+    oriented = pin(oriented)
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     tri = (
         e1.join(
@@ -378,6 +379,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_edges",
             "n_wedges",
             "n_triangles",
+            # n_triangles counts the COLOR-THINNED graph; each triangle
+            # of the full graph survives thinning with probability
+            # 1/MOD², so the unbiased full-graph estimate is the
+            # sampled count × MOD² (Pagh–Tsourakakis) — exposed so a
+            # consumer never mistakes the sampled count for the truth
+            (F.col("n_triangles") * F.lit(TRI_SAMPLE_MOD * TRI_SAMPLE_MOD))
+            .cast("bigint")
+            .alias("est_triangles"),
             F.when(F.col("n_wedges") == 0, F.lit(0.0))
             .otherwise(
                 (F.lit(3) * F.col("n_triangles")).cast("double")

@@ -952,6 +952,7 @@ def test_triangles_known_graph_counts_exactly(spark, tmp_path, monkeypatch):
     )
     r = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (10, 11, 22, 4)
+    assert r.est_triangles == 4  # MOD=1: estimate == exact count
     assert abs(r.global_clustering - 12 / 22) < 1e-12
 
 

@@ -229,3 +229,172 @@ def test_star_contraction_matches_union_find_on_random_graph(spark):
     df = spark.createDataFrame(edges, "src long, dst long")
     got = {r.doc_id: r.cluster_id for r in star_contraction(df).collect()}
     assert got == expect
+
+
+def test_emb_lsh_verify_kernel_row_blocks_match_whole_triangle():
+    """The bucket-verify kernel enumerates the pair upper-triangle in
+    row blocks (O(block * n) index memory).  Forcing 1-row blocks must
+    produce the identical pair set and bit-identical cosines as one
+    whole-triangle pass — the chunking is a memory bound, never a
+    semantic one."""
+    import numpy as np
+    import pandas as pd
+
+    import stateflow_flink_spark.operators.similarity as S
+
+    rng = np.random.default_rng(7)
+    n = 200
+    emb = rng.standard_normal((n, 16)).astype(np.float32)
+    emb[50] = emb[10] + 0.01 * rng.standard_normal(16).astype(np.float32)
+    emb[99] = emb[98]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "t": 0,
+            "bucket": 1,
+            "embedding": [r for r in emb],
+            "grp": 0,
+        }
+    )
+    whole = (
+        S._bucket_verify_group(pdf)
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+    )
+    saved = S._EMB_LSH_PAIR_CHUNK
+    try:
+        S._EMB_LSH_PAIR_CHUNK = n  # blk = 1 row per step
+        blocked = (
+            S._bucket_verify_group(pdf)
+            .sort_values(["vec_a", "vec_b"])
+            .reset_index(drop=True)
+        )
+    finally:
+        S._EMB_LSH_PAIR_CHUNK = saved
+    assert whole.equals(blocked)
+    assert len(whole) > 0  # planted dups actually exercised the keep path
+
+
+def test_emb_lsh_verify_groups_scale_with_corpus(monkeypatch):
+    """Verify-group fan-out keeps per-group rows ~constant as the
+    corpus grows (a fixed 64 would grow per-group memory linearly),
+    floors at the small-corpus default, caps at 65536, and honors the
+    SPARK_GRAFT_EMB_LSH_GROUPS override."""
+    from stateflow_flink_spark.operators.similarity import (
+        EMB_LSH_TABLES,
+        _EMB_LSH_GROUP_ROWS,
+        _emb_lsh_verify_groups,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_EMB_LSH_GROUPS", raising=False)
+    assert _emb_lsh_verify_groups(1000) == 64
+    big = _emb_lsh_verify_groups(10_000_000)
+    assert big == (10_000_000 * EMB_LSH_TABLES) // _EMB_LSH_GROUP_ROWS
+    assert _emb_lsh_verify_groups(10**12) == 65536
+    monkeypatch.setenv("SPARK_GRAFT_EMB_LSH_GROUPS", "128")
+    assert _emb_lsh_verify_groups(10**9) == 128
+
+
+def test_triangle_estimator_tracks_unthinned_count(spark, tmp_path, monkeypatch):
+    """est_triangles = sampled count × MOD² must track the exact
+    (unthinned) triangle count on a seeded random co-supply graph
+    (Pagh–Tsourakakis: each triangle survives color thinning at 1/MOD²,
+    so the scaled count is unbiased).  Coloring is md5-deterministic,
+    so the observed estimate is reproducible — the band below is what
+    THIS fixture yields, asserted as a regression pin within the
+    estimator's theoretical concentration."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from stateflow_flink_spark.operators import graph as G
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    rng = random.Random(42)
+    # ~80 parts × ~8 suppliers each from a 120-supplier pool → a dense
+    # co-supply graph with thousands of triangles
+    rows = []
+    for p in range(80):
+        for s in rng.sample(range(120), 8):
+            rows.append((p, s))
+    sf_dir = str(tmp_path / "fixture")
+    os.makedirs(sf_dir)
+    pd.DataFrame(rows, columns=["l_partkey", "l_suppkey"]).to_parquet(
+        f"{sf_dir}/lineitem.parquet", index=False
+    )
+
+    monkeypatch.setattr(G, "TRI_SAMPLE_MOD", 1)
+    exact = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert exact.n_triangles == exact.est_triangles  # MOD=1 identity
+    assert exact.n_triangles > 500  # graph is dense enough to estimate
+
+    monkeypatch.setattr(G, "TRI_SAMPLE_MOD", 4)
+    est = QUERIES["q_graph_triangles"](spark, sf_dir).collect()[0]
+    assert est.est_triangles == est.n_triangles * 16
+    rel_err = abs(est.est_triangles - exact.n_triangles) / exact.n_triangles
+    assert rel_err < 0.5, (exact.n_triangles, est.est_triangles)
+
+
+def test_label_propagation_escalates_to_star_contraction_on_deep_chain(
+    spark, monkeypatch
+):
+    """label_propagation_cluster budgets ceil(log2(n)) + 2 rounds (what
+    star contraction would need to FINISH); a 64-node chain (diameter
+    63) must blow that budget and escalate to star contraction — same
+    labels, O(log n) rounds.  A shallow star graph must converge
+    in-budget without escalating."""
+    from stateflow_flink_spark.operators import dedup as D
+
+    called = []
+    orig = D.star_contraction
+
+    def spy(edges, max_rounds=24):
+        called.append(True)
+        return orig(edges, max_rounds)
+
+    monkeypatch.setattr(D, "star_contraction", spy)
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long"
+    )
+    out = {r.doc_id: r.cluster_id for r in D.label_propagation_cluster(chain).collect()}
+    assert called, "deep chain must escalate"
+    assert out == {i: 0 for i in range(64)}
+
+    called.clear()
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 40)], "doc_a long, doc_b long"
+    )
+    out2 = {r.doc_id: r.cluster_id for r in D.label_propagation_cluster(star).collect()}
+    assert not called, "shallow graph must stay on label propagation"
+    assert out2 == {i: 0 for i in range(40)}
+
+
+def test_pin_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
+    """`session.pin` defaults to localCheckpoint (unreplicated executor
+    blocks — fine in local mode); setting spark.stateflow.checkpointDir
+    must swap in reliable Dataset.checkpoint() so iterative operators
+    (pagerank / triangles / star contraction) survive executor loss on
+    a cluster.  Evidence: RDD checkpoint files land under the dir."""
+    import glob
+    import os
+
+    import stateflow_flink_spark.session as sess
+
+    df = spark.range(100)
+    # default path: no checkpoint files written anywhere
+    pinned = sess.pin(df, eager=True)
+    assert pinned.count() == 100
+
+    ckdir = str(tmp_path / "reliable")
+    spark.conf.set(sess.CHECKPOINT_DIR_CONF, ckdir)
+    try:
+        pinned = sess.pin(spark.range(50), eager=True)
+        assert pinned.count() == 50
+        files = glob.glob(os.path.join(ckdir, "**"), recursive=True)
+        assert any("rdd-" in f for f in files), files[:10]
+    finally:
+        spark.conf.unset(sess.CHECKPOINT_DIR_CONF)
+        sess._ckpt_dir_applied = None
