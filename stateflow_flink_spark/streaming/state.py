@@ -349,7 +349,7 @@ def q_stateful_fold_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_STREAM_OUTPUT = (
     "user_id long, event_type string, valid_from timestamp, "
-    "valid_to timestamp, version int"
+    "valid_to timestamp, version int, is_clamped boolean"
 )
 
 
@@ -370,22 +370,28 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
     Cross-batch ordering contract: an event whose ts precedes the OPEN
     version's valid_from (late arrival beyond the batch boundary) is
     clamped forward to valid_from, so no interval can invert
-    (valid_to < valid_from) and versions stay monotone.  The clamp is
-    the bounded-damage guard, not the full fix — a deployment that
-    expects heavy cross-batch disorder should feed this operator
-    watermark-sorted input (buffer by `withWatermark` + event-time
-    sort in the upstream batch) so the clamp never fires."""
+    (valid_to < valid_from) and versions stay monotone.  A clamped
+    close produces a ZERO-WIDTH interval (valid_from == valid_to) —
+    consumers that treat valid_to as exclusive would otherwise see a
+    version that was never valid, so every emitted row carries an
+    ``is_clamped`` flag (true iff the clamp adjusted this version's
+    start or end) for interval-join consumers to filter or tolerate.
+    The clamp is the bounded-damage guard, not the full fix — a
+    deployment that expects heavy cross-batch disorder should feed
+    this operator watermark-sorted input (buffer by `withWatermark` +
+    event-time sort in the upstream batch) so the clamp never fires."""
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         if state.exists:
-            cur_type, cur_from_us, cur_ver = state.get
+            cur_type, cur_from_us, cur_ver, cur_clamped = state.get
         else:
-            cur_type, cur_from_us, cur_ver = None, 0, 0
+            cur_type, cur_from_us, cur_ver, cur_clamped = None, 0, 0, False
         out = []
         for row in pdf.itertuples():
             ts_us = row.ts.value // 1000  # pandas ns -> micros
+            clamp_fired = False
             if cur_type is not None and ts_us < cur_from_us:
                 # late event behind an OPEN version: clamp forward so
                 # the closed interval cannot invert (see docstring
@@ -393,8 +399,10 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
                 # key's FIRST event must keep its own ts even when it
                 # is pre-epoch (cur_from_us initializes to 0).
                 ts_us = cur_from_us
+                clamp_fired = True
             if cur_type is None:
                 cur_type, cur_from_us, cur_ver = row.event_type, ts_us, 1
+                cur_clamped = False
             elif row.event_type != cur_type:
                 out.append(
                     (
@@ -403,19 +411,30 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
                         pd.Timestamp(cur_from_us, unit="us"),
                         pd.Timestamp(ts_us, unit="us"),
                         cur_ver,
+                        bool(cur_clamped or clamp_fired),
                     )
                 )
                 cur_type, cur_from_us, cur_ver = row.event_type, ts_us, cur_ver + 1
-        state.update((cur_type, cur_from_us, cur_ver))
+                cur_clamped = clamp_fired
+        state.update((cur_type, cur_from_us, cur_ver, bool(cur_clamped)))
         yield pd.DataFrame(
             out,
-            columns=["user_id", "event_type", "valid_from", "valid_to", "version"],
+            columns=[
+                "user_id",
+                "event_type",
+                "valid_from",
+                "valid_to",
+                "version",
+                "is_clamped",
+            ],
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fold_group,
         outputStructType=_SCD2_STREAM_OUTPUT,
-        stateStructType="cur_type string, from_us long, version int",
+        stateStructType=(
+            "cur_type string, from_us long, version int, clamped boolean"
+        ),
         outputMode="Append",
         timeoutConf="NoTimeout",
     )
@@ -445,7 +464,8 @@ def apply_scd2_stream(events: DataFrame) -> DataFrame:
                    AS version
         FROM changes
     )
-    SELECT user_id, event_type, valid_from, valid_to, version
+    SELECT user_id, event_type, valid_from, valid_to, version,
+           FALSE AS is_clamped
     FROM hist WHERE valid_to IS NOT NULL
     """,
 )

@@ -168,12 +168,13 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is O(events per hour), not O(stream length).  Without the
     time bound a stream-stream inner join must buffer both streams
     forever (Spark rejects it in append mode).  Equi-key user_id keeps
-    the state-store partitioning aligned with the shuffle.  Batch twin
-    of the same plan: q_join_range."""
-    clicks, _ = stream_events_dir(spark, sf_dir)
-    purchases, _ = stream_events_dir(spark, sf_dir)
+    the state-store partitioning aligned with the shuffle.  Both legs
+    filter off ONE stream source — the micro-batch scans the events
+    directory once, not once per leg.  Batch twin of the same plan:
+    q_join_range."""
+    events, _ = stream_events_dir(spark, sf_dir)
     c = (
-        clicks.filter(F.col("event_type") == "click")
+        events.filter(F.col("event_type") == "click")
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("click_id"),
@@ -182,7 +183,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     p = (
-        purchases.filter(F.col("event_type") == "purchase")
+        events.filter(F.col("event_type") == "purchase")
         .withWatermark("ts", "1 hour")
         .select(
             F.col("event_id").alias("purchase_id"),

@@ -206,13 +206,18 @@ def test_scd2_stream_late_cross_batch_event_cannot_invert_interval(spark, tmp_pa
     assert second[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 10), (
         "late event must clamp to valid_from, not invert the interval"
     )
+    assert second[0].is_clamped, (
+        "zero-width clamped interval must be flagged for consumers"
+    )
 
     # run 3: a normal later event closes the clamped "click" version —
-    # its valid_from must be the CLAMPED :10, not the late :05
+    # its valid_from must be the CLAMPED :10, not the late :05, and the
+    # clamp flag survives the state round-trip to the eventual close
     _write_events(spark, staged, [ev(3, 20, "view")])
     third = run()
     assert [(r.event_type, r.version) for r in third] == [("click", 2)]
     assert third[0].valid_from == _dt.datetime(2024, 1, 1, 0, 0, 10)
+    assert third[0].is_clamped
     assert third[0].valid_to == _dt.datetime(2024, 1, 1, 0, 0, 20)
 
 
