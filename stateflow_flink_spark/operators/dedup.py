@@ -214,27 +214,38 @@ def minhash_signature(sh: Column, k: int = MINHASH_K) -> Column:
     )
 
 
-def minhash_candidates(docsh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
-    """LSH banding: docs agreeing on any band of the signature become a
-    candidate pair (one shuffle keyed by (band, band-hash)).
+def minhash_band_buckets(
+    docsh: DataFrame, bands: int = MINHASH_BANDS, keep: list[str] | None = None
+) -> DataFrame:
+    """(doc_id, band, bucket) per document — each doc fans out to
+    ``bands`` LSH bucket keys built from its shingle-hash array ``sh``.
 
     Band buckets are built directly from per-band min-hashes so each
     min-hash expression appears exactly ONCE in the projection —
     referencing a shared signature array via element_at would inline
-    (and re-evaluate) the whole k-hash computation per reference."""
+    (and re-evaluate) the whole k-hash computation per reference.
+    ``keep`` carries extra columns through (the streaming dedup keeps
+    ``sh`` itself for the in-state exact verify)."""
     rows = MINHASH_K // bands
 
     def mh(i: int) -> Column:
         return F.array_min(F.transform(F.col("sh"), lambda s: F.xxhash64(F.lit(i), s)))
 
-    with_bands = docsh.select(
+    return docsh.select(
         "doc_id",
+        *(keep or []),
         F.posexplode(
             F.array(
                 *[F.xxhash64(*[mh(b * rows + r) for r in range(rows)]) for b in range(bands)]
             )
         ).alias("band", "bucket"),
     )
+
+
+def minhash_candidates(docsh: DataFrame, bands: int = MINHASH_BANDS) -> DataFrame:
+    """LSH banding: docs agreeing on any band of the signature become a
+    candidate pair (one shuffle keyed by (band, band-hash))."""
+    with_bands = minhash_band_buckets(docsh, bands)
     a = with_bands.alias("a")
     b = with_bands.alias("b")
     return (

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..plans.registry import query
+from ..session import pin
 
 BPE_TOP = 20
 
@@ -83,5 +84,222 @@ def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("pair")
         .agg(F.sum("freq").cast("long").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full BPE trainer — K merge rounds over the word-type table
+# ---------------------------------------------------------------------------
+#
+# The trainer iterates the counting pass above: per round, count adjacent
+# symbol pairs weighted by word frequency, pick the most frequent pair
+# (ties: lexicographic on (lhs, rhs) — integer counts, so the argmax is
+# exact), apply the merge greedily left-to-right in every word, repeat.
+#
+# Representation: each word type is a SPACED SYMBOL STRING ("h u g");
+# symbols never contain spaces, so split(' ') recovers the symbol list
+# and a greedy merge is a sequential left fold over it:
+#
+#     acc starts as the first symbol; for each next symbol s,
+#     if the LAST symbol of acc == lhs and s == rhs -> acc || s
+#     (appending without a separator fuses s into the last symbol),
+#     else acc || ' ' || s.
+#
+# The fold IS the classic non-overlapping left-to-right merge: a symbol
+# just produced by a merge ends with rhs, so it can only chain when
+# lhs suffix-matches the merged symbol through the exact last-symbol
+# check ("h e l l o" with (l,o) folds to "h e l lo", and "a a a" with
+# (a,a) folds to "aa a", both matching the reference algorithm).  Both
+# engines run the IDENTICAL fold — Spark `F.aggregate`, DuckDB
+# `LIST_REDUCE` (which seeds the accumulator with the first element) —
+# so merge outcomes agree string-for-string.
+#
+# Scale shape (Sennrich §3.2's word-type trick, same as q_bpe_pairs):
+# one corpus-sized shuffle builds the (word type, freq) table; each of
+# the K rounds then runs on the vocabulary-sized table — a partial-
+# aggregating pair count, a TakeOrdered(1), a broadcast-1-row cross
+# join applying the merge, and a `pin` cutting lineage so round K's
+# plan doesn't re-derive rounds 1..K-1.  No driver-side collect: the
+# winning pair stays a DataFrame end to end (the k-means recipe).
+
+BPE_TRAIN_ROUNDS = 6
+
+_PAIR_STRUCT = "array<struct<lhs:string,rhs:string>>"
+
+
+def _bind(arr: Column, fn) -> Column:
+    """Evaluate `arr` once and pass it to `fn` as a lambda variable —
+    the expression-tree CSE trick from dedup.shingles (referencing a
+    split() twice re-tokenizes twice)."""
+    return F.element_at(F.transform(F.array(arr), fn), 1)
+
+
+def spaced_symbols(word: Column) -> Column:
+    """Initial BPE state of a word: its characters joined by ' '."""
+    return F.rtrim(F.regexp_replace(word, "(.)", "$1 "))
+
+
+def _adjacent_pairs(sp: Column) -> Column:
+    """Adjacent symbol pairs of a spaced symbol string (multiplicity
+    kept; single-symbol words contribute nothing — sequence(1, 0)
+    counts DOWN, so the guard is explicit)."""
+
+    def over(syms: Column) -> Column:
+        return F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(syms) - 1),
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("lhs"),
+                    F.element_at(syms, i + 1).alias("rhs"),
+                ),
+            ),
+        ).otherwise(F.array().cast(_PAIR_STRUCT))
+
+    return _bind(F.split(sp, " "), over)
+
+
+def _apply_merge(sp: Column, lhs: Column, rhs: Column) -> Column:
+    """Greedy left-to-right merge of (lhs, rhs) in a spaced symbol
+    string — the sequential fold described in the module comment."""
+
+    def over(syms: Column) -> Column:
+        def step(acc: Column, s: Column) -> Column:
+            at_lhs = (acc == lhs) | acc.endswith(F.concat(F.lit(" "), lhs))
+            return F.when(at_lhs & (s == rhs), F.concat(acc, s)).otherwise(
+                F.concat(acc, F.lit(" "), s)
+            )
+
+        return F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1), F.element_at(syms, 1), step
+        )
+
+    return _bind(F.split(sp, " "), over)
+
+
+def word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(spaced word, corpus frequency) — the table every round runs on."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .select(spaced_symbols(F.col("word")).alias("sp"), "freq")
+    )
+
+
+def bpe_train(words: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> tuple[DataFrame, DataFrame]:
+    """Run `rounds` BPE merge rounds over a (sp, freq) word-type table.
+
+    Returns (merges, final_words): merges has one row per round —
+    (step, lhs, rhs, n) — and final_words is the word-type table with
+    all merges applied.  If the pair table empties early (tiny corpora)
+    the remaining rounds emit nothing, on both engines."""
+    merge_frames: list[DataFrame] = []
+    w = words
+    for r in range(1, rounds + 1):
+        counts = (
+            w.select(F.explode(_adjacent_pairs(F.col("sp"))).alias("p"), "freq")
+            .groupBy("p.lhs", "p.rhs")
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        # TakeOrdered(1); pinned because it feeds BOTH the merge apply
+        # and the output union — one pair-count job per round, not two
+        top1 = pin(counts.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1))
+        merge_frames.append(
+            top1.select(F.lit(r).cast("int").alias("step"), "lhs", "rhs", "n")
+        )
+        w = pin(
+            w.crossJoin(F.broadcast(top1.select("lhs", "rhs"))).select(
+                _apply_merge(F.col("sp"), F.col("lhs"), F.col("rhs")).alias("sp"),
+                "freq",
+            )
+        )
+    merges = merge_frames[0]
+    for m in merge_frames[1:]:
+        merges = merges.unionByName(m)
+    return merges.orderBy("step"), w
+
+
+def _bpe_train_ctes(rounds: int) -> str:
+    """Unrolled DuckDB CTE chain mirroring bpe_train round for round."""
+    parts = [
+        r"""w0 AS (
+        SELECT RTRIM(REGEXP_REPLACE(word, '(.)', '\1 ', 'g')) AS sp,
+               CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+        WHERE word <> '' GROUP BY word
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""p{r} AS (
+        SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT STRING_SPLIT(sp, ' ') AS s, freq FROM w{r - 1}),
+             UNNEST(GENERATE_SERIES(1, LEN(s) - 1)) AS t(i)
+        GROUP BY 1, 2
+    ),
+    t{r} AS (
+        SELECT CAST({r} AS INT) AS step, lhs, rhs, n
+        FROM p{r} ORDER BY n DESC, lhs, rhs LIMIT 1
+    ),
+    w{r} AS (
+        SELECT CASE WHEN LEN(s) = 1 THEN sp
+                    ELSE LIST_REDUCE(s, (acc, x) ->
+                        CASE WHEN (acc = lhs OR
+                                   RIGHT(acc, LEN(lhs) + 1) = ' ' || lhs)
+                                  AND x = rhs
+                             THEN acc || x ELSE acc || ' ' || x END)
+               END AS sp, freq
+        FROM (SELECT sp, STRING_SPLIT(sp, ' ') AS s, freq FROM w{r - 1}), t{r}
+    )"""
+        )
+    return ",\n    ".join(parts)
+
+
+_BPE_TRAIN_ORACLE = f"""
+    WITH {_bpe_train_ctes(BPE_TRAIN_ROUNDS)}
+    SELECT step, lhs, rhs, n
+    FROM ({" UNION ALL ".join(f"SELECT * FROM t{r}" for r in range(1, BPE_TRAIN_ROUNDS + 1))})
+    ORDER BY step
+"""
+
+_BPE_ENCODE_ORACLE = f"""
+    WITH {_bpe_train_ctes(BPE_TRAIN_ROUNDS)}
+    SELECT tok, CAST(SUM(freq) AS BIGINT) AS n
+    FROM (SELECT UNNEST(STRING_SPLIT(sp, ' ')) AS tok, freq
+          FROM w{BPE_TRAIN_ROUNDS})
+    GROUP BY tok
+    ORDER BY n DESC, tok LIMIT {BPE_TOP}
+"""
+
+
+@query("q_bpe_train", _BPE_TRAIN_ORACLE)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge table: {BPE_TRAIN_ROUNDS} training rounds over the
+    corpus word-type table — (step, lhs, rhs, pair count at merge time).
+    The iterative counting pass the reference's per-event loop could
+    never express (ref parity: the reference has no tokenizer; this is
+    north-star LLM-pipeline surface)."""
+    merges, _ = bpe_train(word_types(spark, sf_dir))
+    return merges
+
+
+@query("q_bpe_encode", _BPE_ENCODE_ORACLE)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token distribution AFTER the learned merges: apply the
+    {BPE_TRAIN_ROUNDS}-round merge table to every word type, explode
+    symbols weighted by word frequency, top-{BPE_TOP} — the vocabulary
+    a trained tokenizer would ship."""
+    _, final_words = bpe_train(word_types(spark, sf_dir))
+    toks = final_words.select(
+        F.explode(F.split(F.col("sp"), " ")).alias("tok"), "freq"
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.sum("freq").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
         .limit(BPE_TOP)
     )

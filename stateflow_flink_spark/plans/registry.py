@@ -107,6 +107,7 @@ def load_all_modules() -> None:
     )
     # tier 3 — streaming queries (micro-batch + state-store startup cost)
     from ..streaming import (  # noqa: F401
+        dedup_stream,
         flow,
         invoke,
         sessionization,

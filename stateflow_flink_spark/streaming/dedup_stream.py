@@ -1,0 +1,200 @@
+"""Streaming near-duplicate dedup — incremental MinHash over a document
+stream.
+
+The batch MinHash path (``operators/dedup.py``) needs the whole corpus
+to self-join band buckets; a training-data INGEST pipeline instead sees
+documents arrive over time and must answer, per document, "is this a
+near-dup of anything seen so far?" — the reference's per-key-state
+essence (``InvokeStatefulLambda.java:61-65``: one opaque state blob per
+key, read-modify-write per event) applied to the north-star dedup
+surface.
+
+Design: each incoming document fans out to its MINHASH_BANDS LSH bucket
+keys (same signature/banding as the batch path — shared code,
+``minhash_band_buckets``); the stream is keyed by (band, bucket) and a
+per-bucket state blob holds the (doc_id, shingle-hash set) of every
+prior bucket member.  An arriving document is exact-Jaccard-verified
+against its bucket's members — candidates are rare by LSH construction,
+so the verify is tiny — and emits (doc_id, dup_of) where ``dup_of`` is
+the smallest earlier bucket-mate at Jaccard >= tau (NULL when none).
+A final per-doc min over its bands yields the global first-seen
+verdict: exactly ``q_dedup_minhash`` restricted to first-seen
+survivors.
+
+Ordering contract: "earlier" is doc_id order — within a micro-batch
+each bucket group folds in ascending doc_id; across batches the state
+already holds all prior batches' members, so arrival order IS seniority.
+Replays are deterministic (same sort, same state fold).
+
+100 TB posture, stated honestly:
+
+  * Per-bucket state grows with bucket membership x shingle-set size —
+    the stream-side twin of the batch path's "embeddings shuffled L
+    times" cost, except it PERSISTS in the state store.  At web scale
+    you keep this exact layout but bound it: RocksDB provider (state on
+    SSD — ``session.rocksdb_state``), state TTL for sliding-window
+    dedup semantics, and/or signature-only state (16 longs/doc) with a
+    side-channel verify against a doc store.  The fixture-scale choice
+    stores full shingle-hash arrays because it keeps the operator
+    EXACT (same verify as batch) — the knobs above trade recall or
+    I/O for state size and are deployment policy, not operator shape.
+  * The per-event work is bounded by bucket occupancy (LSH keeps
+    buckets small on non-adversarial corpora); a pathological hot
+    bucket (boilerplate shingle sets) is bounded upstream by the
+    SHINGLE_DF_CAP discipline of the batch path.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..operators.dedup import (
+    JACCARD_TAU,
+    hashed_shingles,
+    minhash_band_buckets,
+)
+from ..plans.registry import query
+from ..schemas import DOCUMENTS
+from ..session import stream_partitions
+
+_FLAG_OUTPUT = "doc_id long, dup_of long"
+_ORACLE_SHINGLES = """
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> ARRAY_TO_STRING(t[i:LEAST(i+2, LEN(t))], ' ')
+               )) AS sh
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+"""
+
+# First-seen survivors under exact-Jaccard near-dup pairs: the batch
+# ground truth the incremental fold must reproduce (LSH recall on the
+# fixture is complete — asserted by the batch minhash tests — so
+# "bucket-mate at tau" == "any pair at tau").
+_MINHASH_STREAM_ORACLE = f"""
+    WITH docsh AS ({_ORACLE_SHINGLES}),
+    ds AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_TAU}
+    ),
+    dups AS (SELECT doc_b AS doc_id, MIN(doc_a) AS dup_of FROM verified GROUP BY doc_b)
+    SELECT d.doc_id, u.dup_of, u.dup_of IS NOT NULL AS is_dup
+    FROM documents d LEFT JOIN dups u ON d.doc_id = u.doc_id
+"""
+
+
+def stream_documents_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
+    """Stage documents.parquet into a dir and open it as a stream."""
+    stage = tempfile.mkdtemp(prefix="sfs_stream_docs_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(stage, "part-0.parquet"),
+    )
+    return spark.readStream.schema(DOCUMENTS).parquet(stage), stage
+
+
+def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, dup_of) per (document, band): the incremental per-bucket
+    verify described in the module docstring.  ``dup_of`` is NULL when
+    the bucket holds no earlier member at Jaccard >= tau; the caller
+    min-aggregates over bands for the global verdict."""
+    keyed = minhash_band_buckets(
+        docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh")),
+        keep=["sh"],
+    )
+
+    def verify_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        members: list = pickle.loads(state.get[0]) if state.exists else []
+        seen_ids = {doc_id for doc_id, _ in members}
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        out_ids, out_dups = [], []
+        for row in pdf.itertuples():
+            sh = frozenset(row.sh)
+            doc_id = int(row.doc_id)
+            dup_of = None
+            for m_id, m_sh in members:
+                if m_id >= doc_id or (dup_of is not None and m_id >= dup_of):
+                    continue
+                n_common = len(sh & m_sh)
+                union = len(sh) + len(m_sh) - n_common
+                if union and n_common / union >= JACCARD_TAU:
+                    dup_of = m_id
+            out_ids.append(doc_id)
+            out_dups.append(dup_of)
+            if doc_id not in seen_ids:  # at-least-once replay guard
+                members.append((doc_id, sh))
+                seen_ids.add(doc_id)
+        state.update((pickle.dumps(members),))
+        yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_dups})
+
+    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+        verify_group,
+        outputStructType=_FLAG_OUTPUT,
+        stateStructType="blob binary",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+def run_minhash_dedup_stream(
+    spark: SparkSession,
+    docs: DataFrame,
+    query_name: str = "sfs_minhash_stream",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """One bounded pass of the incremental dedup; returns the PER-BAND
+    flag table (memory sink).  ``checkpoint_dir`` resumes bucket state
+    across runs — the unbounded-ingest path the resume test exercises."""
+    flags = apply_minhash_dedup_stream(docs)
+    with stream_partitions(spark):
+        writer = (
+            flags.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+        )
+        if checkpoint_dir is not None:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        qy = writer.start()
+        qy.awaitTermination()
+    return spark.table(query_name)
+
+
+def dedup_verdicts(flags: DataFrame) -> DataFrame:
+    """Collapse per-band flags to the per-doc verdict: min earlier
+    near-dup partner over all bands (NULL -> first-seen survivor)."""
+    return (
+        flags.groupBy("doc_id")
+        .agg(F.min("dup_of").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+
+
+@query("q_dedup_minhash_stream", _MINHASH_STREAM_ORACLE)
+def q_dedup_minhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_dedup_minhash: incremental first-seen
+    near-dup detection with per-bucket signature state (ref R9 state
+    semantics on the dedup surface) — every document flagged with its
+    smallest earlier near-dup partner, or survivor."""
+    docs, _ = stream_documents_dir(spark, sf_dir)
+    flags = run_minhash_dedup_stream(spark, docs)
+    return dedup_verdicts(flags)

@@ -858,6 +858,57 @@ def test_bpe_pairs_multiplicity_and_short_word_guard(spark):
     assert out["ab"] == ["ab"]
 
 
+def test_bpe_train_matches_reference_algorithm(spark):
+    """bpe_train on Sennrich's "hug"-style corpus must reproduce the
+    classic algorithm merge for merge: most-frequent adjacent pair
+    (ties lexicographic), greedy left-to-right apply — checked against
+    a brute-force Python reference, including an 'aaaa' word that
+    exercises non-overlapping merge semantics."""
+    from stateflow_flink_spark.operators.tokenizer import bpe_train
+
+    corpus = {"hug": 10, "pug": 5, "pun": 12, "bun": 4, "hugs": 5, "aaaa": 3}
+
+    def brute(vocab: dict, rounds: int):
+        words = {" ".join(w): f for w, f in vocab.items()}
+        merges = []
+        for step in range(1, rounds + 1):
+            counts: dict = {}
+            for sp, f in words.items():
+                syms = sp.split(" ")
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            (lhs, rhs), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((step, lhs, rhs, n))
+            new_words = {}
+            for sp, f in words.items():
+                syms = sp.split(" ")
+                out = [syms[0]]
+                for s in syms[1:]:
+                    if out[-1] == lhs and s == rhs:
+                        out[-1] = lhs + rhs
+                    else:
+                        out.append(s)
+                new_words[" ".join(out)] = new_words.get(" ".join(out), 0) + f
+            words = new_words
+        return merges, words
+
+    exp_merges, exp_words = brute(corpus, 6)
+    df = spark.createDataFrame(
+        [(" ".join(w), f) for w, f in corpus.items()], ["sp", "freq"]
+    )
+    merges, final_words = bpe_train(df, rounds=6)
+    got = [(r.step, r.lhs, r.rhs, r.n) for r in merges.collect()]
+    assert got == exp_merges
+    got_words: dict = {}
+    for r in final_words.collect():
+        got_words[r.sp] = got_words.get(r.sp, 0) + r.freq
+    assert got_words == exp_words
+    # the canonical first merge of the hug corpus: (u, g) with count 20
+    assert got[0][1:] == ("u", "g", 20)
+
+
 def test_triplet_mining_labels_and_bounds(spark):
     """The mined positive must share the anchor's label, the negative
     must not, and decoded cosines must be real cosines in [-1, 1]."""

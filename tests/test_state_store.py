@@ -259,3 +259,57 @@ def test_tws_and_apws_paths_produce_identical_rows(spark, tmp_path):
 
     tws, apws = run("tws"), run("apws")
     assert tws == apws and len(tws) == 16
+
+
+def test_minhash_dedup_stream_state_survives_restart(spark, tmp_path):
+    """Incremental near-dup dedup resume (the unbounded-ingest path):
+    run 1 registers documents in per-bucket state; run 2 — a NEW
+    availableNow pass over the same checkpoint seeing only new files —
+    must flag a run-2 document as a dup of a run-1 document purely from
+    the restored state, and pass a genuinely novel document through."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.dedup_stream import (
+        apply_minhash_dedup_stream,
+    )
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+    doc_schema = "doc_id long, text string, lang string, source string, n_chars long"
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different words entirely unrelated content lives here now"
+
+    def write_docs(rows: list[tuple]) -> None:
+        spark.createDataFrame(
+            [(i, t, "en", "test", len(t)) for i, t in rows], doc_schema
+        ).coalesce(1).write.mode("append").parquet(staged)
+
+    def run() -> pd.DataFrame:
+        got: list = []
+        flags = apply_minhash_dedup_stream(
+            spark.readStream.schema(doc_schema).parquet(staged)
+        )
+        with stream_partitions(spark):
+            q = (
+                flags.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        pdf = pd.DataFrame(got, columns=["doc_id", "dup_of"])
+        return pdf.groupby("doc_id", as_index=False)["dup_of"].min()
+
+    write_docs([(1, base), (2, other), (3, base + " with a tiny suffix")])
+    first = run().set_index("doc_id")["dup_of"]
+    assert set(first.index) == {1, 2, 3}
+    assert pd.isna(first[1]) and pd.isna(first[2])
+    assert first[3] == 1  # within-run near-dup
+
+    # run 2: only new files are read; dup detection must come from state
+    write_docs([(10, base), (11, "never seen tokens compose this fresh document")])
+    second = run().set_index("doc_id")["dup_of"]
+    assert set(second.index) == {10, 11}, "run 2 must replay only new docs"
+    assert second[10] == 1, "cross-run dup must be caught from restored state"
+    assert pd.isna(second[11])
