@@ -206,6 +206,103 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Gopher-style document-shape quality rules
+# ---------------------------------------------------------------------------
+#
+# The canonical LLM pre-training quality gate (Rae et al., "Scaling
+# Language Models: Methods, Analysis & Insights from Training Gopher",
+# arXiv:2112.11446, Appendix A — the MassiveWeb filter): documents pass
+# only if their SHAPE looks like prose — enough words, plausible mean
+# word length, mostly alphabetic tokens, some stopwords.  (The
+# repetition rules of the same appendix live in q_quality_repetition.)
+#
+# Every rule is evaluated with INTEGER arithmetic (cross-multiplied
+# ratios, integer character sums), so the verdicts are bit-identical
+# cross-engine with no float round-off to manage.  All per-row JVM
+# array expressions — a pure projection riding the scan, no shuffle:
+# the ideal 100 TB filter shape.
+
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3  # mean word length bounds, chars
+_GOPHER_MAX_MEAN_LEN = 10
+_GOPHER_STOPWORDS = ["the", "a", "of", "and", "to"]
+_GOPHER_MIN_STOPWORDS = 2
+# >= 80% of words must contain an alphabetic character
+_GOPHER_ALPHA_NUM, _GOPHER_ALPHA_DEN = 8, 10
+
+_GOPHER_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_words,
+               CAST(LIST_SUM(LIST_TRANSFORM(toks, w -> LENGTH(w))) AS BIGINT)
+                   AS n_chars,
+               CAST(LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[a-z]')))
+                   AS BIGINT) AS n_alpha,
+               CAST(LEN(LIST_INTERSECT(toks,
+                   {_GOPHER_STOPWORDS!r})) AS BIGINT) AS n_stop
+        FROM t
+    )
+    SELECT doc_id, n_words,
+           ROUND(n_chars * 1.0 / n_words, 6) AS mean_word_len,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AS word_count_ok,
+           (n_chars >= {_GOPHER_MIN_MEAN_LEN} * n_words
+            AND n_chars <= {_GOPHER_MAX_MEAN_LEN} * n_words) AS mean_len_ok,
+           ({_GOPHER_ALPHA_DEN} * n_alpha >= {_GOPHER_ALPHA_NUM} * n_words)
+               AS alpha_ok,
+           (n_stop >= {_GOPHER_MIN_STOPWORDS}) AS stopword_ok,
+           ((n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+            AND n_chars >= {_GOPHER_MIN_MEAN_LEN} * n_words
+            AND n_chars <= {_GOPHER_MAX_MEAN_LEN} * n_words
+            AND {_GOPHER_ALPHA_DEN} * n_alpha >= {_GOPHER_ALPHA_NUM} * n_words
+            AND n_stop >= {_GOPHER_MIN_STOPWORDS}) AS passes
+    FROM m
+"""
+
+
+@query("q_quality_gopher", _GOPHER_ORACLE)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveWeb document-shape rules with per-rule verdicts
+    (see block comment above): word-count bounds, mean-word-length
+    bounds, alphabetic-word fraction, stopword presence — integer-exact
+    cross-multiplied comparisons, zero-shuffle projection."""
+    d = load(spark, sf_dir, "documents")
+
+    def over(toks: Column) -> list[Column]:
+        n_words = F.size(toks).cast("long")
+        n_chars = F.aggregate(
+            F.transform(toks, lambda w: F.length(w).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+        n_stop = F.size(
+            F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]))
+        ).cast("long")
+        word_count_ok = n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        mean_len_ok = (n_chars >= _GOPHER_MIN_MEAN_LEN * n_words) & (
+            n_chars <= _GOPHER_MAX_MEAN_LEN * n_words
+        )
+        alpha_ok = _GOPHER_ALPHA_DEN * n_alpha >= _GOPHER_ALPHA_NUM * n_words
+        stopword_ok = n_stop >= _GOPHER_MIN_STOPWORDS
+        return [
+            n_words.alias("n_words"),
+            F.round(n_chars / n_words, 6).alias("mean_word_len"),
+            word_count_ok.alias("word_count_ok"),
+            mean_len_ok.alias("mean_len_ok"),
+            alpha_ok.alias("alpha_ok"),
+            stopword_ok.alias("stopword_ok"),
+            (word_count_ok & mean_len_ok & alpha_ok & stopword_ok).alias("passes"),
+        ]
+
+    return d.select("doc_id", *over(F.split(F.col("text"), " ")))
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,202 @@
+"""Distributed linear algebra — PCA top component by power iteration.
+
+The dominant principal direction of an embedding corpus is the
+workhorse diagnostic of representation quality (anisotropy checks, the
+"all-but-the-top" post-processing of Mu & Viswanath, ICLR 2018, and the
+first step of any spectral whitening).  At 100 TB the only viable
+algorithm is the matrix-free power iteration: never materialize the
+d x d covariance — each step is two passes over the data,
+
+    y_i = <v_i, x>          (per-row projection; v_i = e_i - mean)
+    z   = sum_i y_i * v_i   (dim-keyed weighted sum)
+    x'  = z / ||z||
+
+which in Spark is a broadcast of the d-vector out, one partial-
+aggregating shuffle keyed by dimension back — the exact layout of the
+k-means update (similarity.py) and gradient descent (regression.py),
+reused here for spectral estimation.
+
+Determinism contract (same recipe as k-means, bit-identical
+cross-engine):
+
+  * the mean and every cross-row sum quantize addends to 6-dp integers
+    and sum THOSE (order-free exact integer sums in DECIMAL(38,0) /
+    HUGEINT, one correctly-rounded conversion + one exact
+    power-of-ten division back);
+  * per-row dot products and the squared norm are SEQUENTIAL left
+    folds over the dimension order with 0.0 init — no reassociation;
+  * sqrt and division are single correctly-rounded IEEE ops;
+  * the start vector is all-ones, so the sign of the result is pinned.
+
+Two fixed iterations (the unrolled-iteration recipe — enough for an
+oracle-checkable, well-separated top direction; production would loop
+with a convergence test like graph.pagerank's).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..io import load
+from ..plans.registry import query
+from ..session import pin
+
+_PCA_ITERS = 2
+_S = "1000000.0"  # 6-dp quantization scale
+_S2 = "1000000000000.0"  # S * S — the product-sum descale
+
+
+def _dots(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (0.0 init, dimension order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _center(e: Column, c: Column) -> Column:
+    return F.zip_with(e, c, lambda x, y: x - y)
+
+
+def _q(col: Column) -> Column:
+    """6-dp integer quantization — ROUND is ties-away-from-zero in both
+    engines, so negative centered values agree too."""
+    return F.round(col * 1_000_000.0).cast("long")
+
+
+def _as_array(df_keyed: DataFrame, pos: str, val: str) -> DataFrame:
+    """Collapse a (pos, val) frame to a single-row ordered array."""
+    return (
+        df_keyed.groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct(pos, val))).alias("pv"))
+        .select(F.transform(F.col("pv"), lambda s: s[val]).alias(val))
+    )
+
+
+_PCA_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    msum AS (
+        SELECT r.i AS pos,
+               CAST(SUM(CAST(ROUND(e[r.i] * {_S}) AS BIGINT)) AS DOUBLE)
+                   / (COUNT(*) * {_S}) AS c
+        FROM emb, UNNEST(RANGE(1, LEN(e) + 1)) AS r(i)
+        GROUP BY r.i
+    ),
+    ctr AS (SELECT LIST(c ORDER BY pos) AS c FROM msum),
+    x0 AS (SELECT LIST_TRANSFORM(c, v -> 1.0) AS x FROM ctr),
+    y1 AS (
+        SELECT vec_id, e,
+               LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(
+                   RANGE(1, LEN(e) + 1), i -> (e[i] - ctr.c[i]) * x0.x[i])),
+                   (a, b) -> a + b) AS y
+        FROM emb, ctr, x0
+    ),
+    z1 AS (
+        SELECT r.i AS pos,
+               CAST(SUM(CAST(ROUND(y * {_S}) AS BIGINT)
+                        * CAST(ROUND((e[r.i] - ctr.c[r.i]) * {_S}) AS BIGINT))
+                    AS DOUBLE) / {_S2} AS zd
+        FROM y1, ctr, UNNEST(RANGE(1, LEN(e) + 1)) AS r(i)
+        GROUP BY r.i
+    ),
+    zv1 AS (SELECT LIST(zd ORDER BY pos) AS z FROM z1),
+    x1 AS (
+        SELECT LIST_TRANSFORM(z, v -> v / SQRT(
+                   LIST_REDUCE(LIST_PREPEND(0.0,
+                       LIST_TRANSFORM(z, w -> w * w)), (a, b) -> a + b))) AS x
+        FROM zv1
+    ),
+    y2 AS (
+        SELECT vec_id, e,
+               LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(
+                   RANGE(1, LEN(e) + 1), i -> (e[i] - ctr.c[i]) * x1.x[i])),
+                   (a, b) -> a + b) AS y
+        FROM emb, ctr, x1
+    ),
+    z2 AS (
+        SELECT r.i AS pos,
+               CAST(SUM(CAST(ROUND(y * {_S}) AS BIGINT)
+                        * CAST(ROUND((e[r.i] - ctr.c[r.i]) * {_S}) AS BIGINT))
+                    AS DOUBLE) / {_S2} AS zd
+        FROM y2, ctr, UNNEST(RANGE(1, LEN(e) + 1)) AS r(i)
+        GROUP BY r.i
+    ),
+    zv2 AS (
+        SELECT LIST(zd ORDER BY pos) AS z,
+               SQRT(LIST_REDUCE(LIST_PREPEND(0.0,
+                   LIST_TRANSFORM(LIST(zd ORDER BY pos), w -> w * w)),
+                   (a, b) -> a + b)) AS lam
+        FROM z2
+    )
+    SELECT r.i AS dim,
+           ROUND(z[r.i] / lam, 6) AS loading,
+           ROUND(lam, 6) AS eigval
+    FROM zv2, UNNEST(RANGE(1, LEN(z) + 1)) AS r(i)
+"""
+
+
+def _power_step(e: DataFrame, state: DataFrame, do_pin: bool = True) -> DataFrame:
+    """One matrix-free power-iteration step: broadcast (center, x) out,
+    per-row fold y = <e - c, x>, dim-keyed quantized product sum back.
+    Returns the single-row (c, z) frame (z un-normalized).  ``do_pin``
+    False keeps full lineage so plan gates can inspect the step."""
+    rows = e.crossJoin(broadcast(state)).select(
+        _q(_dots(_center(F.col("e"), F.col("c")), F.col("x"))).alias("qy"),
+        F.posexplode(_center(F.col("e"), F.col("c"))).alias("pos", "vv"),
+        "c",
+    )
+    z = rows.groupBy("pos").agg(
+        (
+            F.sum((F.col("qy") * _q(F.col("vv"))).cast("decimal(38,0)"))
+            .cast("double")
+            / 1_000_000_000_000.0
+        ).alias("zd"),
+        F.first("c").alias("c"),
+    )
+    zarr = (
+        z.groupBy()
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "zd"))).alias("pv"),
+            F.first("c").alias("c"),
+        )
+        .select("c", F.transform(F.col("pv"), lambda s: s["zd"]).alias("z"))
+    )
+    return pin(zarr) if do_pin else zarr
+
+
+def _normalized(z: Column) -> Column:
+    return F.transform(z, lambda v: v / F.sqrt(_dots(z, z)))
+
+
+@query("q_emb_pca", _PCA_ORACLE)
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {_PCA_ITERS}
+    matrix-free power iterations (module docstring has the layout and
+    the bit-exactness contract): per dimension, the unit loading and
+    the eigenvalue estimate lambda = ||C x||."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    means = e.select(F.posexplode("e").alias("pos", "val")).groupBy("pos").agg(
+        (
+            F.sum(_q(F.col("val")).cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0)
+        ).alias("c")
+    )
+    state = pin(
+        _as_array(means, "pos", "c").select(
+            "c", F.transform(F.col("c"), lambda _: F.lit(1.0)).alias("x")
+        )
+    )
+    for _ in range(_PCA_ITERS):
+        cz = _power_step(e, state)
+        state = cz.select("c", _normalized(F.col("z")).alias("x"), "z")
+    lam = F.sqrt(_dots(F.col("z"), F.col("z")))
+    return state.select(
+        F.posexplode(F.col("x")).alias("p", "loading"), lam.alias("lam")
+    ).select(
+        (F.col("p") + 1).cast("long").alias("dim"),
+        F.round("loading", 6).alias("loading"),
+        F.round("lam", 6).alias("eigval"),
+    )

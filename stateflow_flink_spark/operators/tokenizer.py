@@ -190,13 +190,19 @@ def word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_train(words: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> tuple[DataFrame, DataFrame]:
+def bpe_train(
+    words: DataFrame, rounds: int = BPE_TRAIN_ROUNDS, do_pin: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Run `rounds` BPE merge rounds over a (sp, freq) word-type table.
 
     Returns (merges, final_words): merges has one row per round —
     (step, lhs, rhs, n) — and final_words is the word-type table with
     all merges applied.  If the pair table empties early (tiny corpora)
-    the remaining rounds emit nothing, on both engines."""
+    the remaining rounds emit nothing, on both engines.  ``do_pin``
+    False skips the per-round lineage cuts so plan gates can inspect a
+    round's full plan (never run multi-round that way — lineage doubles
+    per round)."""
+    maybe_pin = pin if do_pin else (lambda df: df)
     merge_frames: list[DataFrame] = []
     w = words
     for r in range(1, rounds + 1):
@@ -207,11 +213,11 @@ def bpe_train(words: DataFrame, rounds: int = BPE_TRAIN_ROUNDS) -> tuple[DataFra
         )
         # TakeOrdered(1); pinned because it feeds BOTH the merge apply
         # and the output union — one pair-count job per round, not two
-        top1 = pin(counts.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1))
+        top1 = maybe_pin(counts.orderBy(F.desc("n"), F.asc("lhs"), F.asc("rhs")).limit(1))
         merge_frames.append(
             top1.select(F.lit(r).cast("int").alias("step"), "lhs", "rhs", "n")
         )
-        w = pin(
+        w = maybe_pin(
             w.crossJoin(F.broadcast(top1.select("lhs", "rhs"))).select(
                 _apply_merge(F.col("sp"), F.col("lhs"), F.col("rhs")).alias("sp"),
                 "freq",

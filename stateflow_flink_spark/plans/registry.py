@@ -102,6 +102,7 @@ def load_all_modules() -> None:
     from ..operators import (  # noqa: F401
         dedup,
         graph,
+        linalg,
         regression,
         similarity,
     )

@@ -107,6 +107,60 @@ def q_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_topk",
+    """
+    WITH c AS (
+        SELECT TIMESTAMP '1970-01-01 00:00:00'
+                   + CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 3600) * 3600 AS BIGINT)
+                     * INTERVAL 1 SECOND AS window_start,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                     ORDER BY n DESC, event_type) AS rk
+        FROM c
+    ) WHERE rk <= 3
+    """,
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming hot-items: top-3 event types per hourly tumbling window.
+
+    Rank-over-aggregate is not incrementally maintainable in Structured
+    Streaming (a window function over a streaming aggregate is
+    unsupported), so the production shape is the one used here: the
+    STREAM maintains only the additive (window, type) counts — partial
+    aggregation, watermark-bounded state, the cheap part — and the
+    top-k rank runs as a tiny BATCH query over the materialized counts
+    (the count table is |windows| x |types|, orders of magnitude
+    smaller than the stream).  Complete output mode for the bounded
+    oracle check; an unbounded deployment uses append mode + a
+    foreachBatch rank, same split."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    with stream_partitions(spark):
+        qy = (
+            counts.writeStream.format("memory")
+            .queryName("sfs_stream_topk")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    rk = Window.partitionBy("window_start").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        spark.table("sfs_stream_topk")
+        .withColumn("rk", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@query(
     "q_stream_static_join",
     """
     SELECT c_mktsegment,

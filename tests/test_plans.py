@@ -604,3 +604,56 @@ def test_ngram_lm_preaggregates_counts_no_window(spark):
     # partial+final pairs for: (doc,g) counts, per-g c2, per-w1 c1,
     # and the final per-doc rollup
     assert plan.count("HashAggregate") >= 6
+
+
+def test_bpe_train_broadcasts_winner_no_cartesian(spark):
+    """Each merge round applies the winning pair via a broadcast-1-row
+    cross join — broadcast nested loops, never a CartesianProduct —
+    the winner comes from a TakeOrdered(1) (no global sort), and the
+    word-freq + pair counts partial-aggregate before their exchanges.
+    The query pins (localCheckpoint) per round, which hides lineage
+    from explain, so the gate inspects one UNPINNED round."""
+    from stateflow_flink_spark.operators.tokenizer import bpe_train, word_types
+
+    _, one_round = bpe_train(word_types(spark, SF_SMOKE), rounds=1, do_pin=False)
+    plan = plan_of(one_round)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+
+
+def test_quality_gopher_is_pure_projection(spark):
+    """The Gopher rule filter must ride the scan: no exchange, no
+    aggregate, no window — one projection over documents."""
+    plan = plan_of(QUERIES["q_quality_gopher"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan and "Window" not in plan
+
+
+def test_emb_pca_no_cartesian_and_quantized_partial_aggs(spark):
+    """Power iteration: the d-vector state broadcasts out (broadcast
+    nested loop over a 1-row frame, never CartesianProduct) and the
+    dim-keyed product sums partial-aggregate before the exchange.
+    Inspects one UNPINNED power step (the query's pins hide lineage)."""
+    from pyspark.sql import functions as SF
+
+    from stateflow_flink_spark.io import load as load_tbl
+    from stateflow_flink_spark.operators.linalg import _as_array, _power_step, _q
+
+    e = load_tbl(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", SF.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    means = e.select(SF.posexplode("e").alias("pos", "val")).groupBy("pos").agg(
+        (
+            SF.sum(_q(SF.col("val")).cast("decimal(38,0)")).cast("double")
+            / (SF.count(SF.lit(1)) * 1_000_000.0)
+        ).alias("c")
+    )
+    state = _as_array(means, "pos", "c").select(
+        "c", SF.transform(SF.col("c"), lambda _: SF.lit(1.0)).alias("x")
+    )
+    plan = plan_of(_power_step(e, state, do_pin=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("HashAggregate") >= 4  # mean agg + product-sum agg

@@ -65,6 +65,9 @@ TARGETS = [
     "q_sim_pq_adc",
     "q_triplet_mining",
     "q_ngram_lm",
+    "q_dedup_minhash_stream",
+    "q_bpe_train",
+    "q_emb_pca",
 ]
 
 
