@@ -309,3 +309,41 @@ def q_agg_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("median_within_tol"),
         )
     )
+
+
+@query(
+    "q_agg_mode",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           (MIN({'negn': -n, 't': event_type})).t AS mode_type,
+           -(MIN({'negn': -n, 't': event_type})).negn AS n_mode
+    FROM c GROUP BY user_id
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modal value per group (most frequent event_type per user) as two
+    stacked PARTIAL-aggregating hash aggregates — the scale-safe MODE()
+    spelling: count per (user, type), then a min-struct argmax over
+    (-count, type) so ties break to the lexicographically smallest type
+    (same struct-ordering rule both engines, cf. the k-means argmin).
+    No window, no sort — a per-user sort-based mode would shuffle every
+    event row to its reducer; this shuffles one row per (user, type)."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("n")).alias("negn"), F.col("event_type").alias("t"))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.t").alias("mode_type"),
+            (-F.col("m.negn")).alias("n_mode"),
+        )
+    )

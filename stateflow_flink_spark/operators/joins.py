@@ -485,3 +485,39 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("o_totalprice").alias("sum_price"),
         )
     )
+
+
+@query(
+    "q_join_lateral",
+    """
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer,
+         LATERAL (SELECT o_orderkey, o_totalprice
+                  FROM orders
+                  WHERE o_custkey = c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC
+                  LIMIT 2) t
+    """,
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join: each customer's two priciest
+    orders (the top-N-per-group ask in its declarative SQL form).
+    Catalyst DECORRELATES the per-row subquery into a ranked window
+    join — one shuffle on the correlation key, no per-customer
+    re-execution — which is exactly the plan a hand-written
+    row_number<=2 would produce; the LATERAL spelling keeps the intent
+    declarative and composable.  Customers without orders drop out
+    (inner/CROSS APPLY semantics, matching the oracle)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sfs_lat_customer")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sfs_lat_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+        FROM sfs_lat_customer,
+             LATERAL (SELECT o_orderkey, o_totalprice
+                      FROM sfs_lat_orders
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey ASC
+                      LIMIT 2) t
+        """
+    )

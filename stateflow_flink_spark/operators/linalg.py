@@ -74,8 +74,7 @@ def _as_array(df_keyed: DataFrame, pos: str, val: str) -> DataFrame:
     )
 
 
-_PCA_ORACLE = f"""
-    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+_PCA_CTES = f"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     msum AS (
         SELECT r.i AS pos,
                CAST(SUM(CAST(ROUND(e[r.i] * {_S}) AS BIGINT)) AS DOUBLE)
@@ -128,11 +127,38 @@ _PCA_ORACLE = f"""
                    LIST_TRANSFORM(LIST(zd ORDER BY pos), w -> w * w)),
                    (a, b) -> a + b)) AS lam
         FROM z2
-    )
+    )"""
+
+_PCA_ORACLE = f"""
+    WITH {_PCA_CTES}
     SELECT r.i AS dim,
            ROUND(z[r.i] / lam, 6) AS loading,
            ROUND(lam, 6) AS eigval
     FROM zv2, UNNEST(RANGE(1, LEN(z) + 1)) AS r(i)
+"""
+
+_WHITEN_ORACLE = f"""
+    WITH {_PCA_CTES},
+    xv AS (SELECT LIST_TRANSFORM(z, v -> v / lam) AS x FROM zv2),
+    pr AS (
+        SELECT vec_id, e,
+               LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(
+                   RANGE(1, LEN(e) + 1), i -> (e[i] - ctr.c[i]) * xv.x[i])),
+                   (a, b) -> a + b) AS proj
+        FROM emb, ctr, xv
+    )
+    SELECT vec_id,
+           ROUND(proj, 6) AS proj,
+           ROUND(SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(
+               RANGE(1, LEN(e) + 1),
+               i -> (e[i] - ctr.c[i]) * (e[i] - ctr.c[i]))),
+               (a, b) -> a + b)), 6) AS norm_before,
+           ROUND(SQRT(LIST_REDUCE(LIST_PREPEND(0.0, LIST_TRANSFORM(
+               RANGE(1, LEN(e) + 1),
+               i -> ((e[i] - ctr.c[i]) - proj * xv.x[i])
+                    * ((e[i] - ctr.c[i]) - proj * xv.x[i]))),
+               (a, b) -> a + b)), 6) AS norm_after
+    FROM pr, ctr, xv
 """
 
 
@@ -169,12 +195,11 @@ def _normalized(z: Column) -> Column:
     return F.transform(z, lambda v: v / F.sqrt(_dots(z, z)))
 
 
-@query("q_emb_pca", _PCA_ORACLE)
-def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding corpus by {_PCA_ITERS}
-    matrix-free power iterations (module docstring has the layout and
-    the bit-exactness contract): per dimension, the unit loading and
-    the eigenvalue estimate lambda = ||C x||."""
+def _pca_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(embeddings as double arrays, final power-iteration state) —
+    state is the single-row frame (c = mean vector, x = unit top
+    component, z = un-normalized final iterate).  Shared by the PCA
+    report and the whitening consumer."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
     )
@@ -192,6 +217,16 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_PCA_ITERS):
         cz = _power_step(e, state)
         state = cz.select("c", _normalized(F.col("z")).alias("x"), "z")
+    return e, state
+
+
+@query("q_emb_pca", _PCA_ORACLE)
+def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {_PCA_ITERS}
+    matrix-free power iterations (module docstring has the layout and
+    the bit-exactness contract): per dimension, the unit loading and
+    the eigenvalue estimate lambda = ||C x||."""
+    _, state = _pca_state(spark, sf_dir)
     lam = F.sqrt(_dots(F.col("z"), F.col("z")))
     return state.select(
         F.posexplode(F.col("x")).alias("p", "loading"), lam.alias("lam")
@@ -199,4 +234,36 @@ def q_emb_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") + 1).cast("long").alias("dim"),
         F.round("loading", 6).alias("loading"),
         F.round("lam", 6).alias("eigval"),
+    )
+
+
+@query("q_emb_whiten", _WHITEN_ORACLE)
+def q_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-top whitening (Mu & Viswanath, ICLR 2018): remove
+    the corpus mean and the top principal direction from every
+    embedding — the standard anisotropy correction before cosine
+    retrieval.  Per vector: its projection on the top component and its
+    norm before/after removal (the diagnostic a pipeline monitors; the
+    corrected vectors themselves are this same projection applied to
+    the array column).  One broadcast of (mean, component) out, one
+    Arrow-free JVM fold pass over the corpus — no shuffle beyond the
+    PCA state build."""
+    e, state = _pca_state(spark, sf_dir)
+    rows = e.crossJoin(broadcast(state.select("c", "x")))
+    v = _center(F.col("e"), F.col("c"))
+    proj = _dots(v, F.col("x"))
+    with_proj = rows.select("vec_id", "e", "c", "x", proj.alias("proj"))
+    v2 = F.zip_with(
+        _center(F.col("e"), F.col("c")),
+        F.col("x"),
+        lambda a, b: a - F.col("proj") * b,
+    )
+    return with_proj.select(
+        "vec_id",
+        F.round("proj", 6).alias("proj"),
+        F.round(
+            F.sqrt(_dots(_center(F.col("e"), F.col("c")), _center(F.col("e"), F.col("c")))),
+            6,
+        ).alias("norm_before"),
+        F.round(F.sqrt(_dots(v2, v2)), 6).alias("norm_after"),
     )

@@ -111,3 +111,103 @@ def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pearson correlation matrix — one-pass, integer-exact moments
+# ---------------------------------------------------------------------------
+#
+# corr(x, y) from the five raw moments (n, Sx, Sy, Sxx, Syy, Sxy), all
+# accumulated as EXACT integer sums of 2-dp-scaled values (the scale
+# factors cancel in the ratio).  The engine's standard determinism
+# recipe (numerics.py): order-free integer sums in DECIMAL(38,0) /
+# HUGEINT, one correctly-rounded conversion to double each, then an
+# IDENTICAL double expression tree in both engines — so the result is
+# bit-identical at any parallelism even though the textbook one-pass
+# formula is used.  (Cancellation error in n*Sxx - Sx^2 is ~1e-15
+# relative at these magnitudes — far inside the 6-dp output rounding.)
+#
+# Scale shape: ONE partial-aggregating pass over the fact table
+# computes all moments for all columns; the 3x3 matrix assembly is a
+# projection on the single aggregate row.  A naive corr() per pair
+# would scan the table once per pair.
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_CORR_PAIRS = (
+    ("l_quantity", "l_extendedprice"),
+    ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"),
+)
+
+
+def _corr_sql_moments() -> str:
+    terms = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in _CORR_COLS:
+        q = f"CAST(ROUND({c} * 100) AS BIGINT)"
+        terms.append(f"CAST(SUM({q}) AS DOUBLE) AS s_{c}")
+        terms.append(f"CAST(SUM({q} * {q}) AS DOUBLE) AS ss_{c}")
+    for x, y in _CORR_PAIRS:
+        qx = f"CAST(ROUND({x} * 100) AS BIGINT)"
+        qy = f"CAST(ROUND({y} * 100) AS BIGINT)"
+        terms.append(f"CAST(SUM({qx} * {qy}) AS DOUBLE) AS sp_{x}_{y}")
+    return ", ".join(terms)
+
+
+_CORR_ORACLE = f"""
+    WITH m AS (SELECT {_corr_sql_moments()} FROM lineitem)
+    {" UNION ALL ".join(
+        f'''SELECT '{x}' AS col_x, '{y}' AS col_y,
+               ROUND((n * sp_{x}_{y} - s_{x} * s_{y})
+                     / (SQRT(n * ss_{x} - s_{x} * s_{x})
+                        * SQRT(n * ss_{y} - s_{y} * s_{y})), 6) AS corr
+        FROM m'''
+        for x, y in _CORR_PAIRS
+    )}
+"""
+
+
+@query("q_corr_matrix", _CORR_ORACLE)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem numeric trio in
+    one table pass (long format: col_x, col_y, corr) — see block
+    comment for the exact-moment determinism recipe."""
+    li = load(spark, sf_dir, "lineitem").select(*_CORR_COLS)
+
+    def q(c: str) -> F.Column:
+        return F.round(F.col(c) * 100).cast("long")
+
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(F.sum(q(c).cast("decimal(38,0)")).cast("double").alias(f"s_{c}"))
+        aggs.append(
+            F.sum((q(c) * q(c)).cast("decimal(38,0)")).cast("double").alias(f"ss_{c}")
+        )
+    for x, y in _CORR_PAIRS:
+        aggs.append(
+            F.sum((q(x) * q(y)).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"sp_{x}_{y}")
+        )
+    m = li.agg(*aggs)
+
+    def corr(x: str, y: str) -> F.Column:
+        n = F.col("n")
+        num = n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        dx = F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+        dy = F.sqrt(n * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        return F.round(num / (dx * dy), 6)
+
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(x).alias("col_x"),
+                        F.lit(y).alias("col_y"),
+                        corr(x, y).alias("corr"),
+                    )
+                    for x, y in _CORR_PAIRS
+                ]
+            )
+        ).alias("r")
+    ).select("r.col_x", "r.col_y", "r.corr")

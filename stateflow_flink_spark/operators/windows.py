@@ -95,6 +95,44 @@ def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_window_first_last",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           FIRST_VALUE(o_orderkey) OVER w AS top_order,
+           LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS bottom_order,
+           NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                ORDER BY o_totalprice DESC, o_orderkey ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    """,
+)
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / NTH_VALUE navigation: per customer,
+    the keys of the priciest, cheapest and second-priciest orders on
+    every row.  LAST/NTH use the full-partition frame explicitly — the
+    default frame stops at CURRENT ROW, the classic LAST_VALUE trap —
+    and the ORDER BY carries the unique o_orderkey tie-break (integer
+    keys end to end, no float comparisons)."""
+    orders = load(spark, sf_dir, "orders")
+    ordering = [F.desc("o_totalprice"), F.asc("o_orderkey")]
+    w = Window.partitionBy("o_custkey").orderBy(*ordering)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("top_order"),
+        F.last("o_orderkey").over(w_full).alias("bottom_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+    )
+
+
+@query(
     "q_window_ntile",
     """
     SELECT c_custkey, c_acctbal,

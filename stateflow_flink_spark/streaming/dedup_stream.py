@@ -112,6 +112,19 @@ def stream_documents_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
     return spark.readStream.schema(DOCUMENTS).parquet(stage), stage
 
 
+# State-key cardinality cap: LSH bucket keys are folded into
+# STATE_BUCKETS state-store groups (pmod of the (band, bucket) hash).
+# Results are IDENTICAL at any cap — colliding buckets only add
+# candidate comparisons, and the exact-Jaccard verify removes every
+# false candidate — so this is a pure state-store knob: it bounds the
+# number of keyed-state entries (and, at fixture scale, the per-group
+# Python/state-roundtrip overhead that dominates when nearly every
+# group is a singleton).  Deployment guidance: size it so the expected
+# bucket occupancy stays O(1..10) — too small re-introduces quadratic
+# within-group compares, too large pays per-key overhead.
+STATE_BUCKETS = 4096
+
+
 def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, dup_of) per (document, band): the incremental per-bucket
     verify described in the module docstring.  ``dup_of`` is NULL when
@@ -120,12 +133,22 @@ def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
     keyed = minhash_band_buckets(
         docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh")),
         keep=["sh"],
+    ).select(
+        "doc_id",
+        "sh",
+        F.pmod(F.xxhash64("band", "bucket"), F.lit(STATE_BUCKETS)).alias("skey"),
     )
 
     def verify_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         members: list = pickle.loads(state.get[0]) if state.exists else []
         seen_ids = {doc_id for doc_id, _ in members}
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+        # a doc can reach one merged state group through several bands —
+        # one membership/verify per doc is enough (min over rows later)
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .drop_duplicates("doc_id")
+            .sort_values("doc_id")
+        )
         out_ids, out_dups = [], []
         for row in pdf.itertuples():
             sh = frozenset(row.sh)
@@ -146,7 +169,7 @@ def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
         state.update((pickle.dumps(members),))
         yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_dups})
 
-    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+    return keyed.groupBy("skey").applyInPandasWithState(
         verify_group,
         outputStructType=_FLAG_OUTPUT,
         stateStructType="blob binary",

@@ -657,3 +657,35 @@ def test_emb_pca_no_cartesian_and_quantized_partial_aggs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
     assert plan.count("HashAggregate") >= 4  # mean agg + product-sum agg
+
+
+def test_agg_mode_is_stacked_partial_aggs_no_window(spark):
+    """MODE() must be two stacked partial+final aggregates (count, then
+    min-struct argmax — the argmax runs as SortAggregate since MIN over
+    a struct is sort-based, but it still partial-aggregates map-side),
+    never a window and never a single-reducer sort."""
+    plan = plan_of(QUERIES["q_agg_mode"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 4
+
+
+def test_corr_matrix_single_scan_single_agg(spark):
+    """All nine moments for the 3x3 matrix must come from ONE pass:
+    one parquet scan node, one partial+final aggregate — not a scan
+    per column pair.  (explain('formatted') prints each node twice:
+    tree + detail section.)"""
+    import re
+
+    plan = plan_of(QUERIES["q_corr_matrix"](spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_join_lateral_decorrelates_to_ranked_join(spark):
+    """The correlated LATERAL LIMIT subquery must decorrelate: a ranked
+    window with group-limit pushdown joined on the correlation key —
+    no CartesianProduct, no per-row re-execution artifacts."""
+    plan = plan_of(QUERIES["q_join_lateral"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
