@@ -23,7 +23,7 @@ that stays stable when the profiled column list grows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -173,7 +173,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     comment for the exact-moment determinism recipe."""
     li = load(spark, sf_dir, "lineitem").select(*_CORR_COLS)
 
-    def q(c: str) -> F.Column:
+    def q(c: str) -> Column:
         return F.round(F.col(c) * 100).cast("long")
 
     aggs = [F.count(F.lit(1)).cast("double").alias("n")]
@@ -190,7 +190,7 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     m = li.agg(*aggs)
 
-    def corr(x: str, y: str) -> F.Column:
+    def corr(x: str, y: str) -> Column:
         n = F.col("n")
         num = n * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
         dx = F.sqrt(n * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))

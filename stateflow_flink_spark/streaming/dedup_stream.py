@@ -126,10 +126,10 @@ STATE_BUCKETS = 4096
 
 
 def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
-    """(doc_id, dup_of) per (document, band): the incremental per-bucket
-    verify described in the module docstring.  ``dup_of`` is NULL when
-    the bucket holds no earlier member at Jaccard >= tau; the caller
-    min-aggregates over bands for the global verdict."""
+    """(doc_id, dup_of) per (document, state bucket): the incremental
+    per-bucket verify described in the module docstring.  ``dup_of`` is
+    NULL when the bucket holds no earlier member at Jaccard >= tau; the
+    caller min-aggregates over a doc's buckets for the global verdict."""
     keyed = minhash_band_buckets(
         docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh")),
         keep=["sh"],

@@ -1069,3 +1069,39 @@ def test_ngram_lm_hand_computed_bigram_probabilities(spark, tmp_path):
     assert out[1].n_bigrams == 3 and out[2].n_bigrams == 1
     assert abs(out[1].lm_score - (2 * 666666 + 1000000) / 3 / 1e6) < 1e-12
     assert abs(out[2].lm_score - 333333 / 1e6) < 1e-12
+
+
+def test_emb_whiten_properties(spark):
+    """All-but-the-top invariants: removing the projection can only
+    shrink a vector (norm_after <= norm_before), and the Pythagorean
+    identity norm_before^2 ~= proj^2 + norm_after^2 holds to float
+    tolerance for every vector."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    out = QUERIES["q_emb_whiten"](spark, "/root/testdata/sf0.001").toPandas()
+    assert len(out) == 500
+    assert (out.norm_after <= out.norm_before + 1e-9).all()
+    gap = out.norm_before**2 - (out.proj**2 + out.norm_after**2)
+    assert gap.abs().max() < 1e-3  # 6-dp rounded inputs
+
+
+def test_agg_mode_tie_breaks_lexicographically(spark):
+    """Equal counts must resolve to the lexicographically smallest
+    type — the min-struct contract."""
+    from stateflow_flink_spark.operators.aggregates import q_agg_mode  # noqa: F401
+    from pyspark.sql import functions as SF
+
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "b"), (1, "a"), (1, "a"), (2, "z")],
+        "user_id long, event_type string",
+    )
+    c = df.groupBy("user_id", "event_type").agg(SF.count(SF.lit(1)).alias("n"))
+    m = (
+        c.groupBy("user_id")
+        .agg(SF.min(SF.struct((-SF.col("n")).alias("negn"),
+                              SF.col("event_type").alias("t"))).alias("m"))
+        .select("user_id", SF.col("m.t").alias("mode_type"))
+    )
+    got = {r.user_id: r.mode_type for r in m.collect()}
+    assert got == {1: "a", 2: "z"}
