@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, spread
 from ..plans.registry import query
 
 # ---------------------------------------------------------------------------
@@ -496,4 +496,59 @@ def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.col("n_toks").cast("long")).alias("n_tokens"),
         )
+    )
+
+
+@query(
+    "q_text_entropy",
+    """
+    WITH tc AS (
+        SELECT doc_id, w, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY 1, 2
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+               SUM(CAST(ROUND(c * LN(c) * 1000000.0) AS BIGINT)) AS s
+        FROM tc GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           ROUND(LN(n_tokens) - CAST(s AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * 1000000.0), 6) AS entropy
+    FROM agg
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon token entropy (nats) — the information-
+    density signal curation stacks beside repetition and quality
+    scores: H = ln(n) - (sum c_i ln c_i)/n over token counts.
+
+    Determinism recipe: each c*ln(c) term quantizes to a 6-dp integer
+    BEFORE the cross-token sum (exact integer aggregation — float sums
+    would reassociate), then two divisions and one ln on exact inputs.
+    Shuffle shape: one partial-aggregated exchange keyed by
+    (doc_id, token-hash) — tokens travel as 8-byte xxhash64 longs, the
+    count table is bounded by per-doc vocabulary, and the final per-doc
+    aggregate rides the same key prefix."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    tc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", F.xxhash64("w").alias("wh"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = tc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.sum(
+            F.round(F.col("c") * F.log(F.col("c")) * 1_000_000.0).cast("long")
+        ).alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens"))
+            - F.col("s").cast("double")
+            / (F.col("n_tokens").cast("double") * 1_000_000.0),
+            6,
+        ).alias("entropy"),
     )

@@ -487,3 +487,121 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     return spark.table("sfs_scd2_stream")
+
+
+# ---------------------------------------------------------------------------
+# Streaming windowed EWMA — incremental recency-weighted rollup (ref R9)
+# ---------------------------------------------------------------------------
+
+_EWMA_STREAM_OUTPUT = (
+    "user_id long, last_ts timestamp, last_event_id long, "
+    "n_used long, ewma_value double"
+)
+
+
+def apply_ewma_stream(events: DataFrame) -> DataFrame:
+    """Incremental twin of q_timeseries_ewma: per user, ValueState holds
+    the newest EWMA_WINDOW (ts, event_id, scaled value) triples — O(K)
+    state per key, the bounded-state property that makes the windowed
+    EWMA streamable at all (an untruncated EWMA recurrence would need
+    exact float replay of the full history).  Each micro-batch emits one
+    summary row per touched user: the integer-exact weighted mean over
+    the trailing window (weights 2^(K-rank), same arithmetic as the
+    batch query — two final double divisions, bit-identical).
+
+    Value scaling matches Spark's double->DECIMAL(38,0) cast exactly:
+    BigDecimal rounds HALF_UP on the double's shortest decimal repr,
+    and Python's Decimal(repr(x)) is the same shortest repr, so the
+    state integers equal the batch query's `xs` column bit for bit.
+
+    Arrival order never matters: the trailing window is "newest K by
+    (ts, event_id) among events seen so far", so the final summary per
+    user equals the batch answer under any batching/replay."""
+    import pickle
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..operators.timeseries import EWMA_WINDOW
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        top: list = pickle.loads(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for row in pdf.itertuples():
+            xs = int(
+                Decimal(repr(float(row.value) * 1_000_000)).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            top.append((row.ts.value // 1000, int(row.event_id), xs))
+        top.sort(key=lambda t: (-t[0], -t[1]))
+        del top[EWMA_WINDOW:]
+        num = sum(xs * (1 << (EWMA_WINDOW - rn)) for rn, (_, _, xs) in enumerate(top, 1))
+        den = sum(1 << (EWMA_WINDOW - rn) for rn in range(1, len(top) + 1))
+        state.update((pickle.dumps(top),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_ts": [pd.Timestamp(top[0][0], unit="us")],
+                "last_event_id": [top[0][1]],
+                "n_used": [len(top)],
+                "ewma_value": [float(num) / float(den) / 1_000_000],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold_group,
+        outputStructType=_EWMA_STREAM_OUTPUT,
+        stateStructType="blob binary",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query(
+    "q_stream_ewma",
+    f"""
+    WITH ranked AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    recent AS (SELECT * FROM ranked WHERE rn <= 16)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           CAST(SUM(CAST(CAST(value * 1000000 AS DECIMAL(38,0)) AS BIGINT)
+                    * (CAST(1 AS BIGINT) << (16 - rn))) AS DOUBLE)
+               / CAST(SUM(CAST(1 AS BIGINT) << (16 - rn)) AS DOUBLE)
+               / 1000000 AS ewma_value
+    FROM recent GROUP BY user_id
+    """,
+)
+def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_timeseries_ewma (same oracle): per-user
+    bounded-window EWMA maintained incrementally in keyed state; the
+    latest per-user summary must equal the batch window aggregate
+    bit for bit (see apply_ewma_stream)."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    result = apply_ewma_stream(
+        events.select("user_id", "ts", "event_id", "value")
+    )
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_stream_ewma")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    from pyspark.sql import Window as W
+
+    latest = W.partitionBy("user_id").orderBy(
+        F.desc("last_ts"), F.desc("last_event_id")
+    )
+    return (
+        spark.table("sfs_stream_ewma")
+        .withColumn("_r", F.row_number().over(latest))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "n_used", "ewma_value")
+    )
