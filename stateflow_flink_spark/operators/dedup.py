@@ -843,3 +843,88 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment scoring — the ASYMMETRIC near-dup signal (Broder 1997's
+# containment, the quote/boilerplate/subset-document detector Jaccard
+# misses: a tweet quoted inside an article has tiny Jaccard but
+# containment ~1 in the tweet->article direction).
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.5  # |A ∩ B| / |A| threshold, directional
+
+_CONTAIN_ORACLE = f"""
+    WITH docsh AS ({_SHINGLE_SQL}),
+    ds_all AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    ds AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM ds_all
+        ) WHERE df <= {SHINGLE_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    bothdir AS (
+        SELECT doc_a AS src, doc_b AS dst, n_common, sa.n AS n_src
+        FROM pairs JOIN sizes sa ON doc_a = sa.doc_id
+        UNION ALL
+        SELECT doc_b, doc_a, n_common, sb.n
+        FROM pairs JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT src, dst, ROUND(n_common * 1.0 / n_src, 6) AS containment
+    FROM bothdir WHERE n_common * 1.0 / n_src >= {CONTAIN_TAU}
+"""
+
+
+@query("q_dedup_containment", _CONTAIN_ORACLE)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs |S_src ∩ S_dst| / |S_src| >= tau
+    over the DF-capped shingle universe — same candidate generator and
+    cap discipline as q_dedup_fuzzy (one shingle-keyed shuffle, 8-byte
+    hashed shingles, DF cap bounding the worst bucket), but scored
+    ASYMMETRICALLY: each unordered candidate pair emits up to two
+    directed rows, so subset documents surface even when the symmetric
+    Jaccard is far under threshold.  Integer-ratio compare
+    (n_common/n_src) keeps both engines bit-identical."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh"))
+    ds_all = docsh.select("doc_id", F.explode("sh").alias("s"))
+    w = Window.partitionBy("s")
+    ds = (
+        ds_all.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .drop("df")
+        .cache()
+    )
+    sizes = ds.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = ds.alias("a")
+    b = ds.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    scored = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    both = scored.select(
+        F.col("doc_a").alias("src"),
+        F.col("doc_b").alias("dst"),
+        "n_common",
+        F.col("na").alias("n_src"),
+    ).unionByName(
+        scored.select(
+            F.col("doc_b").alias("src"),
+            F.col("doc_a").alias("dst"),
+            "n_common",
+            F.col("nb").alias("n_src"),
+        )
+    )
+    cont = F.col("n_common") / F.col("n_src")
+    return both.filter(cont >= CONTAIN_TAU).select(
+        "src", "dst", F.round(cont, 6).alias("containment")
+    )

@@ -348,3 +348,109 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_PRIORITY_K)
         .drop("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by how target-like its
+# hashed-n-gram distribution is, log p_target(x) - log p_raw(x).
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 256  # hashed feature buckets (the paper uses 10k for web scale)
+
+_DSIR_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT AS BIGINT)
+                   % {_DSIR_B} AS b
+        FROM (SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS w
+              FROM documents)
+    ),
+    raw_cnt AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY b),
+    tgt_cnt AS (SELECT b, COUNT(*) AS ct FROM tok WHERE lang = 'en' GROUP BY b),
+    tot AS (
+        SELECT (SELECT COUNT(*) FROM tok) AS nr,
+               (SELECT COUNT(*) FROM tok WHERE lang = 'en') AS nt
+    ),
+    lr AS (
+        SELECT raw_cnt.b,
+               CAST(ROUND((LN(COALESCE(ct, 0) + 1) - LN(nt + {_DSIR_B})
+                           - LN(cr + 1) + LN(nr + {_DSIR_B})) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM raw_cnt LEFT JOIN tgt_cnt USING (b) CROSS JOIN tot
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(q) AS DOUBLE) / 1000000.0 AS log_weight,
+           SUM(q) > 0 AS selected
+    FROM tok JOIN lr USING (b)
+    GROUP BY tok.doc_id
+"""
+
+
+@query("q_mix_dsir", _DSIR_ORACLE)
+def q_mix_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): two hashed-unigram
+    bag-of-words language models — target = lang('en') docs, raw = the
+    whole corpus — and per-document importance log-weight
+    sum_tokens [log p_t(b) - log p_r(b)] with add-one smoothing over
+    _DSIR_B md5-hashed buckets.  ``selected`` is the resampling
+    decision at weight threshold 0 (target-like documents).
+
+    Determinism: per-BUCKET log-ratios quantize to 6 dp integers
+    (one LN per engine over exact integer inputs), the per-doc score
+    is an exact integer SUM of those, and the final scale-back is one
+    division — the numerics.py recipe, so the float log never crosses
+    an aggregation boundary.
+
+    Scale shape: the bucket LM table is _DSIR_B rows built by two
+    partial-aggregated counts over one token pass (the lang filter is
+    a map-side predicate, not a second scan in Spark — both counts are
+    conditional aggregates of the same groupBy); scoring re-joins that
+    broadcast table to the token stream and partial-aggregates by
+    doc_id.  Nothing driver-side; the corpus is read once."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _DSIR_B
+        ).alias("b"),
+    )
+    cnt = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("ct"),
+    )
+    tot = cnt.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            (
+                F.log(F.col("ct") + 1)
+                - F.log(F.col("nt") + _DSIR_B)
+                - F.log(F.col("cr") + 1)
+                + F.log(F.col("nr") + _DSIR_B)
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("q"),
+    )
+    return (
+        tok.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("q").alias("s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("s").cast("double") / 1_000_000.0).alias("log_weight"),
+            (F.col("s") > 0).alias("selected"),
+        )
+    )

@@ -1306,3 +1306,88 @@ def q_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("neg_cos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023) — cluster the
+# embedding space, then near-dup only WITHIN each cluster: the
+# quadratic term is bounded by the largest cluster, not the corpus.
+# ---------------------------------------------------------------------------
+
+SEM_TAU = NEAR_DUP_TAU  # intra-cluster cosine threshold
+
+_SEMANTIC_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c1 AS (SELECT vec_id AS cent_id, e AS ce FROM emb WHERE vec_id < {KMEANS_K}),
+    d1 AS (
+        SELECT emb.vec_id, c1.cent_id, {_KM_DIST} AS d
+        FROM emb CROSS JOIN c1
+    ),
+    a1 AS (
+        SELECT vec_id, (MIN({{'d': d, 'c': cent_id}})).c AS cluster
+        FROM d1 GROUP BY vec_id
+    ),
+    m AS (SELECT a1.vec_id, a1.cluster, emb.e FROM a1 JOIN emb USING (vec_id)),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {SEM_TAU}
+    )
+    SELECT m.vec_id, m.cluster, dup.vec_id IS NOT NULL AS is_dup
+    FROM m LEFT JOIN dup ON m.vec_id = dup.vec_id
+"""
+
+
+def _semantic_flag_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Duplicate flags for ONE cluster: cosine GEMM over the members,
+    flag every vector with a LOWER-id neighbor at cos >= SEM_TAU (keep
+    the earliest copy — same policy as the exact-dedup family).  Same
+    float discipline as :func:`_gemm_block_pairs`: float64 dots, 6 dp
+    rounding absorbs BLAS-vs-sequential summation order."""
+    pdf = pdf.sort_values("vec_id", ignore_index=True)
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    c = np.round(
+        (v @ v.T) / np.outer(np.linalg.norm(v, axis=1), np.linalg.norm(v, axis=1)),
+        6,
+    )
+    hit = np.tril(c >= SEM_TAU, k=-1).any(axis=1)
+    return pd.DataFrame(
+        {"vec_id": pdf["vec_id"], "cluster": pdf["cluster"], "is_dup": hit}
+    )
+
+
+@query("q_dedup_semantic", _SEMANTIC_ORACLE)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embeddings, then flag semantic near-duplicates by all-pairs
+    cosine WITHIN each cluster only — semantically redundant examples
+    land in the same cell, so the n^2 term shrinks to sum_k n_k^2.
+
+    One Lloyd assignment against the seed centroids (lowest KMEANS_K
+    vec_ids — the same seeding contract as q_cluster_kmeans, whose
+    2-iteration trainer would slot in unchanged), then ONE
+    applyInPandas GEMM per cluster.  Keep policy: lowest vec_id in each
+    near-dup neighborhood survives (a vector is a dup iff some
+    lower-id member of its cluster is within SEM_TAU), matching the
+    first-seen rule of the exact/MinHash dedups so downstream keep-sets
+    compose.
+
+    Scale shape: assignment is a broadcast of K*dim floats + one
+    min-struct partial agg (no shuffle of the embeddings beyond the
+    cluster re-key); the per-cluster GEMM is the SemDeDup contract —
+    at 100 TB you raise K so n_k stays ~10^4-10^5 (the paper uses
+    K=11k for 100M+ docs), keeping every group's n_k^2 GEMM in one
+    task's memory while clusters fan out across executors.
+
+    Reference parity: the stateful per-key flagging essence of
+    InvokeStatefulLambda.java:61-65 applied to the curation surface —
+    each cluster is a key, the keep-set is its state."""
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    a1 = _assign(e, cents).select("vec_id", F.col("cent_id").alias("cluster"))
+    mem = e.select("vec_id", "embedding").join(a1, "vec_id")
+    return mem.groupBy("cluster").applyInPandas(
+        _semantic_flag_cluster, "vec_id long, cluster long, is_dup boolean"
+    )

@@ -36,7 +36,7 @@ from collections.abc import Callable, Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -604,4 +604,150 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_r", F.row_number().over(latest))
         .filter(F.col("_r") == 1)
         .select("user_id", "n_used", "ewma_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming HLL-style distinct count — mergeable sketch state (ref R9)
+# ---------------------------------------------------------------------------
+
+_HLL_M = 1024  # registers per key; linear-counting regime at test SFs
+
+# trailing-zero count of one hex digit (0 handled by the rstrip walk)
+_HEX_TZ = {
+    "1": 0, "3": 0, "5": 0, "7": 0, "9": 0, "b": 0, "d": 0, "f": 0,
+    "2": 1, "6": 1, "a": 1, "e": 1,
+    "4": 2, "c": 2,
+    "8": 3,
+}
+
+_HLL_STREAM_ORACLE = f"""
+    WITH h AS (
+        SELECT DISTINCT event_type, MD5(CAST(user_id AS VARCHAR)) AS hx
+        FROM events
+    ),
+    p AS (
+        SELECT event_type,
+               CAST(('0x' || SUBSTRING(hx, 1, 8))::UBIGINT AS BIGINT)
+                   % {_HLL_M} AS j,
+               CASE WHEN RTRIM(SUBSTRING(hx, 1, 16), '0') = '' THEN 65
+                    ELSE 4 * (16 - LENGTH(RTRIM(SUBSTRING(hx, 1, 16), '0')))
+                         + CASE RIGHT(RTRIM(SUBSTRING(hx, 1, 16), '0'), 1)
+                               WHEN '2' THEN 1 WHEN '6' THEN 1
+                               WHEN 'a' THEN 1 WHEN 'e' THEN 1
+                               WHEN '4' THEN 2 WHEN 'c' THEN 2
+                               WHEN '8' THEN 3 ELSE 0 END
+                         + 1 END AS rho
+        FROM h
+    ),
+    reg AS (SELECT event_type, j, MAX(rho) AS r FROM p GROUP BY 1, 2)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS reg_nonzero,
+           CAST(SUM(r) AS BIGINT) AS reg_sum,
+           CASE WHEN COUNT(*) < {_HLL_M}
+                THEN CAST(ROUND({_HLL_M} * LN({_HLL_M}.0
+                                / ({_HLL_M} - COUNT(*)))) AS BIGINT)
+                ELSE NULL END AS est_users
+    FROM reg GROUP BY event_type
+"""
+
+
+def apply_hll_stream(events: DataFrame) -> DataFrame:
+    """Per-key streaming distinct-count sketch: ValueState holds _HLL_M
+    one-byte max-rank registers — O(1 KB) per key FOREVER, the bounded
+    state an exact streaming distinct (dropDuplicates) cannot offer.
+    Register updates are MAX-merges, so the sketch is order-free and
+    replay/batching-invariant, and two keys' (or two days') registers
+    union losslessly by elementwise max — the DataSketches
+    mergeability contract, here with an ENGINE-EXACT md5 rank so the
+    SQL oracle reproduces every register bit for bit (same discipline
+    as the integer LSH projections).
+
+    rho = trailing-zero run of the 64-bit md5 prefix + 1 (geometric,
+    P(rho >= k) = 2^-(k-1)), computed by hex-string walk in both
+    engines — no float log2 near an exact power, no cross-libm risk.
+    The estimate is linear counting over empty registers (the
+    HyperLogLog small-range regime all test SFs sit in)."""
+    import hashlib
+
+    import numpy as np
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        reg = (
+            np.frombuffer(state.get[0], dtype=np.uint8).copy()
+            if state.exists
+            else np.zeros(_HLL_M, dtype=np.uint8)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        for uid in pdf["user_id"].unique():
+            hx = hashlib.md5(str(int(uid)).encode()).hexdigest()
+            j = int(hx[:8], 16) % _HLL_M
+            stripped = hx[:16].rstrip("0")
+            rho = (
+                4 * (16 - len(stripped)) + _HEX_TZ[stripped[-1]] + 1
+                if stripped
+                else 65
+            )
+            if rho > reg[j]:
+                reg[j] = rho
+        state.update((reg.tobytes(),))
+        nz = int((reg > 0).sum())
+        v = _HLL_M - nz
+        if v > 0:
+            import math
+            from decimal import ROUND_HALF_UP, Decimal
+
+            est = int(
+                Decimal(repr(_HLL_M * math.log(_HLL_M / v))).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+        else:
+            est = None
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "reg_nonzero": [nz],
+                "reg_sum": [int(reg.sum())],
+                "est_users": [est],
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        fold_group,
+        outputStructType=(
+            "event_type string, reg_nonzero long, reg_sum long, est_users long"
+        ),
+        stateStructType="blob binary",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query("q_stream_hll", _HLL_STREAM_ORACLE)
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct users per event_type via keyed HLL-style
+    register state (see apply_hll_stream).  The per-batch summaries are
+    monotone (registers only grow), so the newest summary per key is
+    the one with the maximal (reg_sum, reg_nonzero) — no timestamp
+    bookkeeping needed to pick it."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    result = apply_hll_stream(events.select("event_type", "user_id"))
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_stream_hll")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    latest = Window.partitionBy("event_type").orderBy(
+        F.desc("reg_sum"), F.desc("reg_nonzero")
+    )
+    return (
+        spark.table("sfs_stream_hll")
+        .withColumn("_r", F.row_number().over(latest))
+        .filter(F.col("_r") == 1)
+        .drop("_r")
     )
