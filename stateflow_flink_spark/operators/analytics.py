@@ -228,3 +228,59 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_cur")).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorization — percentile clipping, the robust-scaling feature prep
+# ---------------------------------------------------------------------------
+
+_WINS_LO, _WINS_HI = 0.05, 0.95
+
+_WINSORIZE_ORACLE = f"""
+    WITH b AS (
+        SELECT c_mktsegment,
+               QUANTILE_CONT(c_acctbal, {_WINS_LO}) AS lo,
+               QUANTILE_CONT(c_acctbal, {_WINS_HI}) AS hi
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c_custkey, c.c_mktsegment,
+           ROUND(LEAST(GREATEST(c_acctbal, lo), hi), 6) AS acctbal_w,
+           c_acctbal < lo OR c_acctbal > hi AS clipped
+    FROM customer c JOIN b ON c.c_mktsegment = b.c_mktsegment
+"""
+
+
+@query("q_winsorize", _WINSORIZE_ORACLE)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorization: clip account balances to the
+    segment's [p05, p95] — the standard robust-scaling prep before any
+    magnitude-sensitive model sees a heavy-tailed column, with a
+    `clipped` flag so downstream can audit how much mass the clamp
+    moved.
+
+    Exact percentiles (linear interpolation at rank (n-1)*p, the shared
+    Spark `percentile` / DuckDB QUANTILE_CONT definition, same
+    discipline as q_agg_percentile) computed in ONE partial-aggregating
+    pass per segment, then joined back broadcast — the fact rows never
+    shuffle.  At 100 TB the bounds side switches to approx_percentile
+    (mergeable t-digest) and the join stays broadcast: #segments rows.
+    LEAST/GREATEST are order-exact picks, no float synthesis beyond the
+    shared interpolation."""
+    c = load(spark, sf_dir, "customer")
+    b = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", _WINS_LO).alias("lo"),
+        F.percentile("c_acctbal", _WINS_HI).alias("hi"),
+    )
+    return (
+        c.join(F.broadcast(b), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.round(
+                F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")), 6
+            ).alias("acctbal_w"),
+            ((F.col("c_acctbal") < F.col("lo")) | (F.col("c_acctbal") > F.col("hi"))).alias(
+                "clipped"
+            ),
+        )
+    )

@@ -928,3 +928,102 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return both.filter(cont >= CONTAIN_TAU).select(
         "src", "dst", F.round(cont, 6).alias("containment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering exact similarity join (AllPairs — Bayardo, Ma &
+# Srikant, WWW'07; prefix filter of Chaudhuri, Ganti & Kaushik,
+# ICDE'06): the EXACT-complete alternative to MinHash at high
+# thresholds.  No DF cap, no probabilistic recall — every pair with
+# Jaccard >= tau is guaranteed found, because two sets with J >= tau
+# MUST share a token inside both (n - ceil(tau*n) + 1)-prefixes under
+# any global token order.  Ordering tokens rarest-first makes those
+# prefixes the most selective possible, so the candidate join fans out
+# on rare tokens only — boilerplate shingles sort last and never enter
+# a prefix.
+# ---------------------------------------------------------------------------
+
+PREFIX_TAU = 0.7  # prefix filtering is the high-threshold tool
+
+_PREFIX_ORACLE = f"""
+    WITH docsh AS ({_SHINGLE_SQL}),
+    ds AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {PREFIX_TAU}
+"""
+
+
+@query("q_dedup_prefix", _PREFIX_ORACLE)
+def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard >= PREFIX_TAU via prefix filtering — the
+    oracle is the naive O(n^2)-candidate brute force, and the prefix
+    plan must reproduce it bit for bit, which is the whole point: unlike
+    the MinHash/SimHash tiers this tier has NO false negatives.
+
+    Plan: (1) one token-keyed shuffle counts each shingle-hash's
+    document frequency; (2) a per-doc window orders tokens by
+    (df ASC, hash ASC) — a GLOBAL total order, rarest first — and keeps
+    only each doc's first n - ceil(tau*n) + 1 tokens (~30% at tau=0.7);
+    (3) the candidate self-join runs on that prefix-token index, so a
+    corpus-wide boilerplate shingle (huge df) sorts LAST and never
+    generates a candidate — the selectivity the DF cap buys q_dedup_fuzzy,
+    here with zero recall loss; (4) candidates verify by one
+    `array_intersect` over the two full hashed-shingle arrays (JVM-side,
+    pairs only — the arrays are never self-joined).
+
+    100 TB posture: the index explodes ~0.3x of the corpus tokens, the
+    join key is an 8-byte hash, and the verify join moves full arrays
+    only for candidate pairs.  Skew is self-limiting: a token's fan-out
+    is bounded by how many docs hold it inside their prefix, and
+    high-df tokens are exactly the ones prefixes exclude."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    docsh = d.select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
+    ds = docsh.select(
+        "doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s")
+    )
+    # global document frequency per shingle hash — the token order key
+    wdf = Window.partitionBy("s")
+    wpos = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    prefix = (
+        ds.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("pos", F.row_number().over(wpos))
+        # prefix length n - ceil(tau*n) + 1; int arithmetic for ceil
+        .filter(
+            F.col("pos")
+            <= F.col("n") - F.ceil(F.col("n") * F.lit(PREFIX_TAU)) + F.lit(1)
+        )
+        .select("doc_id", "s")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = docsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = docsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sha", "shb")).alias("n_common"),
+            (F.size("sha") + F.size("shb")).alias("n_sum"),
+        )
+    )
+    jac = F.col("n_common") / (F.col("n_sum") - F.col("n_common"))
+    return verified.filter(jac >= PREFIX_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )

@@ -454,3 +454,164 @@ def q_mix_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s") > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain KL divergence — the mixing diagnostic that pairs with DSIR:
+# how far is each source's token distribution from the corpus mix?
+# ---------------------------------------------------------------------------
+
+_KL_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT AS BIGINT)
+                   % {_DSIR_B} AS b
+        FROM (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+              FROM documents)
+    ),
+    grid AS (
+        SELECT source, g.b
+        FROM (SELECT DISTINCT source FROM documents)
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_DSIR_B - 1})) AS b) g
+    ),
+    dom_cnt AS (SELECT source, b, COUNT(*) AS cd FROM tok GROUP BY 1, 2),
+    cor_cnt AS (SELECT b, COUNT(*) AS cc FROM tok GROUP BY 1),
+    tot AS (
+        SELECT source, SUM(cd) AS nd FROM dom_cnt GROUP BY source
+    ),
+    ntot AS (SELECT COUNT(*) AS nc FROM tok),
+    terms AS (
+        SELECT grid.source,
+               COALESCE(cd, 0) + 1 AS cd1,
+               CAST(ROUND((LN(COALESCE(cd, 0) + 1) - LN(nd + {_DSIR_B})
+                           - LN(COALESCE(cc, 0) + 1) + LN(nc + {_DSIR_B}))
+                          * 1000000.0) AS BIGINT) AS q,
+               nd
+        FROM grid
+        LEFT JOIN dom_cnt ON grid.source = dom_cnt.source AND grid.b = dom_cnt.b
+        LEFT JOIN cor_cnt ON grid.b = cor_cnt.b
+        JOIN tot ON grid.source = tot.source
+        CROSS JOIN ntot
+    )
+    SELECT source,
+           CAST(MAX(nd) AS BIGINT) AS n_tokens,
+           CAST(SUM(cd1 * q) AS DOUBLE)
+               / (1000000.0 * (MAX(nd) + {_DSIR_B})) AS kl_nats
+    FROM terms GROUP BY source
+"""
+
+
+@query("q_domain_kl", _KL_ORACLE)
+def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(P_source || P_corpus) in nats per source, over the same
+    _DSIR_B md5-hashed unigram buckets as q_mix_dsir, add-one smoothed
+    on BOTH sides and summed over the full bucket grid (smoothing makes
+    every bucket carry mass, so absent buckets still contribute).  The
+    domain-shift diagnostic a mixing pipeline reads before setting
+    weights: a source with high KL is distributionally far from the
+    current mix.
+
+    Determinism: per-bucket log-ratio q_b quantizes to a 6 dp integer;
+    KL * (n_d + B) * 1e6 = SUM (c_db + 1) * q_b is an exact integer sum
+    (one product per bucket, both factors integers), and the scale-back
+    is one division — no float crosses an aggregation boundary.
+
+    Scale shape: one token pass -> (source, bucket) partial-aggregated
+    counts (the corpus counts roll up FROM the domain counts, not from
+    a second scan); everything after the first groupBy is
+    #sources x _DSIR_B rows.  The bucket grid is generated, not
+    shuffled."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _DSIR_B
+        ).alias("b"),
+    )
+    dom = tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cd"))
+    cor = dom.groupBy("b").agg(F.sum("cd").alias("cc"))
+    tot = dom.groupBy("source").agg(F.sum("cd").alias("nd"))
+    nc = dom.agg(F.sum("cd").alias("nc"))
+    grid = (
+        d.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(_DSIR_B - 1))).alias("b"))
+    )
+    cd1 = F.coalesce(F.col("cd"), F.lit(0)) + 1
+    cc0 = F.coalesce(F.col("cc"), F.lit(0))
+    q = (
+        F.round(
+            (
+                F.log(cd1)
+                - F.log(F.col("nd") + _DSIR_B)
+                - F.log(cc0 + 1)
+                + F.log(F.col("nc") + _DSIR_B)
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("q")
+    )
+    terms = (
+        grid.join(dom, ["source", "b"], "left")
+        .join(F.broadcast(cor), "b", "left")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(nc))
+        .select("source", cd1.alias("cd1"), q, "nd")
+    )
+    return terms.groupBy("source").agg(
+        F.max("nd").cast("long").alias("n_tokens"),
+        (
+            F.sum(F.col("cd1") * F.col("q")).cast("double")
+            / (1_000_000.0 * (F.max("nd") + _DSIR_B))
+        ).alias("kl_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-stratum reservoir — fixed k PER GROUP, deterministic
+# ---------------------------------------------------------------------------
+
+_RESERVOIR_K = 20
+
+_RESERVOIR_ORACLE = f"""
+    SELECT c_mktsegment, c_custkey, c_acctbal
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY MD5(CAST(c_custkey AS VARCHAR)), c_custkey
+               ) AS r
+        FROM customer
+    ) WHERE r <= {_RESERVOIR_K}
+"""
+
+
+@query("q_sample_reservoir", _RESERVOIR_ORACLE)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum reservoir sample: within each market
+    segment keep the _RESERVOIR_K customers with the smallest content-keyed
+    hash priority — the distributed, rerun-stable equivalent of
+    per-group reservoir sampling (Vitter's Algorithm R's guarantee,
+    uniform k-subset per group, but with a DETERMINISTIC priority so
+    two runs — or two engines — draw the identical sample; md5 keys
+    the draw to row identity, never to partition layout).
+
+    Scale shape: rank-k per group is one hash-partitioned window sort
+    per stratum; at 100 TB with a hot stratum, swap row_number for the
+    two-phase per-partition top-k (each partition keeps its local k
+    smallest priorities, then one final k-merge — q_topk's pattern),
+    which bounds every task at k rows.  Priorities mean the reservoir
+    is also MERGEABLE across corpus deltas: the union's k smallest
+    hashes = re-running on the union."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= _RESERVOIR_K)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )

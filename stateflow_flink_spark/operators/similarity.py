@@ -27,6 +27,7 @@ on both sides before any compare or rank.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 import pandas as pd
@@ -1391,3 +1392,94 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mem.groupBy("cluster").applyInPandas(
         _semantic_flag_cluster, "vec_id long, cluster long, is_dup boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# NDCG@10 — the ranking-quality eval for the ANN pipeline (recall says
+# WHETHER the right vectors came back; NDCG says whether they came back
+# in the right ORDER, position-discounted)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+# position discounts round(1e6 / log2(i+1)) precomputed HERE and inlined
+# as literals in both engines — no libm log2 runs inside either query,
+# so there is no cross-engine transcendental to drift
+_NDCG_DISC = [round(1_000_000 / math.log2(i + 1)) for i in range(1, _NDCG_K + 1)]
+# ideal DCG: the exact top-10 in exact order, graded rel = 11-rank
+_NDCG_IDCG = sum((_NDCG_K - i + 1) * d for i, d in enumerate(_NDCG_DISC, start=1))
+
+
+def _ndcg_oracle() -> str:
+    from ..plans.registry import ORACLE
+
+    disc_rows = ", ".join(f"({i}, {d})" for i, d in enumerate(_NDCG_DISC, start=1))
+    return f"""
+    WITH ann AS ({ORACLE["q_sim_ann_lsh"]}),
+    exact AS ({ORACLE["q_sim_cosine"]}),
+    ann_r AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS i
+        FROM ann
+    ),
+    ex_r AS (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, vec_id) AS j
+        FROM exact
+    ),
+    disc(i, d) AS (VALUES {disc_rows}),
+    terms AS (
+        SELECT ann_r.i, ex_r.j,
+               CASE WHEN ex_r.j IS NULL THEN 0
+                    ELSE ({_NDCG_K} + 1 - ex_r.j) * d END AS t
+        FROM ann_r LEFT JOIN ex_r USING (vec_id) JOIN disc USING (i)
+    )
+    SELECT CAST(COUNT(j) AS BIGINT) AS n_overlap,
+           CAST(SUM(t) AS DOUBLE) / 1000000.0 AS dcg,
+           CAST(SUM(t) AS DOUBLE) / {_NDCG_IDCG} AS ndcg
+    FROM terms
+    """
+
+
+@query("q_eval_ndcg", None)  # oracle attached below (needs both parts registered)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the LSH-ANN ranking (q_sim_ann_lsh) against the exact
+    brute-force ranking (q_sim_cosine) as ideal: graded relevance
+    rel(v) = 11 - exact_rank(v) for vectors in the exact top-10, else 0,
+    discounted by 1/log2(rank+1).  Both rankings are registered queries
+    reused wholesale — prediction semantics defined once, the
+    q_knn_eval composition discipline.
+
+    Integer-exact: the discount table is precomputed in Python and
+    inlined as literals in BOTH engines (no runtime log2), each term is
+    an integer product rel * disc, and the final DCG / IDCG are single
+    divisions of exact integer sums.
+
+    Scale shape: everything downstream of the two component queries is
+    10 rows; the cost IS the components, whose plans are audited at
+    their own registrations."""
+    from ..plans.registry import QUERIES
+
+    ann = QUERIES["q_sim_ann_lsh"](spark, sf_dir)
+    exact = QUERIES["q_sim_cosine"](spark, sf_dir)
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    ann_r = ann.select("vec_id", "cos_sim").withColumn("i", F.row_number().over(w))
+    ex_r = exact.select("vec_id", "cos_sim").withColumn("j", F.row_number().over(w))
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    terms = (
+        ann_r.drop("cos_sim")
+        .join(ex_r.drop("cos_sim"), "vec_id", "left")
+        .select(
+            "j",
+            F.when(F.col("j").isNull(), F.lit(0))
+            .otherwise(
+                (F.lit(_NDCG_K + 1) - F.col("j")) * F.element_at(disc, F.col("i"))
+            )
+            .alias("t"),
+        )
+    )
+    return terms.agg(
+        F.count("j").alias("n_overlap"),
+        (F.sum("t").cast("double") / 1_000_000.0).alias("dcg"),
+        (F.sum("t").cast("double") / F.lit(float(_NDCG_IDCG))).alias("ndcg"),
+    )
+
+
+_attach_oracle("q_eval_ndcg", _ndcg_oracle())

@@ -552,3 +552,58 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Text normalization — the canonical-form pass run BEFORE exact dedup
+# (C4/RefinedWeb normalize case/whitespace/punctuation so trivially
+# different bytes dedup together)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_normalize",
+    r"""
+    WITH norm AS (
+        SELECT doc_id,
+               TRIM(REGEXP_REPLACE(
+                   REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g')) AS ntext
+        FROM documents
+    )
+    SELECT doc_id, MD5(ntext) AS norm_digest,
+           LENGTH(ntext) AS n_chars_norm,
+           CAST(COUNT(*) OVER (PARTITION BY MD5(ntext)) AS BIGINT)
+               AS n_norm_copies
+    FROM norm
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize text (lowercase, strip non-alphanumerics, collapse
+    runs of spaces, trim) and expose the normalized digest plus how
+    many documents share it — the normalization layer under exact
+    dedup: q_dedup_exact groups RAW bytes, this groups the canonical
+    form, so casing/punctuation near-copies that raw hashing misses
+    fold together.
+
+    All JVM-side string expressions (lower/regexp_replace/trim/md5) —
+    normalization never leaves codegen.  The copy count is one window
+    over the 32-byte digest (never the text); at 100 TB that window
+    becomes the same hash-groupBy + join-back as q_dedup_exact, and the
+    full normalized text is never shuffled — only its digest."""
+    d = load(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select("doc_id", ntext.alias("ntext"))
+    w = Window.partitionBy(F.md5("ntext"))
+    return norm.select(
+        "doc_id",
+        F.md5("ntext").alias("norm_digest"),
+        F.length("ntext").alias("n_chars_norm"),
+        F.count(F.lit(1)).over(w).alias("n_norm_copies"),
+    )

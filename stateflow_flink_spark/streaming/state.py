@@ -751,3 +751,117 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_r") == 1)
         .drop("_r")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming prefix z-score anomaly — per-event flags from keyed
+# sufficient statistics (ref R9: per-key fold, emit per event)
+# ---------------------------------------------------------------------------
+
+_ANOM_MIN_N = 8  # no flagging until this many prior observations
+_ANOM_Z2 = 9  # |z| > 3
+
+_ANOM_STREAM_ORACLE = f"""
+    WITH xs AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+               CAST(CAST(value * 1000000 AS DECIMAL(38,0)) AS HUGEINT) AS x
+        FROM events
+    ),
+    pre AS (
+        SELECT user_id, event_id, x,
+               COUNT(x) OVER w AS n_prior,
+               COALESCE(SUM(x) OVER w, 0) AS s,
+               COALESCE(SUM(x * x) OVER w, 0) AS ssq
+        FROM xs
+        WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(n_prior AS BIGINT) AS n_prior,
+           n_prior >= {_ANOM_MIN_N}
+               AND (n_prior * x - s) * (n_prior * x - s)
+                   > {_ANOM_Z2} * (n_prior * ssq - s * s) AS is_anomaly
+    FROM pre
+"""
+
+
+def apply_anomaly_stream(events: DataFrame) -> DataFrame:
+    """Per-key streaming z-score anomaly flags: ValueState holds the
+    THREE sufficient statistics (n, sum, sum-of-squares) of all prior
+    values — O(1) state per key forever, the bounded-state property
+    that makes per-event anomaly scoring streamable (a replayed-window
+    z-score would hold the history).
+
+    Each event is flagged against the statistics of STRICTLY EARLIER
+    events of its key ((ts, event_id) order — within a batch by
+    explicit sort, across batches because arrival order is event order,
+    the dedup_stream seniority contract), then folded in.  Flags are
+    final on emission (prefix stats never change retroactively), so
+    Append mode needs no latest-pick.
+
+    Integer-exact across engines: values scale by 1e6 through the
+    shared Decimal(repr(x)) HALF_UP recipe, the flag inequality
+    (n*x - s)^2 > Z2 * (n*ssq - s^2) is pure integer arithmetic —
+    Python ints are unbounded, the oracle computes in HUGEINT — so no
+    sqrt, no division, no float ever enters the comparison."""
+    import pickle
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n, s, ssq = pickle.loads(state.get[0]) if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "event_id"], ignore_index=True
+        )
+        out_e, out_n, out_f = [], [], []
+        for row in pdf.itertuples():
+            x = int(
+                Decimal(repr(float(row.value) * 1_000_000)).to_integral_value(
+                    rounding=ROUND_HALF_UP
+                )
+            )
+            flag = n >= _ANOM_MIN_N and (n * x - s) ** 2 > _ANOM_Z2 * (
+                n * ssq - s * s
+            )
+            out_e.append(int(row.event_id))
+            out_n.append(n)
+            out_f.append(bool(flag))
+            n, s, ssq = n + 1, s + x, ssq + x * x
+        state.update((pickle.dumps((n, s, ssq)),))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_e),
+                "event_id": out_e,
+                "n_prior": out_n,
+                "is_anomaly": out_f,
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold_group,
+        outputStructType="user_id long, event_id long, n_prior long, is_anomaly boolean",
+        stateStructType="blob binary",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query("q_stream_anomaly", _ANOM_STREAM_ORACLE)
+def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-event anomaly flags: each event z-scored against
+    its user's PRIOR history via O(1) keyed sufficient statistics (see
+    apply_anomaly_stream); the oracle is the batch prefix-window
+    formulation — every emitted flag must match it exactly."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    result = apply_anomaly_stream(
+        events.select("user_id", "ts", "event_id", "value")
+    )
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_stream_anomaly")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_stream_anomaly")
