@@ -24,10 +24,11 @@ the parent keys, the shape that stays shuffle-bounded at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
+from ..numerics import exact_sum, sql_sum
 from ..plans.registry import query
 
 _WEEK = 7 * 24 * 3600
@@ -283,4 +284,248 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "clipped"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel depth — ClickHouse's windowFunnel, warehouse-style
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+_FUNNEL_ORACLE = """
+    WITH t1 AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts1
+        FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.ts1
+        GROUP BY e.user_id
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.ts2
+        GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.ts1,
+           CAST(CASE WHEN ts3 IS NOT NULL THEN 3
+                     WHEN ts2 IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS funnel_depth
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""
+
+
+@query("q_window_funnel", _FUNNEL_ORACLE)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel depth per user (ClickHouse `windowFunnel`
+    semantics, unbounded window): how far through
+    signup -> click -> purchase did each signed-up user get, where each
+    step must occur STRICTLY AFTER the earliest completion of the
+    previous step?  Earliest-completion anchoring makes the answer
+    deterministic and order-free (no "first matching path" ambiguity) —
+    MIN timestamps are total-order picks.
+
+    Scale shape: one step = one filtered partial aggregate keyed by
+    user_id plus one user-keyed join — all three joins reuse the SAME
+    hash partitioning (Catalyst plans one exchange per side, and the
+    step frames are strictly shrinking: only users who reached step
+    k-1 are scanned for step k).  No windows, no sorts, no per-user
+    event arrays — at 100 TB the funnel is 3 shuffle-bounded passes,
+    not a collect_list of each user's history."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        e.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "ts1",
+            F.when(F.col("ts3").isNotNull(), 3)
+            .when(F.col("ts2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("funnel_depth"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap — pairwise distinct-user intersection across segments
+# ---------------------------------------------------------------------------
+
+_OVERLAP_ORACLE = """
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_users
+    FROM ut a JOIN ut b
+      ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY 1, 2
+"""
+
+
+@query("q_audience_overlap", _OVERLAP_ORACLE)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap: for every unordered pair of event
+    types, how many distinct users did both — the segment-intersection
+    matrix behind every "users who X also Y" dashboard.
+
+    Plan: dedupe to (user, type) pairs FIRST (one user-keyed partial-
+    aggregated distinct — at most #types rows survive per user), then
+    self-join within user.  The join's per-key fan-out is bounded by
+    #types² (a constant), never by the user's raw event count — the
+    property that keeps this linear at 100 TB.  At very large type
+    cardinalities the exact join gives way to one HLL register set per
+    type and inclusion-exclusion (q_sketch_hll_partitioned's merge
+    machinery)."""
+    e = load(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands — longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+_STREAK_ORACLE = """
+    WITH days AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT) AS d
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, d,
+               d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                   AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           MAX(len) AS max_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM runs GROUP BY user_id
+"""
+
+
+@query("q_streaks", _STREAK_ORACLE)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak (and streak count) per
+    user — the canonical gaps-and-islands: distinct active days, then
+    `day - row_number()` is constant within a consecutive run (each
+    gap shifts it), so grouping by that difference labels islands with
+    zero joins and zero iteration.
+
+    Days are epoch floor-division (integer exact, the grid discipline).
+    Scale shape: one user-keyed distinct (partial-aggregated), one
+    window sort over the same partitioning (Catalyst reuses the
+    exchange), two shrinking aggregates.  Per-user state is active
+    DAYS, not raw events — bounded by the calendar, not the volume."""
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("long").alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("island")
+    )
+    runs = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return runs.groupBy("user_id").agg(
+        F.max("len").alias("max_streak_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation — recency/frequency/monetary quartile codes
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = f"""
+    WITH base AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               {sql_sum("o_totalprice")} AS monetary
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT custkey, last_order, frequency, monetary,
+           CAST(NTILE(4) OVER (ORDER BY last_order DESC, custkey) AS BIGINT)
+               AS r_quartile,
+           CAST(NTILE(4) OVER (ORDER BY frequency DESC, custkey) AS BIGINT)
+               AS f_quartile,
+           CAST(NTILE(4) OVER (ORDER BY monetary DESC, custkey) AS BIGINT)
+               AS m_quartile
+    FROM base
+"""
+
+
+@query("q_rfm_segmentation", _RFM_ORACLE)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the warehouse-marketing staple:
+    per customer, recency (last order date), frequency (order count),
+    monetary (lifetime spend, integer-exact via the numerics recipe),
+    each scored into quartiles (1 = best).  Tie-break on custkey makes
+    every NTILE assignment total-order deterministic across engines.
+
+    Scale shape: one partial-aggregated groupBy collapses orders to one
+    row per customer BEFORE any window; the three NTILEs then rank the
+    #customers frame.  Global NTILE is a single-partition sort of the
+    aggregate (fine at dimension cardinality); at 100 TB customers,
+    swap to approx-percentile quartile BOUNDS + a broadcast CASE — same
+    output contract, no global sort."""
+    o = load(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        exact_sum("o_totalprice").alias("monetary"),
+    )
+    wr = Window.orderBy(F.desc("last_order"), F.asc("custkey"))
+    wf = Window.orderBy(F.desc("frequency"), F.asc("custkey"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("custkey"))
+    return base.select(
+        "custkey",
+        "last_order",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).cast("long").alias("r_quartile"),
+        F.ntile(4).over(wf).cast("long").alias("f_quartile"),
+        F.ntile(4).over(wm).cast("long").alias("m_quartile"),
     )

@@ -163,3 +163,68 @@ def q_scd2_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(hist).alias("version"),
         F.lead("ts").over(hist).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (temporal) join — enrich facts against SCD2 intervals
+# ---------------------------------------------------------------------------
+
+_PIT_ORACLE = f"""
+    WITH dim AS ({_SCD2_ORACLE}),
+    facts AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.event_type AS state_type, d.version,
+           d.valid_from
+    FROM facts f
+    JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from AND f.ts < d.valid_to
+"""
+
+
+@query("q_join_temporal", _PIT_ORACLE)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — THE feature-store join: each purchase
+    fact picks up the SCD2 dimension version active at its timestamp
+    (valid_from <= ts < valid_to, half-open so version handoffs never
+    double-match).  The dimension is q_scd2_track's output reused
+    wholesale (Spark plan and oracle CTE alike — version semantics
+    defined once, the q_knn_eval composition discipline).
+
+    This differs from q_join_asof (nearest earlier row) in contract:
+    the interval join is EXACT against versioned validity — a fact
+    before the first version matches nothing, a fact during a
+    zero-width clamped interval matches nothing, and is_current never
+    leaks future state into past facts.
+
+    Scale shape: an equi-join on user_id with the interval predicate as
+    a post-join filter — Catalyst plans one hash-partitioned join where
+    the per-key fan-out is versions-per-user (small by construction:
+    versions only exist at change points).  No range-bin machinery
+    needed because the equality key already co-locates; contrast
+    q_join_range, where there is no equi key and binning IS the plan."""
+    from ..plans.registry import QUERIES
+
+    dim = QUERIES["q_scd2_track"](spark, sf_dir)
+    facts = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "value")
+    )
+    return (
+        facts.join(
+            dim.select(
+                "user_id",
+                F.col("event_type").alias("state_type"),
+                "version",
+                "valid_from",
+                "valid_to",
+            ),
+            ["user_id"],
+        )
+        .filter((F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to")))
+        .select("event_id", "user_id", "ts", "state_type", "version", "valid_from")
+    )

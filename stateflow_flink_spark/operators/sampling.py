@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..plans.registry import query
+from ..session import pin
 
 # md5-derived uniform bucket in [0, 10000): both engines hash the same
 # UTF-8 doc_id string and read the same 8 hex digits.
@@ -530,7 +531,10 @@ def q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _DSIR_B
         ).alias("b"),
     )
-    dom = tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cd"))
+    # dom is reused four ways (join side, corpus rollup, domain totals,
+    # grand total) — pin the #sources x B aggregate so the corpus is
+    # scanned ONCE, not once per consumer (lineage re-execution)
+    dom = pin(tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cd")))
     cor = dom.groupBy("b").agg(F.sum("cd").alias("cc"))
     tot = dom.groupBy("source").agg(F.sum("cd").alias("nd"))
     nc = dom.agg(F.sum("cd").alias("nc"))
@@ -614,4 +618,57 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("r", F.row_number().over(w))
         .filter(F.col("r") <= _RESERVOIR_K)
         .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsample — equalize label counts to the minority
+# ---------------------------------------------------------------------------
+
+_BALANCED_ORACLE = """
+    WITH kmin AS (
+        SELECT MIN(cnt) AS k FROM (
+            SELECT COUNT(*) AS cnt FROM embeddings GROUP BY label
+        )
+    )
+    SELECT vec_id, label
+    FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY label
+                   ORDER BY MD5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS r
+        FROM embeddings
+    ), kmin
+    WHERE r <= k
+"""
+
+
+@query("q_sample_balanced", _BALANCED_ORACLE)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample: undersample every label to the
+    MINORITY class's count — the standard prep before training on a
+    skewed label column, rerun-stable because the per-class draw is the
+    k smallest content-keyed hashes (the q_sample_reservoir discipline:
+    deterministic, engine-agnostic, mergeable across deltas).
+
+    The cut size k is data-derived (one tiny label-count aggregate,
+    broadcast back) rather than configured, so the query stays balanced
+    as the corpus drifts.  Scale shape: one label-keyed count, one
+    label-partitioned window rank, one broadcast scalar join — the
+    window is the cost, and at 100 TB a hot label swaps to the
+    two-phase per-partition top-k exactly as q_sample_reservoir
+    documents."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    kmin = e.groupBy("label").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.min("cnt").alias("k")
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        e.withColumn("r", F.row_number().over(w))
+        .crossJoin(F.broadcast(kmin))
+        .filter(F.col("r") <= F.col("k"))
+        .select("vec_id", "label")
     )

@@ -1483,3 +1483,140 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _attach_oracle("q_eval_ndcg", _ndcg_oracle())
+
+
+# ---------------------------------------------------------------------------
+# Label-noise audit — kNN disagreement (the confident-learning signal)
+# ---------------------------------------------------------------------------
+
+_LN_K = 5
+
+_LABEL_NOISE_ORACLE = f"""
+    WITH s AS (
+        SELECT a.vec_id AS q, a.label AS ql, b.vec_id AS n, b.label AS nl,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT q, ql, nl,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+        FROM s
+    ),
+    top AS (SELECT q, ql, nl FROM r WHERE rk <= {_LN_K}),
+    cnt AS (SELECT q, ql, nl, COUNT(*) AS m FROM top GROUP BY 1, 2, 3),
+    maj AS (
+        SELECT q, ql,
+               MAX(m * 1024 + (1023 - nl)) AS pk,
+               COALESCE(SUM(CASE WHEN nl = ql THEN m END), 0) AS n_agree
+        FROM cnt GROUP BY 1, 2
+    )
+    SELECT q AS vec_id, ql AS label,
+           CAST(1023 - pk % 1024 AS INT) AS knn_label,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           1023 - pk % 1024 <> ql AS is_suspect
+    FROM maj
+"""
+
+
+def _knn_block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-query partial top-K within ONE block pair: each query-side
+    row emits its K best candidates from the other side (both
+    directions when the blocks differ; self excluded within a block).
+    Same float discipline as _gemm_block_pairs (float64 dots, 6 dp
+    rounding before any ordering)."""
+    pa, pb = int(pdf["pa"].iat[0]), int(pdf["pb"].iat[0])
+    sides = [(pa, pb)] if pa == pb else [(pa, pb), (pb, pa)]
+    out = []
+    for qb, cb in sides:
+        qs = pdf[pdf["blk"] == qb]
+        cs = pdf[pdf["blk"] == cb]
+        mq = np.stack(qs["embedding"].to_numpy()).astype(np.float64)
+        mc = np.stack(cs["embedding"].to_numpy()).astype(np.float64)
+        c = np.round(
+            (mq @ mc.T)
+            / np.outer(np.linalg.norm(mq, axis=1), np.linalg.norm(mc, axis=1)),
+            6,
+        )
+        qi = qs["vec_id"].to_numpy()
+        ql = qs["label"].to_numpy()
+        ci = cs["vec_id"].to_numpy()
+        cl = cs["label"].to_numpy()
+        if qb == cb:
+            np.fill_diagonal(c, -np.inf)
+        k = min(_LN_K, c.shape[1] - (1 if qb == cb else 0))
+        # top-k by (cos DESC, nbr_id ASC): lexsort on (-cos, id) keys
+        for row in range(c.shape[0]):
+            order = np.lexsort((ci, -c[row]))[:k]
+            for j in order:
+                out.append((qi[row], ql[row], int(ci[j]), int(cl[j]), c[row, j]))
+    return pd.DataFrame(
+        out, columns=["vec_id", "label", "nbr_id", "nbr_label", "cos_sim"]
+    )
+
+
+@query("q_label_noise", _LABEL_NOISE_ORACLE)
+def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit by kNN disagreement (the signal behind
+    confident learning, Northcutt et al. JAIR 2021): for every vector,
+    the majority label among its 5 exact nearest neighbors (cosine) —
+    a vector whose neighbors outvote its own label is a mislabeling
+    suspect, the per-example data-quality flag every labeled-corpus
+    pipeline wants before training.
+
+    Plan: the q_dedup_embedding block-GEMM grid, but each block-pair
+    group emits only each query's PARTIAL top-5 from that group
+    (K rows per query per block, not the n^2/B^2 pair matrix), then one
+    window merge of the B partial lists yields the global top-5 —
+    two-phase top-k applied to kNN, so the full pair matrix never hits
+    a shuffle.  Majority + tie-break (most votes, then smallest label)
+    is a packed-integer MAX, the PQ argmin recipe.
+
+    At 100 TB the partial-top-k stage swaps its exact GEMM input for
+    the IVF/LSH candidate streams (q_sim_ann_*) unchanged — the merge
+    and vote stages are candidate-source-agnostic."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    tagged = e.withColumn("blk", (F.col("vec_id") % EMB_BLOCKS).cast("int"))
+    rep = tagged.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("blk"), F.lit(j)).alias("pa"),
+                        F.greatest(F.col("blk"), F.lit(j)).alias("pb"),
+                    )
+                    for j in range(EMB_BLOCKS)
+                ]
+            )
+        ).alias("pk"),
+    ).select("vec_id", "label", "embedding", "blk", "pk.pa", "pk.pb")
+    partial = rep.groupBy("pa", "pb").applyInPandas(
+        _knn_block_topk,
+        "vec_id long, label int, nbr_id long, nbr_label int, cos_sim double",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    top = partial.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _LN_K
+    )
+    cnt = top.groupBy("vec_id", "label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    maj = cnt.groupBy("vec_id", "label").agg(
+        F.max(F.col("m") * 1024 + (F.lit(1023) - F.col("nbr_label"))).alias("pk"),
+        F.coalesce(
+            F.sum(F.when(F.col("nbr_label") == F.col("label"), F.col("m"))),
+            F.lit(0),
+        ).alias("n_agree"),
+    )
+    knn_label = (F.lit(1023) - F.col("pk") % 1024).cast("int")
+    return maj.select(
+        "vec_id",
+        "label",
+        knn_label.alias("knn_label"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        (knn_label != F.col("label")).alias("is_suspect"),
+    )

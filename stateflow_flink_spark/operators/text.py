@@ -607,3 +607,74 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("ntext").alias("n_chars_norm"),
         F.count(F.lit(1)).over(w).alias("n_norm_copies"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Span-corruption prep — T5-style denoising mask statistics
+# ---------------------------------------------------------------------------
+
+_SPAN_RATE = 150  # per-mille mask probability (T5 uses 15%)
+
+_SPAN_ORACLE = f"""
+    WITH base AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_FILTER(RANGE(1, n + 1), p ->
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(p AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 1000
+                   < {_SPAN_RATE})) AS BIGINT) AS n_masked,
+           CAST(LEN(LIST_FILTER(RANGE(1, n + 1), p ->
+               CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(p AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 1000
+                   < {_SPAN_RATE}
+               AND (p = 1 OR NOT
+                   CAST(('0x' || SUBSTRING(MD5(CAST(doc_id AS VARCHAR) || ':' ||
+                       CAST(p - 1 AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 1000
+                       < {_SPAN_RATE}))) AS BIGINT) AS n_spans
+    FROM base
+"""
+
+
+@query("q_span_corruption", _SPAN_ORACLE)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption statistics for T5-style denoising (Raffel et al.
+    JMLR 2020 §3.1.4): per document, how many token positions the
+    deterministic 15% mask selects and how many contiguous SPANS they
+    form (each span becomes one sentinel in the corrupted input, so
+    n_spans sizes the target sequence).
+
+    The mask is content-keyed — md5(doc_id:pos) per position, the
+    q_split_hash discipline — so corpus growth never re-masks existing
+    documents, and both engines draw identical masks.  Span starts are
+    counted WITHOUT a window or explode: a masked position opens a span
+    iff it is position 1 or its predecessor is unmasked, a pure
+    higher-order array filter — the whole query is a projection that
+    rides the scan (zero shuffles, zero Python).
+
+    At 100 TB the same expressions emit the actual (input, target)
+    pair: replace size(filter(...)) with the transform that rewrites
+    masked runs to sentinel tokens — statistics and materialization
+    share the mask function."""
+    d = load(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+
+    def masked(p):
+        h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":"), p.cast("string")))
+        return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 1000) < _SPAN_RATE
+
+    seq = F.sequence(F.lit(1), n)
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.filter(seq, masked)).cast("long").alias("n_masked"),
+        F.size(
+            F.filter(
+                seq,
+                lambda p: masked(p) & ((p == 1) | ~masked(p - 1)),
+            )
+        )
+        .cast("long")
+        .alias("n_spans"),
+    )

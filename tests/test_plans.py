@@ -689,3 +689,36 @@ def test_join_lateral_decorrelates_to_ranked_join(spark):
     plan = plan_of(QUERIES["q_join_lateral"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_winsorize_broadcasts_bounds_not_facts(spark):
+    """The percentile-bounds side is #segments rows — it must broadcast
+    so the fact rows never shuffle for the join-back."""
+    plan = plan_of(QUERIES["q_winsorize"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_domain_kl_reads_corpus_once(spark):
+    """The corpus bucket counts roll up FROM the domain counts — one
+    documents scan total, not one per side of the smoothing ratio."""
+    plan = plan_of(QUERIES["q_domain_kl"](spark, SF_SMOKE))
+    assert plan.count("documents.parquet") <= 2  # token pass + source grid
+    # the (source, bucket) count partial-aggregates before its exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_dedup_prefix_has_no_cartesian(spark):
+    """The candidate generator is an equi-join on prefix tokens; the
+    verify is an equi-join on doc ids — a CartesianProduct would mean
+    the prefix filter degenerated to all-pairs."""
+    plan = plan_of(QUERIES["q_dedup_prefix"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_median_frame_is_bounded(spark):
+    """The trailing-median window must use a bounded ROWS frame (K-1
+    preceding), never an unbounded or range frame — per-row state is
+    O(K) by construction."""
+    plan = plan_of(QUERIES["q_rolling_median"](spark, SF_SMOKE))
+    assert "RowFrame, -4, currentrow" in plan
+    assert "unboundedpreceding" not in plan.lower()

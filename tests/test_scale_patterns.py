@@ -398,3 +398,89 @@ def test_pin_uses_reliable_checkpoint_when_dir_configured(spark, tmp_path):
     finally:
         spark.conf.unset(sess.CHECKPOINT_DIR_CONF)
         sess._ckpt_dir_applied = None
+
+
+# ---------------------------------------------------------------------------
+# prefix filtering: exact-complete — the candidate pruning must lose
+# NOTHING vs the all-pairs brute force
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_join_is_exact_complete(spark, tmp_path):
+    """q_dedup_prefix's whole contract is zero false negatives: on a
+    seeded corpus with planted high-overlap pairs, its output must
+    EQUAL the Python brute force over distinct 3-shingles (same tau,
+    same Jaccard definition) — pair for pair, not just count for
+    count.  The corpus draws from a 25-word vocab so incidental shingle
+    sharing is common (the regime where a buggy prefix length silently
+    drops pairs)."""
+    import os
+    import random
+
+    import pandas as pd
+
+    from stateflow_flink_spark.operators.dedup import PREFIX_TAU
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = {}
+    for d in range(60):
+        texts[d] = " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 20)))
+    # doc 1 long enough that a 1-token edit keeps J >= 0.7: an edit
+    # kills 3 of the ~n-2 shingles, so (s-3)/(s+3) >= 0.7 needs s >= 17
+    texts[1] = " ".join(rng.choice(vocab) for _ in range(30))
+    # planted near-dups: one exact copy, one single-token edit
+    texts[100] = texts[0]
+    toks = texts[1].split()
+    toks[len(toks) // 2] = "zz"
+    texts[101] = " ".join(toks)
+
+    sf_dir = str(tmp_path / "fixture")
+    os.makedirs(sf_dir)
+    pd.DataFrame(
+        [(d, t, "en", "test", len(t)) for d, t in texts.items()],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).to_parquet(f"{sf_dir}/documents.parquet", index=False)
+
+    def sh(t: str) -> set:
+        w = t.split()
+        if len(w) < 3:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    expected = set()
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sh(texts[a]), sh(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= PREFIX_TAU:
+                expected.add((a, b))
+    assert (0, 100) in expected and (1, 101) in expected  # plants are in range
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_prefix"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_reservoir_sample_is_mergeable_across_deltas(spark, tmp_path):
+    """The hash-priority reservoir's operational property: sampling the
+    UNION of two corpus deltas equals merging the two deltas' samples
+    and re-taking the k smallest priorities — so incremental ingest
+    never needs to resample history."""
+    import hashlib
+
+    rng_keys = list(range(200))
+    pri = {k: hashlib.md5(str(k).encode()).hexdigest() for k in rng_keys}
+    K = 20
+
+    def sample(keys: list[int]) -> set:
+        return set(sorted(keys, key=lambda k: (pri[k], k))[:K])
+
+    d1, d2 = rng_keys[:120], rng_keys[120:]
+    merged = sample(sorted(sample(d1) | sample(d2), key=lambda k: (pri[k], k)))
+    assert merged == sample(rng_keys)

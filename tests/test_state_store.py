@@ -313,3 +313,55 @@ def test_minhash_dedup_stream_state_survives_restart(spark, tmp_path):
     assert set(second.index) == {10, 11}, "run 2 must replay only new docs"
     assert second[10] == 1, "cross-run dup must be caught from restored state"
     assert pd.isna(second[11])
+
+
+def test_anomaly_stream_state_survives_restart(spark, tmp_path):
+    """Prefix z-score resume: run 1 folds ten calm events for user 1
+    into the (n, sum, sumsq) state; run 2 — a new availableNow pass
+    over the same checkpoint seeing only a new file — must flag the
+    outlier against the RESTORED statistics (n_prior = 10) and pass a
+    brand-new user's first event with n_prior = 0."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.state import apply_anomaly_stream
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> pd.DataFrame:
+        got: list = []
+        flags = apply_anomaly_stream(
+            _stream(spark, staged).select("user_id", "ts", "event_id", "value")
+        )
+        with stream_partitions(spark):
+            q = (
+                flags.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return pd.DataFrame(
+            got, columns=["user_id", "event_id", "n_prior", "is_anomaly"]
+        ).set_index("event_id")
+
+    # ten identical values: zero variance, nothing flaggable
+    _write_events(spark, staged, [_ev(i, uid=1, v=10.0) for i in range(10)])
+    first = run()
+    assert len(first) == 10 and not first["is_anomaly"].any()
+
+    # run 2: outlier for user 1 (history only in state) + fresh user 2
+    _write_events(
+        spark,
+        staged,
+        [
+            (dt.datetime(2024, 1, 1, 0, 5, 0), 100, 1, "click", 99.0),
+            (dt.datetime(2024, 1, 1, 0, 5, 1), 101, 2, "click", 99.0),
+        ],
+    )
+    second = run()
+    assert set(second.index) == {100, 101}, "run 2 must replay only new events"
+    assert second.loc[100, "n_prior"] == 10, "stats must come from restored state"
+    assert bool(second.loc[100, "is_anomaly"])
+    assert second.loc[101, "n_prior"] == 0 and not second.loc[101, "is_anomaly"]
