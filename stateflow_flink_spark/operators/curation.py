@@ -667,3 +667,184 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(_LM_SCALE)
         ).alias("lm_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations — the classic corpus-linguistics extraction
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 20
+
+_PMI_ORACLE = f"""
+    WITH bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LEN(t) - 1),
+                      i -> ARRAY_TO_STRING(t[i:i + 1], ' '))) AS g
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+        WHERE LEN(t) >= 2
+    ),
+    uni AS (
+        SELECT w, COUNT(*) AS c1
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    n1 AS (SELECT SUM(c1) AS t1 FROM uni),
+    big AS (SELECT g, COUNT(*) AS c12 FROM bg GROUP BY g
+            HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+    n2 AS (SELECT SUM(cnt) AS t2 FROM
+           (SELECT COUNT(*) AS cnt FROM bg GROUP BY g)),
+    scored AS (
+        SELECT big.g AS gram, c12,
+               CAST(ROUND((LN(c12) + 2 * LN(t1) - LN(t2)
+                           - LN(ua.c1) - LN(ub.c1)) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM big
+        JOIN uni ua ON ua.w = STRING_SPLIT(big.g, ' ')[1]
+        JOIN uni ub ON ub.w = STRING_SPLIT(big.g, ' ')[2]
+        CROSS JOIN n1 CROSS JOIN n2
+    )
+    SELECT gram, CAST(c12 AS BIGINT) AS n_pair,
+           CAST(q AS DOUBLE) / 1000000.0 AS pmi
+    FROM scored
+    ORDER BY q DESC, gram ASC
+    LIMIT {_PMI_TOPK}
+"""
+
+
+@query("q_pmi_collocations", _PMI_ORACLE)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} collocations by pointwise mutual information (Church &
+    Hanks, CL 1990): bigrams whose joint frequency beats the unigram
+    independence baseline, PMI = ln(p12 / (p1 p2)) with a minimum-count
+    floor (PMI without one just surfaces hapax pairs).
+
+    Determinism: the score quantizes to a 6 dp integer computed from
+    EXACT integer counts (the DSIR/KL recipe — one set of LNs per
+    engine, integer ordering key), so ranking and hash compare cannot
+    drift in the last ulp.  Top-k is ordered by the integer key with a
+    gram tie-break.
+
+    Scale shape: bigram and unigram counts are both partial-aggregated
+    explodes (one shuffle each, map-side combined); the scoring join
+    touches only bigrams ABOVE the count floor (a tiny fraction of the
+    gram vocabulary), against a broadcastable unigram table filtered by
+    the join itself.  Top-k is TakeOrderedAndProject."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    bg = d.filter(F.size(F.split("text", " ")) >= 2).select(
+        F.explode(grams_all(F.col("text"), 2)).alias("g")
+    )
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c12")).filter(
+        F.col("c12") >= _PMI_MIN_COUNT
+    )
+    t1 = uni.agg(F.sum("c1").alias("t1"))
+    t2 = bg.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).agg(
+        F.sum("cnt").alias("t2")
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("c1").alias("cb"))
+    scored = (
+        big.withColumn("wa", F.split("g", " ")[0])
+        .withColumn("wb", F.split("g", " ")[1])
+        .join(F.broadcast(ua), "wa")
+        .join(F.broadcast(ub), "wb")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            F.col("g").alias("gram"),
+            F.col("c12"),
+            F.round(
+                (
+                    F.log("c12")
+                    + 2 * F.log("t1")
+                    - F.log("t2")
+                    - F.log("ca")
+                    - F.log("cb")
+                )
+                * 1_000_000.0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("q"), F.asc("gram"))
+        .limit(_PMI_TOPK)
+        .select(
+            "gram",
+            F.col("c12").alias("n_pair"),
+            (F.col("q").cast("double") / 1_000_000.0).alias("pmi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns — schema profiling
+# ---------------------------------------------------------------------------
+
+_MI_ORACLE = """
+    WITH j AS (SELECT lang, source, COUNT(*) AS cxy FROM documents GROUP BY 1, 2),
+    mx AS (SELECT lang, SUM(cxy) AS cx FROM j GROUP BY lang),
+    my AS (SELECT source, SUM(cxy) AS cy FROM j GROUP BY source),
+    n AS (SELECT SUM(cxy) AS nn FROM j),
+    terms AS (
+        SELECT cxy,
+               CAST(ROUND((LN(cxy) + LN(nn) - LN(cx) - LN(cy)) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM j JOIN mx USING (lang) JOIN my USING (source) CROSS JOIN n
+    )
+    SELECT (SELECT CAST(nn AS BIGINT) FROM n) AS n_docs,
+           CAST(SUM(cxy * q) AS DOUBLE)
+               / (1000000.0 * (SELECT nn FROM n)) AS mi_nats
+    FROM terms
+"""
+
+
+@query("q_mi_columns", _MI_ORACLE)
+def q_mi_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) in nats — the dependence
+    screen a profiler runs between categorical columns (0 = independent
+    partitioning, high = one column predicts the other; the basis of
+    feature-relevance ranking and redundant-column detection).
+
+    I * N * 1e6 = SUM cxy * q over joint cells, q the 6 dp-quantized
+    log-ratio of exact integer counts (the KL/DSIR recipe) — the float
+    log never crosses the aggregation.
+
+    Scale shape: ONE (x, y)-keyed partial-aggregated count; both
+    marginals roll up FROM the joint (cells, not rows), so the corpus
+    is scanned once and everything downstream is |X| x |Y| cells."""
+    d = load(spark, sf_dir, "documents")
+    j = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("cxy"))
+    from ..session import pin as _pin
+
+    j = _pin(j)
+    mx = j.groupBy("lang").agg(F.sum("cxy").alias("cx"))
+    my = j.groupBy("source").agg(F.sum("cxy").alias("cy"))
+    n = j.agg(F.sum("cxy").alias("nn"))
+    terms = (
+        j.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "cxy",
+            "nn",
+            F.round(
+                (F.log("cxy") + F.log("nn") - F.log("cx") - F.log("cy")) * 1_000_000.0
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.agg(
+        F.max("nn").cast("long").alias("n_docs"),
+        (
+            F.sum(F.col("cxy") * F.col("q")).cast("double")
+            / (1_000_000.0 * F.max("nn"))
+        ).alias("mi_nats"),
+    )

@@ -479,3 +479,101 @@ def run_incremental_rollup(
         F.col("n_events").cast("long").alias("n_events"),
         (F.col("sum_scaled").cast("double") / 1_000_000).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_stream_left",
+    """
+    WITH wm AS (
+        SELECT MAKE_TIMESTAMP(LEAST(
+                     (SELECT EPOCH_US(MAX(CAST(ts AS TIMESTAMP)))
+                      FROM events WHERE event_type = 'click'),
+                     (SELECT EPOCH_US(MAX(CAST(ts AS TIMESTAMP)))
+                      FROM events WHERE event_type = 'purchase')
+                 ) // 1000 * 1000 - CAST(3600 AS BIGINT) * 1000000) AS w
+    ),
+    c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'click'),
+    p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          FROM events WHERE event_type = 'purchase'),
+    matched AS (
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+               EPOCH_US(p.ts) - EPOCH_US(c.ts) AS gap_us
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    ),
+    unmatched AS (
+        SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+               c.user_id, CAST(NULL AS BIGINT) AS gap_us
+        FROM c LEFT JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE, wm
+        WHERE p.event_id IS NULL
+          AND c.ts + INTERVAL 30 MINUTE < wm.w
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+)
+def q_stream_stream_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the capability the
+    inner join (q_stream_stream_join) cannot express: clicks that led
+    to NO purchase within 30 minutes surface as null-matched rows, but
+    only once the watermark PROVES no purchase can still arrive
+    (outer results are watermark-gated; inner matches emit as they
+    happen).
+
+    The oracle mirrors Structured Streaming's gating exactly, because
+    it is well-defined, not engine magic: the event-time watermark is
+    min over BOTH sides' max event time (multipleWatermarkPolicy=min),
+    minus the 1-hour delay, truncated to milliseconds (the engine
+    tracks watermarks in ms); an unmatched click is emitted iff its
+    join window [ts, ts+30min] closed strictly below that watermark.
+    Rows still inside the watermark horizon stay in state — exactly
+    what a resumed production stream would later emit, and exactly
+    what the oracle's final WHERE withholds.
+
+    Scale shape: identical to the inner join (both legs filter off ONE
+    source scan, state is watermark-evicted O(events/hour) per side);
+    the outer rows add no state — they ARE the evictions."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        (F.unix_micros(F.col("p_ts")) - F.unix_micros(F.col("c_ts"))).alias("gap_us"),
+    )
+    with stream_partitions(spark):
+        qy = (
+            joined.writeStream.format("memory")
+            .queryName("sfs_stream_stream_left")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_stream_stream_left")
