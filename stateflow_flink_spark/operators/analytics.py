@@ -529,3 +529,84 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).cast("long").alias("f_quartile"),
         F.ntile(4).over(wm).cast("long").alias("m_quartile"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution — marketing analytics' bread-and-butter join
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_DAYS = 7
+
+_ATTR_ORACLE = f"""
+    WITH touches AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, event_id, ts, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                          IGNORE NULLS) OVER w AS last_click_id,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                          IGNORE NULLS) OVER w AS last_click_ts
+        FROM touches
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL {_ATTR_WINDOW_DAYS} DAYS
+                THEN last_click_id END AS attributed_click_id,
+           CASE WHEN last_click_ts >= ts - INTERVAL {_ATTR_WINDOW_DAYS} DAYS
+                THEN EPOCH_US(ts) - EPOCH_US(last_click_ts) END AS gap_us
+    FROM carried WHERE event_type = 'purchase'
+"""
+
+
+@query("q_attribution_last_touch", _ATTR_ORACLE)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent click within a {D}-day lookback, NULL when
+    the journey had no qualifying touch — the default attribution model
+    every marketing warehouse ships first.
+
+    Spelled as LOCF, not a join: clicks and purchases interleave in ONE
+    user-keyed ordered window, the click id/ts carry forward
+    (`last(..., ignorenulls)` over rows-unbounded-preceding), and
+    purchase rows read the carried value — so there is no as-of join
+    fan-out, no interval-join state, and ties break on the unique
+    (ts, event_id) order identically in both engines.
+
+    Scale shape: one shuffle on user_id shared by the window; the
+    lookback is a post-filter on the carried timestamp (pure
+    projection).  Journey length per user is unbounded but the window
+    frame carries O(1) state (last click only) — this is the streaming
+    SCD2 shape run as a batch window."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts"),
+    )
+    in_window = F.col("last_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("last_click_id")).alias("attributed_click_id"),
+        F.when(
+            in_window,
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts")),
+        ).alias("gap_us"),
+    )

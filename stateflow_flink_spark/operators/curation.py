@@ -15,7 +15,7 @@ shuffle 8-byte hashes, never text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load, spread
@@ -847,4 +847,92 @@ def q_mi_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cxy") * F.col("q")).cast("double")
             / (1_000_000.0 * F.max("nn"))
         ).alias("mi_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF keyword extraction — per-document salient terms
+# ---------------------------------------------------------------------------
+
+_TFIDF_TOPK = 3
+
+_TFIDF_ORACLE = f"""
+    WITH tf AS (
+        SELECT doc_id, w AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * CAST(ROUND((LN(CAST(n_docs AS DOUBLE))
+                                   - LN(CAST(df AS DOUBLE))) * 1000000.0)
+                            AS BIGINT) AS score_q
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score_q,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_q DESC, term ASC) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+           CAST(score_q AS DOUBLE) / 1000000.0 AS tfidf
+    FROM ranked WHERE rk <= {_TFIDF_TOPK}
+"""
+
+
+@query("q_keyword_tfidf", _TFIDF_ORACLE)
+def q_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} keywords per document by TF-IDF (Sparck Jones 1972) —
+    the per-document salience extraction under tag suggestion, related-
+    document features, and boilerplate-vs-content triage; q_bm25 scores
+    a QUERY against docs, this distills each doc standalone.
+
+    Determinism: idf quantizes LN(N) - LN(df) to a 6 dp integer (exact
+    integer inputs, one LN pair per engine — the PMI recipe), the score
+    is tf * idf_q in bigint, and ranking orders by the integer with a
+    term tie-break, so top-k membership cannot drift in the last ulp.
+
+    Scale shape: tf is a (doc, term)-keyed partial-agg count; df rolls
+    up FROM tf (terms, not occurrences).  The df join-back keys on term
+    — a stopword's df row meets every doc that contains it, which is a
+    broadcast when the vocabulary fits (fixture) and an AQE-skew-split
+    shuffle join beyond; either way the per-doc top-k window partitions
+    by doc_id, bounded by document length, never by corpus size."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf_q = (
+        F.round(
+            (F.log(F.col("n_docs").cast("double"))
+             - F.log(F.col("df").cast("double"))) * 1_000_000.0
+        ).cast("long")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term", "tf", (F.col("tf") * idf_q).alias("score_q")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_q"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _TFIDF_TOPK)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("score_q").cast("double") / 1_000_000.0).alias("tfidf"),
+        )
     )

@@ -1027,3 +1027,80 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.filter(jac >= PREFIX_TAU).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Representative selection — dedup is a POLICY, not just a predicate
+# ---------------------------------------------------------------------------
+
+_KEEP_BEST_ORACLE = """
+    WITH norm AS (
+        SELECT doc_id, source, n_chars,
+               MD5(TRIM(REGEXP_REPLACE(
+                   REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                   ' +', ' ', 'g'))) AS dg
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, n_chars, dg,
+               ROW_NUMBER() OVER (
+                   PARTITION BY dg
+                   ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM norm
+    ),
+    stats AS (
+        SELECT dg, COUNT(*) AS n_copies,
+               COUNT(DISTINCT source) AS n_sources
+        FROM norm GROUP BY dg
+    )
+    SELECT r.doc_id AS keep_doc_id,
+           CAST(s.n_copies AS BIGINT) AS n_copies,
+           CAST(s.n_sources AS BIGINT) AS n_sources,
+           CAST(r.n_chars AS BIGINT) AS best_len
+    FROM ranked r JOIN stats s USING (dg)
+    WHERE r.rk = 1
+"""
+
+
+@query("q_dedup_keep_best", _KEEP_BEST_ORACLE)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization dedup with BEST-representative selection: fold
+    casing/punctuation variants onto one normalized digest (the
+    q_text_normalize canonical form), then keep the highest-quality
+    member of each duplicate group — longest raw text, doc_id as the
+    deterministic tie-break — instead of the arbitrary first-seen.
+
+    This is the policy layer real curation pipelines put on top of the
+    dedup predicate (C4 keeps one URL per content hash; RefinedWeb keeps
+    the longest variant): WHICH copy survives changes downstream token
+    counts, so the choice must be explicit and reproducible.
+
+    Scale shape: selection is `max_by` over a composite (n_chars,
+    -doc_id) ordering struct inside ONE hash aggregate keyed by the
+    32-byte digest — partial aggregation collapses every duplicate
+    group map-side (each partition contributes one candidate per
+    digest), so the boilerplate-megacluster key that would melt a
+    row_number window never ships its rows anywhere.  The normalized
+    text itself is never shuffled, only its digest.  Distinct-source
+    cardinality rides the same aggregate (exact count_distinct keeps
+    the group key partitioning; no extra shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    norm = d.select(
+        "doc_id", "source", "n_chars", F.md5(ntext).alias("dg")
+    )
+    best_key = F.struct(
+        F.col("n_chars").alias("a"), (-F.col("doc_id")).alias("b")
+    )
+    return norm.groupBy("dg").agg(
+        F.max_by(F.col("doc_id"), best_key).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct("source").alias("n_sources"),
+        F.max("n_chars").alias("best_len"),
+    ).select("keep_doc_id", "n_copies", "n_sources", "best_len")

@@ -211,3 +211,84 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.col_x", "r.col_y", "r.corr")
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-data screen
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) to 9 dp, computed OFFLINE and inlined as literals in
+# both engines (the q_eval_ndcg discount-table pattern) — no runtime
+# transcendental, so there is nothing to drift cross-engine.
+_BENFORD_FRAC = {
+    1: 0.301029996, 2: 0.176091259, 3: 0.124938737,
+    4: 0.096910013, 5: 0.079181246, 6: 0.06694679,
+    7: 0.057991947, 8: 0.051152522, 9: 0.045757491,
+}
+
+_BENFORD_CASE = " ".join(
+    # CAST pins the literal to DOUBLE (DuckDB would otherwise type it
+    # DECIMAL(10,9); same value after promotion, but explicit is safer)
+    f"WHEN {d} THEN CAST({f!r} AS DOUBLE)" for d, f in _BENFORD_FRAC.items()
+)
+
+_BENFORD_ORACLE = f"""
+    WITH digits AS (
+        SELECT CAST(SUBSTRING(CAST(
+                   CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT)
+               AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM events WHERE value > 0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n_obs FROM digits GROUP BY digit),
+    total AS (SELECT SUM(n_obs) AS n FROM counts)
+    SELECT digit, CAST(n_obs AS BIGINT) AS n_obs,
+           CAST(n AS DOUBLE) * (CASE digit {_BENFORD_CASE} END) AS expected,
+           (CAST(n_obs AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CASE digit {_BENFORD_CASE} END))
+           * (CAST(n_obs AS DOUBLE)
+              - CAST(n AS DOUBLE) * (CASE digit {_BENFORD_CASE} END))
+           / (CAST(n AS DOUBLE) * (CASE digit {_BENFORD_CASE} END))
+               AS chi2_term
+    FROM counts CROSS JOIN total
+"""
+
+
+@query("q_dq_benford", _BENFORD_ORACLE)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit of `value`: observed
+    counts per leading digit against N * log10(1 + 1/d), with the
+    per-digit chi-square contribution — the forensic-accounting /
+    data-fabrication screen a DQ suite runs on any organic magnitude
+    column.
+
+    The leading digit comes from the INTEGER cents (value is 2 dp, so
+    value*100 is exact) rendered as a string — leading-digit-of-cents =
+    leading-significant-digit-of-value because powers of ten do not
+    move the significant digit, and bigint->string is locale-free and
+    identical in both engines (float->string is NOT, which is why the
+    cast goes through the integer).  Expected fractions are offline
+    literals; the chi-square terms are per-row IEEE arithmetic on
+    identical (count, N, literal) inputs, hence bit-identical.
+
+    Scale shape: one map-side-combined groupBy on a 9-value key; the
+    grand total is a broadcast scalar.  The whole audit is one pass."""
+    e = load(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cents = (F.col("value") * 100).cast("decimal(38,0)").cast("bigint")
+    digits = e.select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    from ..session import pin
+
+    counts = pin(digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
+    total = counts.agg(F.sum("n_obs").alias("n"))
+    frac = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_FRAC.items() for x in kv]
+    )[F.col("digit")]
+    exp = F.col("n").cast("double") * frac
+    dev = F.col("n_obs").cast("double") - exp
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n_obs",
+        exp.alias("expected"),
+        (dev * dev / exp).alias("chi2_term"),
+    )

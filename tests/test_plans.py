@@ -722,3 +722,80 @@ def test_rolling_median_frame_is_bounded(spark):
     plan = plan_of(QUERIES["q_rolling_median"](spark, SF_SMOKE))
     assert "RowFrame, -4, currentrow" in plan
     assert "unboundedpreceding" not in plan.lower()
+
+
+def test_dedup_keep_best_is_single_agg_no_window(spark):
+    """Representative selection is max_by inside ONE digest-keyed hash
+    aggregate (partial+final), never a row_number window — a
+    boilerplate megacluster digest collapses map-side instead of
+    landing all its rows on one reducer.  Normalized text never
+    shuffles: the exchange key is the 32-byte md5."""
+    plan = plan_of(QUERIES["q_dedup_keep_best"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert "hashpartitioning(dg" in plan, plan
+    # max_by's struct buffer forces SortAggregate; what matters is the
+    # MAP-SIDE partial (partial_max_by before the exchange)
+    assert "partial_max_by" in plan, plan
+    # tree lines only ("Exchange (n)"): digest agg + count_distinct expand
+    assert plan.count("Exchange (") <= 2
+
+
+def test_timeseries_cusum_windows_rollup_not_raw_rows(spark):
+    """The CUSUM windows (running sum + running min) run over the
+    pre-aggregated O(types x days) daily frame — the raw event scan
+    collapses through a partial+final groupBy FIRST, and the per-type
+    target joins back via broadcast.  No Python, no cartesian, and the
+    sort feeding the window orders the tiny rollup, not raw events."""
+    plan = plan_of(QUERIES["q_timeseries_cusum"](spark, SF_SMOKE))
+    assert "Window" in plan  # the detector IS two stacked windows
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    # daily rollup partial+final, target partial+final
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_timeseries_acf_one_window_over_rollup(spark):
+    """All 7 LEAD columns share ONE Window node over the pre-aggregated
+    daily frame (same partition/order spec fuses), the mean joins back
+    via broadcast, and no raw event row reaches the window sort."""
+    plan = plan_of(QUERIES["q_timeseries_acf"](spark, SF_SMOKE))
+    assert plan.count("Window (") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_dq_benford_single_pass_broadcast_total(spark):
+    """One map-side-combined groupBy on the 9-value digit key; the
+    grand total joins back as a broadcast scalar (nested-loop over ONE
+    row, never a CartesianProduct)."""
+    plan = plan_of(QUERIES["q_dq_benford"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # counts are pinned: the grand total reads the 9-row frame, not the
+    # parquet again — no Scan may appear under the broadcast side
+    assert plan.count("Scan parquet  (") <= 1, plan
+
+
+def test_attribution_is_locf_window_no_join(spark):
+    """Last-touch attribution is ONE user-keyed LOCF window over the
+    interleaved click/purchase stream — no as-of join, no fan-out, and
+    the event_type filter is pushed to the scan."""
+    plan = plan_of(QUERIES["q_attribution_last_touch"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert plan.count("Window (") == 1
+    assert "PushedFilters" in plan and "In(event_type" in plan, plan
+
+
+def test_keyword_tfidf_df_broadcast_topk_by_doc(spark):
+    """df joins back via broadcast (vocabulary-sized), the top-k window
+    partitions by doc_id (bounded by document length), and tf/df are
+    partial-aggregated counts."""
+    plan = plan_of(QUERIES["q_keyword_tfidf"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(doc_id" in plan, plan
+    assert plan.count("HashAggregate") >= 4
