@@ -1104,3 +1104,38 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.max("n_chars").alias("best_len"),
     ).select("keep_doc_id", "n_copies", "n_sources", "best_len")
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-cluster audit — the size distribution dedup reports ship
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SIZES_ORACLE = f"""
+    WITH members AS ({_CLUSTER_ORACLE}),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM members GROUP BY cluster_id
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+"""
+
+
+@query("q_dedup_cluster_sizes", _CLUSTER_SIZES_ORACLE)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster size distribution — the audit table every dedup
+    run reports before anything is dropped (how much mass sits in
+    2-clusters vs boilerplate megaclusters decides the keep policy and
+    is the first thing reviewed when dedup deletes too much).
+
+    Builds on q_dedup_cluster's connected components wholesale (the
+    SCD2→PIT-join reuse pattern), then two tiny partial-agg rollups:
+    members → (cluster, size) → (size, n_clusters, n_docs).  Everything
+    after the component labels is counting on 8-byte keys."""
+    members = q_dedup_cluster(spark, sf_dir)
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )

@@ -228,3 +228,133 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("ts") >= F.col("valid_from")) & (F.col("ts") < F.col("valid_to")))
         .select("event_id", "user_id", "ts", "state_type", "version", "valid_from")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE with tombstones — the delete branch q_merge_upsert lacks
+# ---------------------------------------------------------------------------
+
+_CDC_CUTOFF = "2024-01-16 00:00:00"
+_CDC_END = "2024-01-17 00:00:00"  # one day of changes: all four branches fire
+_CDC_INSERT_CENTS = 10_000  # high-value upserts migrate to a NEW key
+_CDC_KEY_SHIFT = 100_000
+
+_CDC_ORACLE = f"""
+    WITH base AS (
+        SELECT user_id,
+               SUM(CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT))
+                   AS bal_cents
+        FROM events
+        WHERE event_type = 'purchase'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CDC_CUTOFF}'
+        GROUP BY user_id
+    ),
+    oplog AS (
+        SELECT user_id,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+               CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                           event_id DESC) AS rn
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+          AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '{_CDC_CUTOFF}'
+          AND CAST(ts AS TIMESTAMP) < TIMESTAMP '{_CDC_END}'
+    ),
+    changes AS (
+        SELECT CASE WHEN op = 'u' AND cents > {_CDC_INSERT_CENTS}
+                    THEN user_id + {_CDC_KEY_SHIFT} ELSE user_id END AS user_id,
+               op, cents
+        FROM oplog WHERE rn = 1
+    ),
+    merged AS (
+        SELECT COALESCE(b.user_id, c.user_id) AS key,
+               COALESCE(b.bal_cents, 0) + CASE WHEN c.op = 'u'
+                                               THEN c.cents ELSE 0 END
+                   AS cents,
+               CASE WHEN c.user_id IS NULL THEN 'keep'
+                    WHEN c.op = 'd' THEN 'delete'
+                    WHEN b.user_id IS NULL THEN 'insert'
+                    ELSE 'update' END AS op
+        FROM base b FULL OUTER JOIN changes c USING (user_id)
+    )
+    SELECT key, CAST(cents AS DOUBLE) / 100 AS balance, op
+    FROM merged
+    WHERE op <> 'delete'
+"""
+
+
+@query("q_merge_cdc_delete", _CDC_ORACLE)
+def q_merge_cdc_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CDC MERGE: a change log with UPSERTS AND TOMBSTONES applied
+    to a base table — WHEN MATCHED AND op='d' THEN DELETE / WHEN
+    MATCHED THEN UPDATE / WHEN NOT MATCHED AND op<>'d' THEN INSERT —
+    the Debezium→lakehouse apply step q_merge_upsert (update/insert
+    only) cannot express.  Base = per-user purchase balances before the
+    cutoff; change = each user's LATEST post-cutoff op ('error' is the
+    tombstone), last-writer-wins on the total (ts, event_id) order.
+    High-value upserts migrate to a shifted surrogate key (the
+    q_merge_upsert trick) so the INSERT branch is live in the fixture;
+    a one-day change window keeps KEEP and DELETE populated too.
+
+    Deletes are observable as absent keys; survivors carry the branch
+    label so the oracle checks which clause fired for every row.
+
+    Scale shape: the op log compacts to one row per key BEFORE the
+    merge (row_number over the user-keyed change window — CDC readers
+    do exactly this compaction), then ONE full-outer hash join on the
+    merge key; every branch is a projection over the join output.
+    Balances stay in integer cents end to end."""
+    e = load(spark, sf_dir, "events")
+    cutoff = F.lit(_CDC_CUTOFF).cast("timestamp")
+    cents = (F.col("value") * 100).cast("decimal(38,0)").cast("bigint")
+    base = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("ts") < cutoff))
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("bal_cents"))
+    )
+    end = F.lit(_CDC_END).cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    changes = (
+        e.filter(
+            F.col("event_type").isin("purchase", "error")
+            & (F.col("ts") >= cutoff)
+            & (F.col("ts") < end)
+        )
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+            cents.alias("cents"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.when(
+                (F.col("op") == "u") & (F.col("cents") > _CDC_INSERT_CENTS),
+                F.col("user_id") + _CDC_KEY_SHIFT,
+            )
+            .otherwise(F.col("user_id"))
+            .alias("user_id"),
+            "op",
+            "cents",
+        )
+    )
+    b = base.alias("b")
+    c = changes.alias("c")
+    merged = b.join(c, "user_id", "full_outer").select(
+        F.col("user_id").alias("key"),
+        (
+            F.coalesce(F.col("bal_cents"), F.lit(0))
+            + F.when(F.col("op") == "u", F.col("cents")).otherwise(F.lit(0))
+        ).alias("cents"),
+        F.when(F.col("op").isNull(), "keep")
+        .when(F.col("op") == "d", "delete")
+        .when(F.col("bal_cents").isNull(), "insert")
+        .otherwise("update")
+        .alias("op"),
+    )
+    return merged.filter(F.col("op") != "delete").select(
+        "key",
+        (F.col("cents").cast("double") / 100).alias("balance"),
+        "op",
+    )

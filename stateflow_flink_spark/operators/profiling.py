@@ -23,11 +23,12 @@ that stays stable when the profiled column list grows.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
 from ..plans.registry import query
+from ..session import pin
 
 # (column, cast for min/max reporting) — mixed numeric/string/date
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_returnflag", "l_shipdate")
@@ -277,8 +278,6 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     digits = e.select(
         F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
     )
-    from ..session import pin
-
     counts = pin(digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs")))
     total = counts.agg(F.sum("n_obs").alias("n"))
     frac = F.create_map(
@@ -291,4 +290,191 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         exp.alias("expected"),
         (dev * dev / exp).alias("chi2_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram — the optimizer's histogram, not the dashboard's
+# ---------------------------------------------------------------------------
+
+_EQUIDEPTH_B = 8
+
+_EQUIDEPTH_ORACLE = f"""
+    WITH vc AS (
+        SELECT CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT) AS c,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1
+    ),
+    cum AS (
+        SELECT c, cnt,
+               SUM(cnt) OVER (ORDER BY c
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM vc
+    ),
+    bucketed AS (
+        SELECT c, cnt, ((cum - cnt) * {_EQUIDEPTH_B}) // n AS bucket
+        FROM cum
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(MIN(c) AS DOUBLE) / 100 AS lo,
+           CAST(MAX(c) AS DOUBLE) / 100 AS hi,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows
+    FROM bucketed GROUP BY bucket
+"""
+
+
+@query("q_histogram_equidepth", _EQUIDEPTH_ORACLE)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equi-height) histogram of `value` in {B} buckets —
+    the histogram query OPTIMIZERS build (equal row mass per bucket
+    bounds selectivity error regardless of skew; the fixed-width
+    q_histogram shape starves under skew).  Every distinct value lands
+    wholly in the bucket containing its FIRST duplicate — the standard
+    "values never split" contract — so bucket = floor(start_rank * B /
+    N) in pure integer arithmetic.
+
+    Scale shape: the raw scan collapses into a (distinct-cent, count)
+    rollup FIRST (partial-agg; 2 dp values bound the domain at ~50 k
+    rows no matter the corpus), and only that DOMAIN-sized frame passes
+    through the single ordered cumulative window — a SinglePartition
+    exchange of a bounded frame, which is the correct trade (the
+    alternative, a global sort of raw rows, is data-sized).  Final
+    bucket stats are one more partial-agg groupBy."""
+    e = load(spark, sf_dir, "events")
+    cents = (F.col("value") * 100).cast("decimal(38,0)").cast("bigint")
+    vc = e.select(cents.alias("c")).groupBy("c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vc.select(
+        "c",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    bucketed = cum.select(
+        "c",
+        "cnt",
+        F.expr(f"div((cum - cnt) * {_EQUIDEPTH_B}, n)").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        (F.min("c").cast("double") / 100).alias("lo"),
+        (F.max("c").cast("double") / 100).alias("hi"),
+        F.sum("cnt").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index — the deployed-model drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "2024-01-16 00:00:00"
+_PSI_BINS = 10
+_PSI_DOMAIN_CENTS = 50_000  # value is bounded [0.01, ~500] at any sf
+
+_PSI_ORACLE = f"""
+    WITH binned AS (
+        SELECT LEAST(CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT)
+                         * {_PSI_BINS} // {_PSI_DOMAIN_CENTS},
+                     {_PSI_BINS - 1}) AS bin,
+               CAST(ts AS TIMESTAMP) < TIMESTAMP '{_PSI_SPLIT}' AS is_ref
+        FROM events
+    ),
+    counts AS (
+        SELECT bin,
+               COUNT(*) FILTER (is_ref) AS c_ref,
+               COUNT(*) FILTER (NOT is_ref) AS c_cur
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT SUM(c_ref) AS n_ref, SUM(c_cur) AS n_cur FROM counts)
+    SELECT bin,
+           CAST(c_ref AS BIGINT) AS n_ref, CAST(c_cur AS BIGINT) AS n_cur,
+           (CAST(c_cur + 1 AS DOUBLE) / CAST(n_cur + {_PSI_BINS} AS DOUBLE)
+            - CAST(c_ref + 1 AS DOUBLE) / CAST(n_ref + {_PSI_BINS} AS DOUBLE))
+           * (CAST(CAST(ROUND(
+                 (LN(CAST(c_cur + 1 AS DOUBLE)) - LN(CAST(n_cur + {_PSI_BINS} AS DOUBLE))
+                  - LN(CAST(c_ref + 1 AS DOUBLE)) + LN(CAST(n_ref + {_PSI_BINS} AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) AS DOUBLE) / 1000000.0)
+               AS psi_term
+    FROM counts CROSS JOIN tot
+"""
+
+
+@query("q_drift_psi", _PSI_ORACLE)
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms for `value` between a reference
+    window (before Jan 16) and the current window — THE deployed-model
+    input-drift monitor (credit-scoring lineage; rule of thumb:
+    total PSI < 0.1 stable, > 0.25 investigate).  Per bin:
+    (p_cur - p_ref) * ln(p_cur / p_ref), add-one smoothed so empty
+    bins stay finite.
+
+    Bins are FIXED equal-width cells of the bounded cents domain
+    (literal edges — the q_timeseries_fill grid discipline: never
+    derived from a data pass, so the frame is stable as data grows and
+    the plan needs no extra scan).
+
+    Determinism: bin assignment is pure integer arithmetic; counts are
+    exact; the log-ratio quantizes to 6 dp before the product (see the
+    inline note — raw LN is 1-ulp engine-dependent) and the remaining
+    factor is two exact-integer divisions — identical operand order in
+    both engines, no float aggregation (the TOTAL psi is the consumer's
+    one-line sum; the per-bin long format is the checkable contract,
+    same choice as q_dq_benford).
+
+    Scale shape: one partial-aggregated groupBy on a 10-value key with
+    both windows' counts as conditional aggregates in the SAME pass
+    (one scan, not two); totals broadcast back."""
+    e = load(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.expr(
+            f"div(cast(cast(value * 100 as decimal(38,0)) as bigint)"
+            f" * {_PSI_BINS}, {_PSI_DOMAIN_CENTS})"
+        ),
+        F.lit(_PSI_BINS - 1).cast("long"),
+    )
+    is_ref = F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")
+    binned = e.select(bin_.alias("bin"), is_ref.alias("is_ref"))
+    counts = pin(
+        binned.groupBy("bin").agg(
+            F.count_if("is_ref").alias("c_ref"),
+            F.count_if(~F.col("is_ref")).alias("c_cur"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    pc = (F.col("c_cur") + 1).cast("double") / (
+        F.col("n_cur") + _PSI_BINS
+    ).cast("double")
+    pr = (F.col("c_ref") + 1).cast("double") / (
+        F.col("n_ref") + _PSI_BINS
+    ).cast("double")
+    # the log-ratio quantizes to a 6 dp integer before the product: JVM
+    # Math.log and libm ln disagree by 1 ulp on some arguments, and an
+    # unquantized product would surface that in the value hash (the
+    # PMI/TF-IDF recipe, applied to the one float factor that needs it)
+    lr_q = (
+        F.round(
+            (
+                F.log((F.col("c_cur") + 1).cast("double"))
+                - F.log((F.col("n_cur") + _PSI_BINS).cast("double"))
+                - F.log((F.col("c_ref") + 1).cast("double"))
+                + F.log((F.col("n_ref") + _PSI_BINS).cast("double"))
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .cast("double")
+        / 1_000_000.0
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        F.col("c_ref").alias("n_ref"),
+        F.col("c_cur").alias("n_cur"),
+        ((pc - pr) * lr_q).alias("psi_term"),
     )

