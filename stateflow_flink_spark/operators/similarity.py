@@ -84,6 +84,33 @@ LSH_PROBES = 40  # global probe budget across all tables (>= LSH_TABLES)
 NEAR_DUP_TAU = 0.4
 EMB_BLOCKS = 8  # block-GEMM grid for exact all-pairs; ~n_executors at scale
 
+# O(n²) foot-gun gate: the exact all-pairs twins exist to VERIFY the
+# bucketed scale paths, not to run at corpus scale — past this many
+# vectors they refuse instead of silently scheduling ~n²/2 cosines.
+# Override (e.g. on a cluster sized for a deliberate exact audit) via
+# the env var; the LSH/IVF twins have no cap.
+EXACT_PAIRS_CAP = int(
+    __import__("os").environ.get("SPARK_GRAFT_EXACT_PAIRS_CAP", "250000")
+)
+
+
+def guard_exact_pairs(e: DataFrame, query_name: str, scale_twin: str) -> None:
+    """Refuse the exact O(n²) twin above EXACT_PAIRS_CAP input rows.
+
+    A parquet count-star resolves from footer metadata — one cheap job,
+    nothing cached — so the gate costs ~ms and cannot mask the real
+    scan.  The error names the linear-cost twin so a 100 TB user gets
+    the correct next step, not a hung cluster."""
+    n = e.count()
+    if n > EXACT_PAIRS_CAP:
+        raise ValueError(
+            f"{query_name} is the exact O(n²) verification twin and is "
+            f"capped at {EXACT_PAIRS_CAP} vectors (corpus has {n}): "
+            f"~{n * (n - 1) // 2:.2e} pairs would be scheduled. Use "
+            f"{scale_twin} at this scale, or raise "
+            f"SPARK_GRAFT_EXACT_PAIRS_CAP for a deliberate exact audit."
+        )
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -504,6 +531,7 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     same query avoids the n^2 entirely (near-dup pairs almost always
     share a bucket)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    guard_exact_pairs(e, "q_dedup_embedding", "q_dedup_embedding_lsh")
     tagged = e.withColumn("blk", (F.col("vec_id") % EMB_BLOCKS).cast("int"))
     rep = tagged.select(
         "vec_id",
@@ -1576,6 +1604,9 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     the IVF/LSH candidate streams (q_sim_ann_*) unchanged — the merge
     and vote stages are candidate-source-agnostic."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    guard_exact_pairs(
+        e, "q_label_noise", "the IVF/LSH candidate stage (q_sim_ann_*)"
+    )
     tagged = e.withColumn("blk", (F.col("vec_id") % EMB_BLOCKS).cast("int"))
     rep = tagged.select(
         "vec_id",

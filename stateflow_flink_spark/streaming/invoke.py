@@ -72,16 +72,24 @@ def invoke_stateless(
     operator_name: str,
     max_in_flight: int = MAX_IN_FLIGHT,
     timeout_s: float = CALL_TIMEOUT_S,
+    latency=None,
 ) -> DataFrame:
     """Unordered async map over an external function (ref R5).
 
     Rows that raise or time out become ``FailedInvocation`` replies —
     the engine-side analog of the reference's error log + drop
-    (``InvokeStatelessLambda.java:95-103``)."""
+    (``InvokeStatelessLambda.java:95-103``).
+
+    ``latency`` (a ``metrics.InvokeLatency``) reproduces the reference's
+    per-invoke Dropwizard histogram (``InvokeStatelessLambda.java:57-63,
+    95``): every call — success, failure or timeout-abandoned — lands
+    one worker-side sample, merged to the driver on task completion."""
 
     # resolve on the driver and let cloudpickle ship the callable — a
     # worker process's registry only has import-time registrations
     fn = get_stateless(operator_name)
+    if latency is not None:
+        fn = latency.timed_stateless(fn)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pool = ThreadPoolExecutor(max_workers=max_in_flight)

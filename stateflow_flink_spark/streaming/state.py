@@ -160,7 +160,10 @@ class EntityFoldProcessor(StatefulProcessor):
     """
 
     def __init__(
-        self, operator_name: str = "engine/Fold", ttl_ms: int | None = None
+        self,
+        operator_name: str = "engine/Fold",
+        ttl_ms: int | None = None,
+        latency=None,
     ) -> None:
         self._operator_name = operator_name
         self._ttl_ms = ttl_ms
@@ -169,6 +172,10 @@ class EntityFoldProcessor(StatefulProcessor):
         # import-time entries)
         self._fn = get_stateful(operator_name)
         self._vfn = get_stateful_vectorized(operator_name)
+        if latency is not None:  # ref: InvokeStatefulLambda.java:56-59,112
+            self._fn = latency.timed_stateful(self._fn)
+            if self._vfn is not None:
+                self._vfn = latency.timed_stateful(self._vfn)
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         # With a TTL the state store expires the value itself: an
@@ -216,6 +223,7 @@ def apply_stateful(
     operator_name: str = "engine/Fold",
     ttl_ms: int | None = None,
     force_path: str | None = None,
+    latency=None,
 ) -> DataFrame:
     """Keyed stateful apply over a streaming DataFrame — ref R9.
 
@@ -251,7 +259,9 @@ def apply_stateful(
     use_tws = HAS_TWS_RUNTIME if force_path is None else force_path == "tws"
     if use_tws:
         return grouped.transformWithStateInPandas(
-            statefulProcessor=EntityFoldProcessor(operator_name, ttl_ms=ttl_ms),
+            statefulProcessor=EntityFoldProcessor(
+                operator_name, ttl_ms=ttl_ms, latency=latency
+            ),
             outputStructType=_FOLD_OUTPUT,
             outputMode="Append",
             timeMode="ProcessingTime" if ttl_ms is not None else "None",
@@ -259,6 +269,14 @@ def apply_stateful(
 
     fn = get_stateful(operator_name)
     vfn = get_stateful_vectorized(operator_name)
+    if latency is not None:
+        # Ref parity: InvokeStatefulLambda.java:56-59,112 wraps every
+        # stateful invoke in the histogram.  The vectorized twin does
+        # one invoke per (key, batch), so it records one sample per
+        # call either way — the histogram counts INVOKES, not rows.
+        fn = latency.timed_stateful(fn)
+        if vfn is not None:
+            vfn = latency.timed_stateful(vfn)
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         import time
@@ -303,13 +321,15 @@ def run_stateful_stream(
     query_name: str = "sfs_stateful_fold_stream",
     checkpoint_dir: str | None = None,
     ttl_ms: int | None = None,
+    latency=None,
 ) -> DataFrame:
     """Run the keyed stateful operator over a (bounded) event stream and
     materialize the result via the memory sink.  ``checkpoint_dir``
     lets callers resume the SAME state across multiple availableNow
     runs (the restart path TTL tests exercise); ``ttl_ms`` bounds
-    per-key state lifetime (see apply_stateful)."""
-    result = apply_stateful(events, operator_name, ttl_ms=ttl_ms)
+    per-key state lifetime (see apply_stateful); ``latency`` records
+    the per-invoke histogram (see metrics.InvokeLatency)."""
+    result = apply_stateful(events, operator_name, ttl_ms=ttl_ms, latency=latency)
     with stream_partitions(spark):
         writer = (
             result.writeStream.format("memory")

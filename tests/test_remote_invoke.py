@@ -128,3 +128,60 @@ def test_hung_call_degrades_to_failed_rows(spark, server_url):
     assert replies[1] == "FailedInvocation"
     assert replies[3] == "FailedInvocation"
     assert elapsed < 10  # task completed without waiting out the hang
+
+
+def test_invoke_latency_histogram_stateless(spark, server_url):
+    """Ref parity: the Dropwizard histogram around every external call
+    (InvokeStatelessLambda.java:57-63, :95).  One sample per invoke —
+    over a real socket — must reach the driver after the action."""
+    from stateflow_flink_spark.streaming.metrics import InvokeLatency
+
+    register_stateless("test/Metric-create", http_stateless(server_url))
+    lat = InvokeLatency(spark, "stateless_invoke")
+    df = spark.range(8).selectExpr("id AS event_id")
+    rows = invoke_stateless(df, "test/Metric-create", latency=lat).collect()
+    assert len(rows) == 8
+    snap = lat.snapshot()
+    assert snap["count"] == 8
+    assert snap["mean_ms"] > 0 and snap["max_ms"] >= snap["mean_ms"]
+    assert sum(snap["buckets"].values()) == snap["count"]
+    assert snap["p50_le_ms"] is not None and snap["p99_le_ms"] is not None
+
+
+def test_invoke_latency_histogram_counts_failures(spark, server_url):
+    """Failed invocations still land a sample — the reference updates
+    the histogram before inspecting the reply."""
+    from stateflow_flink_spark.streaming.metrics import InvokeLatency
+
+    register_stateless(
+        "test/MetricFail-create",
+        lambda ev: (_ for _ in ()).throw(RuntimeError("boom")),
+    )
+    lat = InvokeLatency(spark, "failing_invoke")
+    df = spark.range(3).selectExpr("id AS event_id")
+    rows = invoke_stateless(df, "test/MetricFail-create", latency=lat).collect()
+    assert all(r.reply == "FailedInvocation" for r in rows)
+    assert lat.snapshot()["count"] == 3
+
+
+def test_invoke_latency_histogram_stateful_stream(spark):
+    """The stateful path (InvokeStatefulLambda.java:56-59, :112): after
+    a full streaming loop run the metric is populated — one sample per
+    (key, batch) invoke on the vectorized fold."""
+    from stateflow_flink_spark.streaming.metrics import InvokeLatency
+    from stateflow_flink_spark.streaming.state import (
+        run_stateful_stream,
+        stream_events_dir,
+    )
+
+    from .conftest import SF_SMOKE
+
+    lat = InvokeLatency(spark, "stateful_invoke")
+    events, _ = stream_events_dir(spark, SF_SMOKE)
+    out = run_stateful_stream(
+        spark, events, query_name="sfs_metric_fold_stream", latency=lat
+    )
+    n_users = out.select("user_id").distinct().count()
+    snap = lat.snapshot()
+    assert snap["count"] >= n_users > 0
+    assert snap["mean_ms"] >= 0 and sum(snap["buckets"].values()) == snap["count"]

@@ -68,6 +68,7 @@ TARGETS = [
     "q_dedup_minhash_stream",
     "q_bpe_train",
     "q_emb_pca",
+    "q_emb_whiten",
     "q_dedup_prefix",
     "q_dedup_containment",
     "q_domain_kl",
