@@ -668,3 +668,87 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.col("ts")) - F.unix_micros(F.col("last_click_ts")),
         ).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot diff — the "data diff" audit between two time windows
+# ---------------------------------------------------------------------------
+
+_SNAP_CUT = "1995-01-01"
+
+_SNAP_DIFF_ORACLE = f"""
+    WITH a AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_sum("o_totalprice")} AS spend
+        FROM orders WHERE o_orderdate < DATE '{_SNAP_CUT}' GROUP BY o_custkey
+    ),
+    b AS (
+        SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_sum("o_totalprice")} AS spend
+        FROM orders WHERE o_orderdate >= DATE '{_SNAP_CUT}' GROUP BY o_custkey
+    ),
+    j AS (
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN a.k IS NULL THEN 'added'
+                    WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.n <> b.n OR a.spend <> b.spend THEN 'changed'
+                    ELSE 'unchanged' END AS change_type,
+               COALESCE(b.n, 0) - COALESCE(a.n, 0) AS dn
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+    )
+    SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(dn) AS BIGINT) AS net_order_delta
+    FROM j GROUP BY change_type
+"""
+
+
+@query("q_snapshot_diff", _SNAP_DIFF_ORACLE)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff of the per-customer order rollup between two
+    date windows — the data-diff audit every pipeline migration and
+    backfill review runs ("what changed between yesterday's table and
+    today's"): per customer key, classify added / removed / changed /
+    unchanged, and report the class counts with the net order delta.
+
+    Scale shape: both window predicates reach the parquet scan
+    (partition pruning when the table is date-partitioned, as the 100 TB
+    layout would be — q_sink_partitioned proves the layout side), each
+    side partial-aggregates to one row per key BEFORE the single
+    full-outer join on the key (the q_merge_cdc_delete compaction
+    discipline), and the classification collapses to a ≤4-row frame.
+    Spend compares use exact integer cents — a float diff would
+    misclassify equal-but-reassociated sums as 'changed'."""
+    o = load(spark, sf_dir, "orders")
+    cut = F.lit(_SNAP_CUT).cast("date")
+
+    def side(pred):
+        return (
+            o.filter(pred)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                exact_sum("o_totalprice").alias("spend"),
+            )
+        )
+
+    a = side(F.col("o_orderdate") < cut)
+    b = side(F.col("o_orderdate") >= cut)
+    j = a.alias("a").join(b.alias("b"), F.col("a.k") == F.col("b.k"), "full_outer")
+    change = (
+        F.when(F.col("a.k").isNull(), "added")
+        .when(F.col("b.k").isNull(), "removed")
+        .when(
+            (F.col("a.n") != F.col("b.n")) | (F.col("a.spend") != F.col("b.spend")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    dn = F.coalesce(F.col("b.n"), F.lit(0)) - F.coalesce(F.col("a.n"), F.lit(0))
+    return (
+        j.select(change.alias("change_type"), dn.alias("dn"))
+        .groupBy("change_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("dn").cast("bigint").alias("net_order_delta"),
+        )
+    )

@@ -936,3 +936,211 @@ def q_keyword_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("score_q").cast("double") / 1_000_000.0).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing — the LM score turned into a decision
+# ---------------------------------------------------------------------------
+
+_PPL_BUCKET_ORACLE = f"""
+    WITH bg AS (
+        SELECT doc_id, UNNEST(gs) AS g FROM ({_gram_sql(2, distinct=False)})
+    ),
+    dg AS (SELECT doc_id, g, COUNT(*) AS n_dg FROM bg GROUP BY 1, 2),
+    scored AS (
+        SELECT doc_id, n_dg,
+               (SUM(n_dg) OVER (PARTITION BY g) * {_LM_SCALE})
+                   // SUM(n_dg) OVER (PARTITION BY SPLIT_PART(g, ' ', 1))
+                   AS p_scaled
+        FROM dg
+    ),
+    docs AS (
+        SELECT doc_id,
+               SUM(n_dg * p_scaled) // SUM(n_dg) AS score_q
+        FROM scored GROUP BY doc_id
+    ),
+    hist AS (SELECT score_q AS v, COUNT(*) AS c FROM docs GROUP BY score_q),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cc, SUM(c) OVER () AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT MIN(CASE WHEN cc * 3 >= n THEN v END) AS t1,
+               MIN(CASE WHEN cc * 3 >= 2 * n THEN v END) AS t2
+        FROM cum
+    )
+    SELECT doc_id, CAST(score_q AS BIGINT) AS score_q,
+           CASE WHEN score_q <= t1 THEN 'tail'
+                WHEN score_q <= t2 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM docs CROSS JOIN cuts
+"""
+
+
+@query("q_perplexity_bucket", _PPL_BUCKET_ORACLE)
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus bucketing (Wenzek et al.,
+    LREC 2020): score every document by its mean corpus-bigram
+    probability (q_ngram_lm's fluency score, kept as the INTEGER
+    floor-division quantization so no float ever enters a boundary
+    compare), then cut the corpus into fluency TERCILES — 'head' is
+    what a curated pretraining mix keeps, 'tail' what it drops or
+    down-weights, and bucket membership is the per-doc label the mixing
+    step consumes.
+
+    Tercile bounds via the q_histogram_equidepth discipline: quantized
+    scores roll up to a (score, count) table (bounded by distinct
+    quantized scores, not corpus size), only that frame crosses the
+    cumulative window, and the 1-row cut frame broadcasts back — the
+    corpus is never globally sorted and never NTILEd."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    bg = d.select("doc_id", F.explode(grams_all(F.col("text"), 2)).alias("g"))
+    dg = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n_dg"))
+    cg = dg.groupBy("g").agg(F.sum("n_dg").alias("c2"))
+    c1 = cg.groupBy(F.substring_index(F.col("g"), " ", 1).alias("w1")).agg(
+        F.sum("c2").alias("c1")
+    )
+    docs = (
+        dg.join(cg, "g")
+        .withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+        .join(c1, "w1")
+        .select(
+            "doc_id",
+            "n_dg",
+            F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr("sum(n_dg * p_scaled) div sum(n_dg)").alias("score_q")
+        )
+    )
+    hist = docs.groupBy(F.col("score_q").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(Window.partitionBy()).alias("n"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cc") * 3 >= F.col("n"), F.col("v"))).alias("t1"),
+        F.min(F.when(F.col("cc") * 3 >= 2 * F.col("n"), F.col("v"))).alias("t2"),
+    )
+    return docs.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        F.col("score_q").cast("bigint").alias("score_q"),
+        F.when(F.col("score_q") <= F.col("t1"), "tail")
+        .when(F.col("score_q") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF-weighted shingle cosine pairs — weighted near-dup scoring
+# ---------------------------------------------------------------------------
+
+_TC_N = 3  # shingle width (the dedup.shingles convention)
+_TC_DF_CAP = 256  # same boilerplate cap discipline as dedup.SHINGLE_DF_CAP
+_TC_TAU = 0.5
+
+_TFIDF_COSINE_ORACLE = f"""
+    WITH grams AS (
+        SELECT doc_id, UNNEST(gs) AS term
+        FROM ({_gram_sql(_TC_N, distinct=False)})
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM grams GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    keep AS (SELECT term, df FROM df WHERE df <= {_TC_DF_CAP}),
+    w AS (
+        SELECT tf.doc_id, tf.term,
+               tf.tf * CAST(ROUND((LN(CAST(n_docs AS DOUBLE))
+                                   - LN(CAST(df AS DOUBLE))) * 1000000.0)
+                            AS BIGINT) AS wq
+        FROM tf JOIN keep USING (term) CROSS JOIN n
+    ),
+    norms AS (SELECT doc_id, SUM(wq * wq) AS s FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, SUM(a.wq * b.wq) AS num
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b,
+           ROUND(CAST(num AS DOUBLE)
+                 / (SQRT(CAST(na.s AS DOUBLE)) * SQRT(CAST(nb.s AS DOUBLE))),
+                 6) AS cos_sim
+    FROM pairs
+    JOIN norms na ON da = na.doc_id
+    JOIN norms nb ON db = nb.doc_id
+    WHERE CAST(num AS DOUBLE)
+          / (SQRT(CAST(na.s AS DOUBLE)) * SQRT(CAST(nb.s AS DOUBLE)))
+          >= {_TC_TAU}
+"""
+
+
+@query("q_tfidf_cosine_pairs", _TFIDF_COSINE_ORACLE)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by TF-IDF-weighted shingle COSINE >= {_TC_TAU} —
+    the real-valued complement to Jaccard (q_dedup_fuzzy) and MinHash:
+    rare shared shingles count for more, boilerplate for less, so two
+    docs sharing one distinctive passage score high even when their
+    set overlap is diluted.  This is the similarity under classic
+    copy-detection and related-document retrieval.
+
+    Same candidate discipline as the dedup family: shingle terms above
+    the DF cap drop via pre-aggregated counts + semi-join (never a
+    window over the exploded table — the round-6 containment lesson),
+    the pair generator is one term-keyed self-join bounded at DF_CAP²
+    per term, and every sum that feeds a compare is exact integer
+    (weights are 6-dp-quantized idf times integer tf; numerators and
+    norms sum those as DECIMAL(38,0)) so the cosine is a fixed sequence
+    of correctly-rounded ops on identical operands in both engines."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    grams = d.select(
+        "doc_id", F.explode(grams_all(F.col("text"), _TC_N)).alias("term")
+    )
+    tf = grams.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    keep = df.filter(F.col("df") <= _TC_DF_CAP)
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf_q = F.round(
+        (F.log(F.col("n_docs").cast("double")) - F.log(F.col("df").cast("double")))
+        * 1_000_000.0
+    ).cast("bigint")
+    w = (
+        tf.join(keep, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf_q).alias("wq"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("s")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(
+            F.sum((F.col("a.wq") * F.col("b.wq")).cast("decimal(38,0)")).alias("num")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("da"), F.col("s").alias("sa"))
+    nb = norms.select(F.col("doc_id").alias("db"), F.col("s").alias("sb"))
+    cos = F.col("num").cast("double") / (
+        F.sqrt(F.col("sa").cast("double")) * F.sqrt(F.col("sb").cast("double"))
+    )
+    return (
+        pairs.join(na, "da")
+        .join(nb, "db")
+        .filter(cos >= _TC_TAU)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1145,3 +1145,52 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("sz").alias("n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Soft dedup — reweight duplicates instead of dropping them
+# ---------------------------------------------------------------------------
+
+_SOFT_DEDUP_ORACLE = f"""
+    WITH members AS ({_CLUSTER_ORACLE}),
+    sizes AS (
+        SELECT cluster_id, COUNT(*) AS sz FROM members GROUP BY cluster_id
+    ),
+    w AS (
+        SELECT m.doc_id, m.cluster_id, s.sz
+        FROM members m JOIN sizes s USING (cluster_id)
+    )
+    SELECT d.doc_id,
+           w.cluster_id,
+           CAST(COALESCE(w.sz, 1) AS BIGINT) AS n_copies,
+           1.0 / COALESCE(w.sz, 1) AS weight
+    FROM documents d LEFT JOIN w ON d.doc_id = w.doc_id
+"""
+
+
+@query("q_soft_dedup_weight", _SOFT_DEDUP_ORACLE)
+def q_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication: every document keeps a TRAINING WEIGHT
+    1/|dup cluster| instead of being dropped — the reweighting
+    alternative to hard dedup (SoftDeDup; also the 'count once per
+    cluster' loss used when exact provenance must survive).  A corpus
+    sampled by these weights sees each duplicate GROUP once in
+    expectation, while rare singletons keep weight 1 — hard dedup's
+    benefit without its irreversibility.
+
+    Reuses q_dedup_cluster's connected components wholesale, then one
+    cluster-keyed size rollup and one doc_id-keyed LEFT join back onto
+    the corpus (the only corpus-sized shuffle; the weight table holds
+    only clustered docs).  Weight = one correctly-rounded division of
+    an exact integer count — engine-identical."""
+    members = q_dedup_cluster(spark, sf_dir)
+    sizes = members.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    w = members.join(sizes, "cluster_id")
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    sz1 = F.coalesce(F.col("sz"), F.lit(1))
+    return d.join(w, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        sz1.cast("bigint").alias("n_copies"),
+        (F.lit(1.0) / sz1).alias("weight"),
+    )

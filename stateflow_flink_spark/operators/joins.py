@@ -521,3 +521,58 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
                       LIMIT 2) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked entity resolution — the canonical ER skeleton
+# ---------------------------------------------------------------------------
+
+_ER_BLOCK_LEN = 16  # blocking key width over the name
+_ER_MAX_DIST = 1
+
+_ER_ORACLE = f"""
+    WITH b AS (
+        SELECT s_suppkey, s_name, SUBSTRING(s_name, 1, {_ER_BLOCK_LEN}) AS blk
+        FROM supplier
+    )
+    SELECT a.s_suppkey AS supp_a, x.s_suppkey AS supp_b,
+           CAST(LEVENSHTEIN(a.s_name, x.s_name) AS BIGINT) AS dist
+    FROM b a JOIN b x ON a.blk = x.blk AND a.s_suppkey < x.s_suppkey
+    WHERE LEVENSHTEIN(a.s_name, x.s_name) <= {_ER_MAX_DIST}
+"""
+
+
+@query("q_er_blocked", _ER_ORACLE)
+def q_er_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over supplier names: candidate pairs
+    share a blocking key (the name's first {_ER_BLOCK_LEN} chars), and
+    only candidates pay the pairwise edit distance — the two-stage
+    skeleton every record-linkage system at scale reduces to (blocking
+    bounds the quadratic; the verifier runs on candidates only,
+    exactly the MinHash-band-then-verify discipline applied to dirty
+    entity strings).  Emits pairs within distance {_ER_MAX_DIST}.
+
+    Scale shape: one shuffle keyed by the block, a within-block
+    self-join whose worst bucket is block-size², and LEVENSHTEIN runs
+    JVM-side inside codegen — no Python.  Skewed blocks (one giant
+    'UNKNOWN' name prefix) are the q_agg_salted case: salt the block
+    key or let AQE split it; the fixture's uniform blocks don't need
+    it.  A production deployment swaps the prefix for a phonetic or
+    q-gram blocking key — one expression, same plan."""
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    b = s.withColumn("blk", F.substring("s_name", 1, _ER_BLOCK_LEN))
+    a, x = b.alias("a"), b.alias("x")
+    dist = F.levenshtein(F.col("a.s_name"), F.col("x.s_name"))
+    return (
+        a.join(
+            x,
+            (F.col("a.blk") == F.col("x.blk"))
+            & (F.col("a.s_suppkey") < F.col("x.s_suppkey")),
+        )
+        .filter(dist <= _ER_MAX_DIST)
+        .select(
+            F.col("a.s_suppkey").alias("supp_a"),
+            F.col("x.s_suppkey").alias("supp_b"),
+            dist.cast("bigint").alias("dist"),
+        )
+    )

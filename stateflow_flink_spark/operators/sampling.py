@@ -672,3 +672,65 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= F.col("k"))
         .select("vec_id", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain epoch plan — how many passes over each domain a token budget buys
+# ---------------------------------------------------------------------------
+
+_MIX_EPOCHS_ORACLE = f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+               (SELECT {_sql_sum("w")} FROM
+                  (SELECT ROUND(SQRT(n_tokens), 6) AS w FROM s)) AS z
+        FROM s
+    )
+    SELECT source, n_tokens,
+           ROUND(ROUND(ROUND(SQRT(n_tokens), 6) / z, 6) * budget)
+               AS target_tokens,
+           ROUND(ROUND(ROUND(SQRT(n_tokens), 6) / z, 6) * budget
+                 / n_tokens, 6) AS epochs
+    FROM s CROSS JOIN tot
+"""
+
+
+@query("q_mix_epochs", _MIX_EPOCHS_ORACLE)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain EPOCH plan under a token budget: allocate the budget
+    (here one full corpus pass) by the q_mix_weights temperature
+    weights, then epochs_d = target_tokens_d / n_tokens_d — >1 means
+    the domain repeats, <1 means it is subsampled.  This is the table a
+    data-mixing run actually executes from (the "how many times do we
+    see Wikipedia" plan behind temperature-sampled corpora), and the
+    repeat factors feed q_mix_domains-style keep thresholds directly.
+
+    Same shapes as q_mix_weights: ONE corpus-sized token-count
+    aggregate, then pure arithmetic on the domains-sized frame with a
+    broadcast 1-row normalizer.  Float discipline: 6-dp-rounded weight
+    times an exact integer budget, one division — every operand
+    bit-identical across engines."""
+    from ..numerics import exact_sum
+
+    d = load(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    )
+    w = F.round(F.sqrt(F.col("n_tokens")), 6)
+    tot = s.select(w.alias("w"), "n_tokens").agg(
+        exact_sum("w").alias("z"),
+        F.sum("n_tokens").cast("bigint").alias("budget"),
+    )
+    weight = F.round(w / F.col("z"), 6)
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(weight * F.col("budget")).alias("target_tokens"),
+        F.round(weight * F.col("budget") / F.col("n_tokens"), 6).alias("epochs"),
+    )

@@ -45,6 +45,7 @@ from pyspark.sql.types import (
 
 from ..io import load
 from ..plans.registry import query
+from ..session import pin
 
 DIM = 64
 # Multi-table LSH with QUERY-DIRECTED multi-probe (Lv et al., VLDB'07):
@@ -1650,4 +1651,95 @@ def q_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         knn_label.alias("knn_label"),
         F.col("n_agree").cast("long").alias("n_agree"),
         (knn_label != F.col("label")).alias("is_suspect"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual-kNN graph — the edge set semantic clustering / label prop run on
+# ---------------------------------------------------------------------------
+
+_KG_K = 5
+
+_KNN_GRAPH_ORACLE = f"""
+    WITH s AS (
+        SELECT a.vec_id AS q, b.vec_id AS n,
+               ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                            b.embedding::DOUBLE[]), 6) AS c
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    r AS (
+        SELECT q, n, c,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY c DESC, n) AS rk
+        FROM s
+    ),
+    top AS (SELECT q, n, c FROM r WHERE rk <= {_KG_K})
+    SELECT x.q AS vec_a, x.n AS vec_b, x.c AS cos_sim
+    FROM top x JOIN top y ON x.q = y.n AND x.n = y.q
+    WHERE x.q < x.n
+"""
+
+
+@query("q_knn_graph_mutual", _KNN_GRAPH_ORACLE)
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus: an undirected edge
+    (a, b) exists iff b is in a's top-{_KG_K} cosine neighbors AND a is
+    in b's — the sparsifying symmetric filter under semantic clustering
+    and graph label propagation (asymmetric hubs, which dominate plain
+    kNN graphs in high dimension, are exactly what mutuality removes).
+
+    Plan: q_label_noise's two-phase exact kNN wholesale — block-GEMM
+    partial top-k per block pair, one window merge to global top-k —
+    then the mutuality check is a self-join of the (corpus x K)-sized
+    directed edge list on the reversed key, emitting each unordered
+    edge once.  The edge list is pinned first so the two join branches
+    don't re-run the GEMM.  Same O(n²) gate as the other exact twins;
+    at 100 TB the top-k stage swaps to the IVF/LSH candidate streams
+    unchanged and the mutual join is untouched."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    guard_exact_pairs(
+        e, "q_knn_graph_mutual", "the IVF/LSH candidate stage (q_sim_ann_*)"
+    )
+    tagged = e.withColumn("blk", (F.col("vec_id") % EMB_BLOCKS).cast("int")) \
+        .withColumn("label", F.lit(0).cast("int"))
+    rep = tagged.select(
+        "vec_id",
+        "label",
+        "embedding",
+        "blk",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.least(F.col("blk"), F.lit(j)).alias("pa"),
+                        F.greatest(F.col("blk"), F.lit(j)).alias("pb"),
+                    )
+                    for j in range(EMB_BLOCKS)
+                ]
+            )
+        ).alias("pk"),
+    ).select("vec_id", "label", "embedding", "blk", "pk.pa", "pk.pb")
+    partial = rep.groupBy("pa", "pb").applyInPandas(
+        _knn_block_topk,
+        "vec_id long, label int, nbr_id long, nbr_label int, cos_sim double",
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    top = pin(
+        partial.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KG_K)
+        .select("vec_id", "nbr_id", "cos_sim"),
+        eager=True,
+    )
+    x, y = top.alias("x"), top.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.vec_id") == F.col("y.nbr_id"))
+            & (F.col("x.nbr_id") == F.col("y.vec_id")),
+        )
+        .filter(F.col("x.vec_id") < F.col("x.nbr_id"))
+        .select(
+            F.col("x.vec_id").alias("vec_a"),
+            F.col("x.nbr_id").alias("vec_b"),
+            F.col("x.cos_sim").alias("cos_sim"),
+        )
     )

@@ -743,3 +743,77 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
               * (n_syll.cast("double") / n_words.cast("double"))
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantile length filter — data-driven outlier-length cut
+# ---------------------------------------------------------------------------
+
+_LEN_P_LO = 5  # percent
+_LEN_P_HI = 95
+
+_LEN_FILTER_ORACLE = f"""
+    WITH lens AS (
+        SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens FROM documents
+    ),
+    hist AS (
+        SELECT n_tokens AS v, COUNT(*) AS c FROM lens GROUP BY n_tokens
+    ),
+    cum AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cc,
+               SUM(c) OVER () AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN cc * 100 >= {_LEN_P_LO} * n THEN v END) AS lo,
+               MIN(CASE WHEN cc * 100 >= {_LEN_P_HI} * n THEN v END) AS hi
+        FROM cum
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_tokens >= lo AND n_tokens <= hi AS keep
+    FROM lens CROSS JOIN bounds
+"""
+
+
+@query("q_length_filter_quantile", _LEN_FILTER_ORACLE)
+def q_length_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven length filter: drop documents outside the [p5, p95]
+    token-length band — the adaptive alternative to fixed min/max
+    length cuts (fixed thresholds rot as the corpus mix drifts; the
+    quantile band tracks it).  Emits every doc with its verdict so the
+    pipeline can audit what a cut WOULD remove before removing it.
+
+    Percentiles via the q_histogram_equidepth discipline: lengths
+    roll up to a DOMAIN-BOUNDED (length, count) table first — token
+    lengths have at most ~max-doc-tokens distinct values regardless of
+    corpus size — and only that tiny frame crosses the cumulative
+    window; the bound row then broadcasts back onto the corpus scan.
+    All-integer boundary identity (cc*100 >= p*n), no float percentile
+    definition to disagree on."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    hist = lens.groupBy(F.col("n_tokens").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "v",
+        F.sum("c").over(wcum).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(F.col("cc") * 100 >= _LEN_P_LO * F.col("n"), F.col("v"))
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("cc") * 100 >= _LEN_P_HI * F.col("n"), F.col("v"))
+        ).alias("hi"),
+    )
+    return lens.crossJoin(F.broadcast(bounds)).select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        ((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi"))).alias(
+            "keep"
+        ),
+    )
