@@ -716,11 +716,18 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     times an exact integer budget, one division — every operand
     bit-identical across engines."""
     from ..numerics import exact_sum
+    from ..session import pin
 
     d = load(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    # pin the domains-sized rollup: its two consumers (normalizer and
+    # the final projection) would otherwise each re-run the corpus
+    # token-count scan — one materialized tiny frame beats two passes
+    s = pin(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+        ),
+        eager=True,
     )
     w = F.round(F.sqrt(F.col("n_tokens")), 6)
     tot = s.select(w.alias("w"), "n_tokens").agg(

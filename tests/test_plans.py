@@ -846,3 +846,71 @@ def test_dedup_containment_df_cap_is_preagg_not_window(spark):
     assert "Window" not in plan, plan
     assert "LeftSemi" in plan, plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_tfidf_cosine_df_cap_is_preagg_not_window(spark):
+    """Same discipline as containment: the term DF cap must be a
+    partial-aggregated count + semi-join, never a window over the
+    exploded gram table; weight sums stay in hash aggregates."""
+    plan = plan_of(QUERIES["q_tfidf_cosine_pairs"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_perplexity_bucket_cuts_over_rollup_not_corpus(spark):
+    """Tercile cuts ride the (score, count) rollup: the only Windows in
+    the plan are the cumulative + total sums over that bounded frame
+    (fed by an aggregate, not by the raw doc scan), and the cut frame
+    broadcasts back — the corpus is never globally sorted."""
+    plan = plan_of(QUERIES["q_perplexity_bucket"](spark, SF_SMOKE))
+    assert plan.count("Window (") == 2, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" not in plan
+
+
+def test_length_filter_bounds_broadcast_back(spark):
+    """The [p5,p95] bound row must broadcast onto the corpus scan; the
+    cumulative window runs over the bounded (length, count) rollup."""
+    plan = plan_of(QUERIES["q_length_filter_quantile"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert plan.count("Window (") <= 2, plan
+
+
+def test_snapshot_diff_pushes_window_predicates(spark):
+    """Both snapshot date predicates reach the parquet scan and each
+    side partial-aggregates to one row per key before the single
+    full-outer join."""
+    plan = plan_of(QUERIES["q_snapshot_diff"](spark, SF_SMOKE))
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_er_blocked_joins_on_block_key_no_cartesian(spark):
+    """Candidate generation must ride the block-key equi-join (a hash
+    or sort-merge join keyed by blk), never a cartesian with a
+    distance filter."""
+    plan = plan_of(QUERIES["q_er_blocked"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "blk" in plan
+
+
+def test_soft_dedup_weight_left_joins_corpus_once(spark):
+    """The weight table joins back onto the corpus by doc_id exactly
+    once; classification arithmetic adds no extra corpus shuffle."""
+    plan = plan_of(QUERIES["q_soft_dedup_weight"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "LeftOuter" in plan, plan
+
+
+def test_mix_epochs_is_single_agg_plus_broadcast(spark):
+    """One corpus-sized token-count aggregate; the normalizer is a
+    broadcast 1-row frame (no second corpus pass, no window)."""
+    plan = plan_of(QUERIES["q_mix_epochs"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the domains rollup is pinned, so NO parquet re-scan survives —
+    # both consumers read the materialized tiny frame
+    assert plan.count("Scan parquet") == 0, plan
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan\n" not in plan
