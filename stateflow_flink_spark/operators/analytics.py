@@ -752,3 +752,147 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dn").cast("bigint").alias("net_order_delta"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DAU / rolling-WAU stickiness — the engagement ratio on every dashboard
+# ---------------------------------------------------------------------------
+
+_WAU_DAYS = 7
+
+_DAU_WAU_ORACLE = f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    exp AS (
+        SELECT user_id, d, d + CAST(r.i AS INTEGER) AS rd, r.i AS off
+        FROM ud, UNNEST(RANGE(0, {_WAU_DAYS})) AS r(i)
+    ),
+    agg AS (
+        SELECT rd,
+               COUNT(DISTINCT CASE WHEN off = 0 THEN user_id END) AS dau,
+               COUNT(DISTINCT user_id) AS wau
+        FROM exp GROUP BY rd
+    ),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT CAST(rd - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+           CAST(dau AS DOUBLE) / wau AS stickiness
+    FROM agg JOIN days ON rd = days.d
+"""
+
+
+@query("q_dau_wau", _DAU_WAU_ORACLE)
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day DAU, rolling {_WAU_DAYS}-day WAU, and the DAU/WAU
+    stickiness ratio — the engagement headline on every product
+    dashboard, and the denominator discipline is the interesting part:
+    a rolling COUNT DISTINCT has no partial-aggregable window form.
+
+    The scale spelling is contribute-forward: the (user, day) activity
+    rollup (tiny: users x active days, already deduped map-side)
+    explodes each row to the {_WAU_DAYS} report days it supports, and
+    one groupBy(report_day) counts distinct users — turning the rolling
+    distinct into a plain keyed distinct over a ≤{_WAU_DAYS}x-rollup
+    frame.  No window over raw events, no per-day re-scan, and the
+    explode factor is the window length — a constant.  (The sketch
+    alternative — per-day HLLs merged across the window,
+    q_sketch_hll_partitioned's recipe — trades exactness for a 1x
+    frame; this exact form IS the oracle for that swap.)  Report days
+    keep only days with their own activity, so both engines agree on
+    the grid without a calendar table."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    exp = ud.select(
+        "user_id",
+        "d",
+        F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("off"),
+    ).select(
+        "user_id",
+        F.expr("date_add(d, off)").alias("rd"),
+        "off",
+    )
+    agg = exp.groupBy("rd").agg(
+        F.countDistinct(
+            F.when(F.col("off") == 0, F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct("user_id").alias("wau"),
+    )
+    return agg.join(days, agg.rd == days.d).select(
+        F.datediff(F.col("rd"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        F.col("dau").cast("bigint").alias("dau"),
+        F.col("wau").cast("bigint").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Common event paths — lightweight sequential pattern mining
+# ---------------------------------------------------------------------------
+
+_PATH_LEN = 3
+_PATH_TOPK = 5
+
+_PATH_ORACLE = f"""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               LEAD(event_type, 1) OVER w AS e2,
+               LEAD(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY CAST(ts AS TIMESTAMP), event_id)
+    ),
+    paths AS (
+        SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+               COUNT(*) AS n
+        FROM ordered WHERE e3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n
+    FROM (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path ASC) AS rk
+        FROM paths
+    ) WHERE rk <= {_PATH_TOPK}
+"""
+
+
+@query("q_event_paths", _PATH_ORACLE)
+def q_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_PATH_TOPK} most common {_PATH_LEN}-event paths across all
+    user journeys — the lightweight sequential-pattern mine behind
+    "users who do X then Y then Z" product questions (the full-blown
+    PrefixSpan is rarely needed; consecutive-path counting answers the
+    first-order version in one pass).
+
+    Scale shape: two LEADs share ONE user-keyed window sort (Catalyst
+    plans a single exchange + sort for both), path counting
+    partial-aggregates map-side (hot paths collapse before the
+    exchange, the q_ngram_lm discipline applied to event trigrams),
+    and the final top-k runs over the paths rollup — bounded by
+    distinct path strings, not events."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    ordered = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    paths = (
+        ordered.filter(F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.orderBy(F.desc("n"), F.asc("path"))
+    return (
+        paths.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _PATH_TOPK)
+        .select("path", F.col("n").cast("bigint").alias("n"))
+    )

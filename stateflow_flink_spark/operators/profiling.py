@@ -478,3 +478,68 @@ def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_cur").alias("n_cur"),
         ((pc - pr) * lr_q).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew audit — the pre-shuffle health check
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 5
+
+_SKEW_ORACLE = f"""
+    WITH kc AS (
+        SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_c
+        FROM kc
+    ),
+    top AS (
+        SELECT k, c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rk
+        FROM kc
+    )
+    SELECT rk AS rank, k AS key, CAST(c AS BIGINT) AS n,
+           CAST(c AS DOUBLE) / n_rows AS share,
+           CAST(c * n_keys AS DOUBLE) / n_rows AS hot_factor
+    FROM top CROSS JOIN tot WHERE rk <= {_SKEW_TOPK}
+"""
+
+
+@query("q_skew_report", _SKEW_ORACLE)
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew audit of the events key distribution: the top
+    {_SKEW_TOPK} heaviest keys with their row share and hot factor
+    (share x #keys — 1.0 means perfectly uniform; the number that says
+    how much longer the hottest shuffle partition runs than average).
+    This is the table to read BEFORE keying a join or stateful op on a
+    column — the decision input for q_join_salted / q_agg_salted and
+    AQE skew thresholds.
+
+    Scale shape: one partial-aggregated key count (map-side combine
+    collapses the hot key itself — counting skew does not suffer the
+    skew), a top-k over the key-count rollup via
+    TakeOrderedAndProject-eligible window (k is tiny and the rollup is
+    #keys-sized), and a broadcast 1-row totals frame.  Exact integer
+    counts; the two shares are single divisions of exact operands."""
+    e = load(spark, sf_dir, "events")
+    kc = e.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("c"))
+    tot = kc.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("c").cast("bigint").alias("max_c"),
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("k"))
+    top = kc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _SKEW_TOPK
+    )
+    return top.crossJoin(F.broadcast(tot)).select(
+        F.col("rk").alias("rank"),
+        F.col("k").alias("key"),
+        F.col("c").cast("bigint").alias("n"),
+        (F.col("c").cast("double") / F.col("n_rows")).alias("share"),
+        ((F.col("c") * F.col("n_keys")).cast("double") / F.col("n_rows")).alias(
+            "hot_factor"
+        ),
+    )

@@ -1129,3 +1129,104 @@ def test_exact_pair_twins_refuse_above_cap(spark, monkeypatch, tmp_path):
     assert QUERIES["q_dedup_embedding"](spark, SF_SMOKE).columns == [
         "vec_a", "vec_b", "cos_sim",
     ]
+
+
+def test_dau_wau_invariants(spark):
+    """WAU dominates DAU (a day's actives are a subset of its trailing
+    week's), stickiness is (0, 1], and the grid is exactly the active
+    days."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    from .conftest import SF_SMOKE
+
+    load_all_modules()
+    rows = QUERIES["q_dau_wau"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.dau <= r.wau
+        assert 0 < r.stickiness <= 1.0
+        assert abs(r.stickiness - r.dau / r.wau) < 1e-12
+
+
+def test_soft_dedup_weights_sum_to_one_per_cluster(spark):
+    """Each duplicate cluster carries total weight exactly 1 (every
+    member weighs 1/size); unclustered docs weigh exactly 1 — so the
+    reweighted corpus sees every GROUP once in expectation."""
+    import collections
+
+    from stateflow_flink_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_soft_dedup_weight"](spark, SF_SMOKE).collect()
+    assert rows
+    per_cluster = collections.defaultdict(float)
+    for r in rows:
+        if r.cluster_id is None:
+            assert r.weight == 1.0 and r.n_copies == 1
+        else:
+            per_cluster[r.cluster_id] += r.weight
+            assert 0 < r.weight <= 0.5  # clustered => size >= 2
+    assert per_cluster, "fixture has near-dup clusters"
+    for cid, total in per_cluster.items():
+        assert abs(total - 1.0) < 1e-9, (cid, total)
+
+
+def test_length_filter_keeps_p5_p95_band(spark):
+    """~90% of docs survive (quantile definition gives >= 90% minus the
+    two boundary masses), the kept set is a contiguous length band, and
+    verdicts cover every doc."""
+    from stateflow_flink_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_length_filter_quantile"](spark, SF_SMOKE).collect()
+    n = len(rows)
+    kept = [r.n_tokens for r in rows if r.keep]
+    dropped = [r.n_tokens for r in rows if not r.keep]
+    assert n > 0 and kept
+    assert 0.85 <= len(kept) / n  # p5..p95 keeps >= 90% up to tie mass
+    if dropped:
+        lo, hi = min(kept), max(kept)
+        assert all(d < lo or d > hi for d in dropped)
+
+
+def test_perplexity_buckets_are_terciles(spark):
+    """All three buckets are populated, partition the corpus, and are
+    ordered: every tail score <= every middle score <= every head
+    score (value-deterministic cuts)."""
+    import collections
+
+    from stateflow_flink_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_perplexity_bucket"](spark, SF_SMOKE).collect()
+    by = collections.defaultdict(list)
+    for r in rows:
+        by[r.bucket].append(r.score_q)
+    assert set(by) == {"head", "middle", "tail"}
+    assert sum(len(v) for v in by.values()) == len(rows)
+    assert max(by["tail"]) <= min(by["middle"]) or not by["middle"]
+    assert max(by["middle"]) <= min(by["head"])
+    # terciles within tie tolerance: each bucket holds >= 15% of docs
+    for b, v in by.items():
+        assert len(v) >= 0.15 * len(rows), (b, len(v))
+
+
+def test_mix_epochs_budget_conserved(spark):
+    """Target tokens across domains re-spend the whole budget (one
+    corpus pass) up to per-domain rounding; small domains get more
+    epochs than large ones (temperature < 1)."""
+    from stateflow_flink_spark.plans.registry import QUERIES
+
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_mix_epochs"](spark, SF_SMOKE).collect()
+    assert rows
+    budget = sum(r.n_tokens for r in rows)
+    assert abs(sum(r.target_tokens for r in rows) - budget) <= len(rows)
+    small = min(rows, key=lambda r: r.n_tokens)
+    large = max(rows, key=lambda r: r.n_tokens)
+    if small.n_tokens < large.n_tokens:
+        assert small.epochs >= large.epochs

@@ -914,3 +914,30 @@ def test_mix_epochs_is_single_agg_plus_broadcast(spark):
     # both consumers read the materialized tiny frame
     assert plan.count("Scan parquet") == 0, plan
     assert "ExistingRDD" in plan or "LocalTableScan" in plan or "Scan\n" not in plan
+
+
+def test_dau_wau_aggregates_rollup_not_raw_events(spark):
+    """The rolling distinct rides the contribute-forward explode of the
+    (user, day) rollup — partial aggregation below the exchange, no
+    window over raw events, no cartesian."""
+    plan = plan_of(QUERIES["q_dau_wau"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_skew_report_counts_before_ranking(spark):
+    """Key counting partial-aggregates (the hot key collapses map-side
+    — counting skew must not itself skew); ranking runs over the
+    key-count rollup, totals broadcast back."""
+    plan = plan_of(QUERIES["q_skew_report"](spark, SF_SMOKE))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_event_paths_shares_one_window_sort(spark):
+    """Both LEADs plan into ONE window over one user-keyed exchange;
+    path counting partial-aggregates before its exchange."""
+    plan = plan_of(QUERIES["q_event_paths"](spark, SF_SMOKE))
+    assert plan.count("Window (") == 2  # user-window + global top-k rank
+    assert plan.count("HashAggregate") >= 2, plan

@@ -72,6 +72,8 @@ TARGETS = [
     "q_dedup_prefix",
     "q_dedup_containment",
     "q_domain_kl",
+    "q_tfidf_cosine_pairs",
+    "q_knn_graph_mutual",
 ]
 
 
