@@ -56,3 +56,73 @@ def test_exact_sum_matches_duckdb_twin_bitwise(spark, vals):
     want = con.execute(f"SELECT {sql_sum('x')} AS s FROM t").fetchone()[0]
     con.close()
     assert repr(got) == repr(want), (got, want)
+
+
+# ---------------------------------------------------------------------------
+# Invoke-latency histogram (streaming/metrics.py) — merge algebra
+# ---------------------------------------------------------------------------
+
+
+def _hist_of(samples_ms):
+    from bisect import bisect_left
+
+    from stateflow_flink_spark.streaming.metrics import BUCKET_BOUNDS_MS, _zero
+
+    h = _zero()
+    for ms in samples_ms:
+        h["count"] += 1
+        h["total_ms"] += ms
+        h["max_ms"] = max(h["max_ms"], ms)
+        h["buckets"][bisect_left(BUCKET_BOUNDS_MS, ms)] += 1
+    return h
+
+
+@given(
+    st.lists(st.floats(min_value=0.0, max_value=10_000.0, allow_nan=False), max_size=40),
+    st.lists(st.floats(min_value=0.0, max_value=10_000.0, allow_nan=False), max_size=40),
+    st.lists(st.floats(min_value=0.0, max_value=10_000.0, allow_nan=False), max_size=40),
+)
+def test_latency_hist_merge_is_associative_and_exact(a, b, c):
+    """Accumulator merges must be order-insensitive (Spark merges task
+    copies in arbitrary order) and lossless: any merge tree equals the
+    histogram of the concatenated samples."""
+    import math
+
+    from stateflow_flink_spark.streaming.metrics import _LatencyHistParam
+
+    p = _LatencyHistParam()
+
+    def merge(x, y):
+        import copy
+
+        return p.addInPlace(copy.deepcopy(x), copy.deepcopy(y))
+
+    left = merge(merge(_hist_of(a), _hist_of(b)), _hist_of(c))
+    right = merge(_hist_of(a), merge(_hist_of(b), _hist_of(c)))
+    direct = _hist_of(a + b + c)
+    for got in (left, right):
+        assert got["count"] == direct["count"]
+        assert got["buckets"] == direct["buckets"]
+        assert got["max_ms"] == direct["max_ms"]
+        assert math.isclose(got["total_ms"], direct["total_ms"], rel_tol=1e-9, abs_tol=1e-9)
+
+
+def test_latency_snapshot_percentile_bounds_cover_samples():
+    """p50/p99 upper bounds from cumulative buckets must dominate the
+    true sample percentiles (bucket bound >= any sample in or below
+    that bucket)."""
+    from stateflow_flink_spark.streaming.metrics import BUCKET_BOUNDS_MS
+
+    samples = [0.3, 0.7, 1.5, 3.0, 9.9, 40.0, 220.0, 220.0, 900.0, 4000.0]
+    h = _hist_of(samples)
+    # replicate snapshot()'s cumulative walk
+    for q in (0.5, 0.99):
+        target, cum, bound = q * h["count"], 0, None
+        for i, cnt in enumerate(h["buckets"]):
+            cum += cnt
+            if cum >= target and cnt:
+                bound = BUCKET_BOUNDS_MS[i] if i < len(BUCKET_BOUNDS_MS) else float("inf")
+                break
+        srt = sorted(samples)
+        true_p = srt[min(len(srt) - 1, max(0, int(q * len(srt)) - 1))]
+        assert bound >= true_p

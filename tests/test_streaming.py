@@ -534,3 +534,70 @@ def test_session_merge_is_invariant_under_intra_batch_reorder(spark):
     # must not have opened a session)
     u2 = [r for r in rows if r[0] == 2]
     assert all(r[2] == 1 for r in u2) and len(u2) >= 1, rows
+
+
+def test_progress_observables_capture_drops_and_throughput(spark):
+    """streaming/progress.py: batch rows carry input counts + durations,
+    and numRowsDroppedByWatermark surfaces the late row the engine
+    discarded — the operational twin of test_watermark_drops_late_rows."""
+    from stateflow_flink_spark.streaming.progress import (
+        collect_progress,
+        progress_summary,
+    )
+
+    stage = tempfile.mkdtemp(prefix="sfs_prog_")
+
+    def write_batch(name, rows):
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] * 1_000_000 for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(tbl, os.path.join(stage, name))
+
+    hour = 3600
+    ckpt = tempfile.mkdtemp(prefix="sfs_prog_ckpt_")
+    out = tempfile.mkdtemp(prefix="sfs_prog_out_")
+
+    def run():
+        stream = spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(stage)
+        counts = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").cast("long").alias("start_s"), "n")
+        )
+        qy = (
+            counts.writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+        return qy
+
+    write_batch("b0.parquet", [(1, 10), (2, hour + 10), (3, 2 * hour - 1)])
+    run()
+    # late event behind the watermark + one fresh event
+    write_batch("b1.parquet", [(4, 20), (5, 3 * hour + 10)])
+    qy = run()
+
+    rows = collect_progress(qy)
+    assert rows, "no progress events retained"
+    assert all(r["batch_id"] is not None for r in rows)
+    summary = progress_summary(qy)
+    assert summary["n_batches"] == len(rows)
+    assert summary["total_input_rows"] == 2  # this run saw only b1
+    assert summary["rows_dropped_by_watermark"] == 1, summary
+    assert summary["max_state_rows"] >= 1
+    assert summary["total_batch_ms"] > 0 and summary["rows_per_sec"] > 0
