@@ -89,6 +89,21 @@ NOTES = {
         "worst bucket is bounded at DF_CAP^2 pairs regardless of corpus "
         "size."
     ),
+    "q_dedup_containment": (
+        "Round 7: the DF cap is a pre-aggregated groupBy(shingle).count + "
+        "left-semi join, NOT a window over the exploded (doc,shingle) "
+        "table — map-side combine means only DISTINCT shingles cross the "
+        "wire where the window buffered every exploded row (14.1 s -> "
+        "2.0 s at sf0.1; same oracle hash).  Both containment directions "
+        "are scored from one unordered candidate pair."
+    ),
+    "q_tfidf_cosine_pairs": (
+        "Sparse weighted cosine via the inverted index: term-keyed "
+        "candidate self-join bounded at DF_CAP^2 per term, numerators and "
+        "norms as exact DECIMAL(38,0) sums of 6-dp-quantized idf weights "
+        "— the real-valued complement to the Jaccard/MinHash family on "
+        "the same candidate discipline."
+    ),
     "q_sim_ann_lsh": (
         "Projections AND buckets come from ONE ArrowEvalPython kernel "
         "riding the scan; the margin-ranked 40-bucket probe plan is a "
