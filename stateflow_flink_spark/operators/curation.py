@@ -1144,3 +1144,63 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty — per-document "how much of this text exists nowhere else"
+# ---------------------------------------------------------------------------
+
+_NOV_N = 3
+
+_NOVELTY_ORACLE = f"""
+    WITH docsh AS (
+        SELECT doc_id, LIST_DISTINCT(gs) AS gs
+        FROM ({_gram_sql(_NOV_N, distinct=False)})
+    ),
+    dg AS (SELECT doc_id, UNNEST(gs) AS g FROM docsh),
+    df AS (SELECT g, COUNT(*) AS df FROM dg GROUP BY g)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty
+    FROM dg JOIN df USING (g)
+    GROUP BY doc_id
+"""
+
+
+@query("q_text_novelty", _NOVELTY_ORACLE)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    {_NOV_N}-grams that occur in NO other document (df == 1; a gram
+    repeated only within one doc is still that doc's own) — the
+    memorization/boilerplate axis of corpus curation: novelty ~0 means
+    the doc is assembled from corpus-common phrasing (template/spam),
+    ~1 means genuinely fresh text worth its training tokens.
+
+    Scale shape: q_ngram_lm's discipline on distinct grams — one
+    explode pass partial-aggregates the per-gram document frequency
+    (hot boilerplate grams collapse map-side), the df table joins back
+    onto the exploded frame on the gram key (the same two exchanges
+    hash on g, so Catalyst reuses the exchange), and the per-doc
+    verdict is one more partial agg.  The ratio is a single division
+    of exact integers."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    dg = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(grams_all(F.col("text"), _NOV_N))
+        ).alias("g"),
+    )
+    df = dg.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    uniq = F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+    return (
+        dg.join(df, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            uniq.cast("bigint").alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )

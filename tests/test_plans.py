@@ -941,3 +941,23 @@ def test_event_paths_shares_one_window_sort(spark):
     plan = plan_of(QUERIES["q_event_paths"](spark, SF_SMOKE))
     assert plan.count("Window (") == 2  # user-window + global top-k rank
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_backlog_sweep_windows_day_rollup_only(spark):
+    """The concurrency curve is a sweep-line: deltas partial-aggregate
+    to one row per day BEFORE the single cumulative window — never a
+    days x intervals range join."""
+    plan = plan_of(QUERIES["q_backlog_intervals"](spark, SF_SMOKE))
+    assert plan.count("Window (") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_text_novelty_reuses_gram_exchange(spark):
+    """df rolls up from the exploded gram frame and joins back on the
+    same gram key — partial aggregation below the exchange, no window,
+    no cartesian."""
+    plan = plan_of(QUERIES["q_text_novelty"](spark, SF_SMOKE))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, plan
