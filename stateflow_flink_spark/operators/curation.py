@@ -1014,6 +1014,13 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sum(n_dg * p_scaled) div sum(n_dg)").alias("score_q")
         )
     )
+    # pinned: the tercile-cut chain AND the final projection both read
+    # the per-doc scores — without this the whole bigram-LM join chain
+    # (the expensive part) executes twice; the pinned frame is one
+    # 16-byte row per doc
+    from ..session import pin as _pin
+
+    docs = _pin(docs, eager=True)
     hist = docs.groupBy(F.col("score_q").alias("v")).agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -282,11 +282,18 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized shuffle), then arithmetic over a domains-sized frame
     with a broadcast scalar."""
     from ..numerics import exact_sum
+    from ..session import pin
 
     d = load(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+    # pinned: the normalizer and the final projection both consume the
+    # domains rollup — materializing the tiny frame once beats running
+    # the corpus token-count scan twice (the q_mix_epochs fix)
+    s = pin(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias("n_tokens"),
+        ),
+        eager=True,
     )
     w = F.round(F.sqrt(F.col("n_tokens")), 6)
     total = s.select(w.alias("w")).agg(exact_sum("w").alias("total"))
