@@ -957,3 +957,166 @@ def q_backlog_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dx").alias("delta"),
         F.sum("dx").over(wcum).cast("bigint").alias("open_lineitems"),
     )
+
+
+# ---------------------------------------------------------------------------
+# First-touch attribution — the acquisition-side twin of last-touch
+# ---------------------------------------------------------------------------
+
+_FT_ORACLE = f"""
+    WITH touches AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    carried AS (
+        SELECT user_id, event_id, ts, event_type,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                           IGNORE NULLS) OVER w AS first_click_id,
+               FIRST_VALUE(CASE WHEN event_type = 'click' THEN ts END
+                           IGNORE NULLS) OVER w AS first_click_ts
+        FROM touches
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN first_click_ts >= ts - INTERVAL {_ATTR_WINDOW_DAYS} DAYS
+                THEN first_click_id END AS attributed_click_id,
+           CASE WHEN first_click_ts >= ts - INTERVAL {_ATTR_WINDOW_DAYS} DAYS
+                THEN EPOCH_US(ts) - EPOCH_US(first_click_ts) END AS gap_us
+    FROM carried WHERE event_type = 'purchase'
+"""
+
+
+@query("q_attribution_first_touch", _FT_ORACLE)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each purchase credited to the user's
+    EARLIEST click within the {D}-day lookback — the acquisition-side
+    model run next to last-touch (q_attribution_last_touch) in every
+    channel report; the two bracket where multi-touch models land.
+
+    Same zero-join LOCF spelling and the same single user-keyed window
+    shuffle — FIRST_VALUE IGNORE NULLS over rows-unbounded-preceding
+    carries O(1) state exactly like last(); the lookback stays a
+    post-filter projection."""
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    carried = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(click_id, ignorenulls=True).over(w).alias("first_click_id"),
+        F.first(click_ts, ignorenulls=True).over(w).alias("first_click_ts"),
+    )
+    in_window = F.col("first_click_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {_ATTR_WINDOW_DAYS} DAYS"
+    )
+    return carried.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(in_window, F.col("first_click_id")).alias("attributed_click_id"),
+        F.when(
+            in_window,
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.col("first_click_ts"))
+            ),
+        ).alias("gap_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growth accounting — new / retained / resurrected / churned per day
+# ---------------------------------------------------------------------------
+
+_GROWTH_ORACLE = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        FROM events
+    ),
+    seq AS (
+        SELECT user_id, d,
+               MIN(d) OVER (PARTITION BY user_id) AS first_d,
+               LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+               LEAD(d) OVER (PARTITION BY user_id ORDER BY d) AS next_d
+        FROM ud
+    ),
+    active AS (
+        SELECT d AS day,
+               CASE WHEN d = first_d THEN 'new'
+                    WHEN prev_d = d - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS cls
+        FROM seq
+    ),
+    churn AS (
+        SELECT d + 1 AS day, 'churned' AS cls
+        FROM seq
+        WHERE (next_d IS NULL OR next_d > d + 1)
+          AND d + 1 <= (SELECT MAX(d) FROM ud)
+    ),
+    ev AS (SELECT * FROM active UNION ALL SELECT * FROM churn)
+    SELECT day, cls, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ev GROUP BY day, cls
+"""
+
+
+@query("q_growth_accounting", _GROWTH_ORACLE)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: every active user classified as new
+    (first day ever), retained (active the previous day) or resurrected
+    (returning after a gap), plus churned (active the previous day,
+    absent today) — the decomposition behind "DAU grew, but is that
+    acquisition or resurrection?", and the standard growth-team ledger
+    (DAU(d) = new + retained + resurrected; DAU(d-1) = retained(d) +
+    churned(d), which is the invariant the test pins).
+
+    Scale shape: the corpus collapses to the (user, day) rollup first
+    (one distinct shuffle), then ONE user-keyed window sort serves
+    MIN/LAG/LEAD together (single exchange), classification is a
+    projection, and the ledger is a (days x 4)-sized partial agg.
+    Churn needs no self-join: a user's absence tomorrow is visible in
+    today's LEAD."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    wall = Window.partitionBy("user_id")
+    seq = ud.select(
+        "user_id",
+        "d",
+        F.min("d").over(wall).alias("first_d"),
+        F.lag("d").over(w).alias("prev_d"),
+        F.lead("d").over(w).alias("next_d"),
+    )
+    active = seq.select(
+        F.col("d").alias("day"),
+        F.when(F.col("d") == F.col("first_d"), "new")
+        .when(F.col("prev_d") == F.col("d") - 1, "retained")
+        .otherwise("resurrected")
+        .alias("cls"),
+    )
+    max_d = ud.agg(F.max("d").alias("max_d"))
+    churn = (
+        seq.filter(F.col("next_d").isNull() | (F.col("next_d") > F.col("d") + 1))
+        .crossJoin(F.broadcast(max_d))
+        .filter(F.col("d") + 1 <= F.col("max_d"))
+        .select((F.col("d") + 1).alias("day"), F.lit("churned").alias("cls"))
+    )
+    return (
+        active.unionByName(churn)
+        .groupBy("day", "cls")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1230,3 +1230,33 @@ def test_mix_epochs_budget_conserved(spark):
     large = max(rows, key=lambda r: r.n_tokens)
     if small.n_tokens < large.n_tokens:
         assert small.epochs >= large.epochs
+
+
+def test_growth_accounting_ledger_invariant(spark):
+    """The growth ledger must balance: DAU(d) = new + retained +
+    resurrected, and DAU(d-1) = retained(d) + churned(d) for every day
+    after the first — the identity growth teams reconcile dashboards
+    with."""
+    import collections
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    from .conftest import SF_SMOKE
+
+    load_all_modules()
+    rows = QUERIES["q_growth_accounting"](spark, SF_SMOKE).collect()
+    per_day = collections.defaultdict(dict)
+    for r in rows:
+        per_day[r.day][r.cls] = r.n
+    days = sorted(per_day)
+    assert len(days) >= 2
+    dau = {
+        d: sum(v for k, v in per_day[d].items() if k != "churned")
+        for d in days
+    }
+    for prev, cur in zip(days, days[1:]):
+        if cur != prev + 1:
+            continue  # gap days have no ledger row
+        lhs = dau[prev]
+        rhs = per_day[cur].get("retained", 0) + per_day[cur].get("churned", 0)
+        assert lhs == rhs, (cur, lhs, rhs, dict(per_day[cur]))

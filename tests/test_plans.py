@@ -961,3 +961,19 @@ def test_text_novelty_reuses_gram_exchange(spark):
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_growth_accounting_single_user_window(spark):
+    """MIN/LAG/LEAD share one user-keyed window sort (a single
+    exchange feeds the window pair); churn needs no self-join."""
+    plan = plan_of(QUERIES["q_growth_accounting"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_first_touch_is_locf_window_no_join(spark):
+    """Same zero-join contract as last-touch: one user-keyed window,
+    no as-of join fan-out."""
+    plan = plan_of(QUERIES["q_attribution_first_touch"](spark, SF_SMOKE))
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window (") == 1, plan
