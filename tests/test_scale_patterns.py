@@ -537,3 +537,32 @@ def test_rfm_scale_path_plan_has_no_window(spark):
     plan = buf.getvalue()
     assert "Window" not in plan, plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 10)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_backlog_sweep_line_matches_brute_force_stabbing(intervals):
+    """The ±1-delta cumulative sum at boundary day d must equal the
+    brute-force stabbing count |{i : start_i <= d < end_i}| for ANY
+    interval set — the identity q_backlog_intervals' plan rests on
+    (pure-python twin of the Spark pipeline; the fixture query is
+    oracle-checked separately)."""
+    import collections
+
+    ivs = [(s, s + length) for s, length in intervals]
+    deltas = collections.Counter()
+    for s, e in ivs:
+        deltas[s] += 1
+        deltas[e] -= 1
+    days = sorted(deltas)
+    cum = 0
+    for d in days:
+        cum += deltas[d]
+        brute = sum(1 for s, e in ivs if s <= d < e)
+        assert cum == brute, (d, cum, brute)
