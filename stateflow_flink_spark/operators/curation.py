@@ -1063,9 +1063,9 @@ _TFIDF_COSINE_ORACLE = f"""
     keep AS (SELECT term, df FROM df WHERE df <= {_TC_DF_CAP}),
     w AS (
         SELECT tf.doc_id, tf.term,
-               tf.tf * CAST(ROUND((LN(CAST(n_docs AS DOUBLE))
-                                   - LN(CAST(df AS DOUBLE))) * 1000000.0)
-                            AS BIGINT) AS wq
+               CAST(tf.tf * CAST(ROUND((LN(CAST(n_docs AS DOUBLE))
+                                        - LN(CAST(df AS DOUBLE))) * 1000000.0)
+                                 AS BIGINT) AS DECIMAL(19,0)) AS wq
         FROM tf JOIN keep USING (term) CROSS JOIN n
     ),
     norms AS (SELECT doc_id, SUM(wq * wq) AS s FROM w GROUP BY doc_id),
@@ -1119,7 +1119,16 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         tf.join(keep, "term")
         .crossJoin(F.broadcast(n))
-        .select("doc_id", "term", (F.col("tf") * idf_q).alias("wq"))
+        .select(
+            "doc_id",
+            "term",
+            # DECIMAL(19,0) factors make every downstream square/product a
+            # decimal(38,0) multiply (19+19 fits both engines' 38-digit cap):
+            # wq = tf * idf_q can reach ~2e11, so a LongType square would
+            # silently wrap int64 in Spark while DuckDB raises — the decimal
+            # cast must happen BEFORE the multiply, not after.
+            (F.col("tf") * idf_q).cast("decimal(19,0)").alias("wq"),
+        )
     )
     norms = w.groupBy("doc_id").agg(
         F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("s")

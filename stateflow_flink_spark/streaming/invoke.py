@@ -82,8 +82,13 @@ def invoke_stateless(
 
     ``latency`` (a ``metrics.InvokeLatency``) reproduces the reference's
     per-invoke Dropwizard histogram (``InvokeStatelessLambda.java:57-63,
-    95``): every call — success, failure or timeout-abandoned — lands
-    one worker-side sample, merged to the driver on task completion."""
+    95``): every completed call — success or failure — lands one
+    worker-side sample, merged to the driver on task completion.
+    Timeout-ABANDONED calls are best-effort: their sample is recorded in
+    the abandoned worker thread's ``finally`` only if the call returns
+    before the Spark task reports its accumulator updates; a call that
+    outlives the task is dropped from the histogram (it was dropped from
+    the output too — same row, same fate)."""
 
     # resolve on the driver and let cloudpickle ship the callable — a
     # worker process's registry only has import-time registrations

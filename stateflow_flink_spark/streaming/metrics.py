@@ -21,6 +21,7 @@ standard Prometheus-histogram trade, made here for the same reason
 
 from __future__ import annotations
 
+import threading
 import time
 from bisect import bisect_left
 from collections.abc import Callable
@@ -65,6 +66,15 @@ class InvokeLatency:
         self.name = name
         self._acc = spark.sparkContext.accumulator(_zero(), _LatencyHistParam())
 
+    def __getstate__(self) -> dict:
+        # threading.Lock doesn't pickle; workers recreate it lazily.
+        return {k: v for k, v in self.__dict__.items() if k != "_lock"}
+
+    def _lock_handle(self) -> threading.Lock:
+        # dict.setdefault is atomic under the GIL, so concurrent first
+        # callers all end up holding the same lock object.
+        return self.__dict__.setdefault("_lock", threading.Lock())
+
     # -- worker side ----------------------------------------------------
     def record(self, elapsed_s: float) -> None:
         ms = elapsed_s * 1000.0
@@ -73,7 +83,10 @@ class InvokeLatency:
         upd["total_ms"] = ms
         upd["max_ms"] = ms
         upd["buckets"][bisect_left(BUCKET_BOUNDS_MS, ms)] = 1
-        self._acc.add(upd)
+        # invoke_stateless fans calls across a ThreadPoolExecutor;
+        # Accumulator.add is a non-atomic read-modify-write, so serialize.
+        with self._lock_handle():
+            self._acc.add(upd)
 
     def timed_stateless(self, fn: Callable[[dict], dict]) -> Callable[[dict], dict]:
         """Wrap a StatelessFn so every call lands one histogram sample —

@@ -975,5 +975,5 @@ def test_first_touch_is_locf_window_no_join(spark):
     """Same zero-join contract as last-touch: one user-keyed window,
     no as-of join fan-out."""
     plan = plan_of(QUERIES["q_attribution_first_touch"](spark, SF_SMOKE))
-    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan
     assert plan.count("Window (") == 1, plan
