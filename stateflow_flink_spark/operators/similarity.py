@@ -113,6 +113,34 @@ def guard_exact_pairs(e: DataFrame, query_name: str, scale_twin: str) -> None:
         )
 
 
+# Companion cap for the BRUTE-FORCE probe scorers (q_knn_label and its
+# reuses): they broadcast a bounded probe frame against the full corpus,
+# so cost is probes x corpus cosines plus a probes-sized broadcast — not
+# O(n²), but both grow linearly in the probe count.  Past the cap they
+# refuse and point at the IVF-batched serving path instead of silently
+# scheduling a corpus scan per probe.
+BRUTE_PROBE_CAP = int(
+    __import__("os").environ.get("SPARK_GRAFT_BRUTE_PROBE_CAP", "4096")
+)
+
+
+def guard_probe_count(probes: DataFrame, query_name: str, scale_twin: str) -> None:
+    """Refuse a brute-force probe-scoring pass above BRUTE_PROBE_CAP
+    probes — the probe-frame analog of :func:`guard_exact_pairs`.  The
+    count is one cheap job over the (tiny) probe frame; the error names
+    the candidate-pruned twin so a high-QPS user gets the correct next
+    step, not an accidental probes-x-corpus broadcast join."""
+    n = probes.count()
+    if n > BRUTE_PROBE_CAP:
+        raise ValueError(
+            f"{query_name} scores every probe against the FULL corpus "
+            f"(brute force) and is capped at {BRUTE_PROBE_CAP} probes "
+            f"(got {n}): that schedules probes x corpus cosines. Use "
+            f"{scale_twin} at this probe volume, or raise "
+            f"SPARK_GRAFT_BRUTE_PROBE_CAP for a deliberate exact audit."
+        )
+
+
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -226,11 +254,15 @@ def q_sim_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority label among each probe's 10 nearest neighbours
-    (probes = vec_id 0..4, broadcast against the corpus)."""
+    (probes = vec_id 0..4, broadcast against the corpus).  Brute-force
+    by contract — the exact-ranking oracle the ANN serving paths are
+    checked against — so the probe frame is capped (guard_probe_count);
+    past the cap, q_sim_ann_batch is the candidate-pruned spelling."""
     e = load(spark, sf_dir, "embeddings")
     probes = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("pe")
     )
+    guard_probe_count(probes, "q_knn_label", "q_sim_ann_batch (IVF-batched)")
     scored = (
         e.crossJoin(broadcast(probes))
         .filter(F.col("vec_id") != F.col("probe_id"))
@@ -1679,26 +1711,50 @@ _KNN_GRAPH_ORACLE = f"""
 """
 
 
-@query("q_knn_graph_mutual", _KNN_GRAPH_ORACLE)
-def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual-kNN graph over the embedding corpus: an undirected edge
-    (a, b) exists iff b is in a's top-{_KG_K} cosine neighbors AND a is
-    in b's — the sparsifying symmetric filter under semantic clustering
-    and graph label propagation (asymmetric hubs, which dominate plain
-    kNN graphs in high dimension, are exactly what mutuality removes).
+KNN_GRAPH_SCALE_CONF = "spark.stateflow.knnGraph.scalePath"
+_KG_PROBE_CELLS = 4  # IVF cells probed per query on the scale path
 
-    Plan: q_label_noise's two-phase exact kNN wholesale — block-GEMM
-    partial top-k per block pair, one window merge to global top-k —
-    then the mutuality check is a self-join of the (corpus x K)-sized
-    directed edge list on the reversed key, emitting each unordered
-    edge once.  The edge list is pinned first so the two join branches
-    don't re-run the GEMM.  Same O(n²) gate as the other exact twins;
-    at 100 TB the top-k stage swaps to the IVF/LSH candidate streams
-    unchanged and the mutual join is untouched."""
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    guard_exact_pairs(
-        e, "q_knn_graph_mutual", "the IVF/LSH candidate stage (q_sim_ann_*)"
+
+def _knn_cell_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-IVF-cell partial top-K: probe rows x member rows GEMM,
+    chunked over probe rows so a hot cell degrades to more steps, not
+    OOM.  Same float discipline as _knn_block_topk (float64 dots, 6 dp
+    rounding before any ordering, ties on nbr_id ascending)."""
+    qs = pdf[pdf["is_probe"]]
+    cs = pdf[pdf["is_member"]]
+    out: list[tuple] = []
+    if len(qs) and len(cs):
+        mc = np.stack(cs["embedding"].to_numpy()).astype(np.float64)
+        ci = cs["vec_id"].to_numpy()
+        nc = np.linalg.norm(mc, axis=1)
+        blk = max(1, _EMB_LSH_PAIR_CHUNK // len(cs))
+        for s in range(0, len(qs), blk):
+            qch = qs.iloc[s : s + blk]
+            mq = np.stack(qch["embedding"].to_numpy()).astype(np.float64)
+            qi = qch["vec_id"].to_numpy()
+            c = np.round(
+                (mq @ mc.T) / np.outer(np.linalg.norm(mq, axis=1), nc), 6
+            )
+            c[qi[:, None] == ci[None, :]] = -np.inf  # self-match
+            k = min(_KG_K, c.shape[1])
+            for row in range(c.shape[0]):
+                for j in np.lexsort((ci, -c[row]))[:k]:
+                    if np.isfinite(c[row, j]):
+                        out.append((int(qi[row]), int(ci[j]), c[row, j]))
+    return pd.DataFrame(
+        out, columns=["vec_id", "nbr_id", "cos_sim"]
+    ) if out else pd.DataFrame(
+        {
+            "vec_id": pd.Series([], dtype="int64"),
+            "nbr_id": pd.Series([], dtype="int64"),
+            "cos_sim": pd.Series([], dtype="float64"),
+        }
     )
+
+
+def _knn_topk_exact(e: DataFrame) -> DataFrame:
+    """Directed exact top-{_KG_K} list via the q_label_noise two-phase
+    block-GEMM: partial top-k per block pair, one window merge."""
     tagged = e.withColumn("blk", (F.col("vec_id") % EMB_BLOCKS).cast("int")) \
         .withColumn("label", F.lit(0).cast("int"))
     rep = tagged.select(
@@ -1723,12 +1779,80 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id long, label int, nbr_id long, nbr_label int, cos_sim double",
     )
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
-    top = pin(
+    return (
         partial.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= _KG_K)
-        .select("vec_id", "nbr_id", "cos_sim"),
-        eager=True,
+        .select("vec_id", "nbr_id", "cos_sim")
     )
+
+
+def _knn_topk_ivf(e: DataFrame) -> DataFrame:
+    """Directed approximate top-{_KG_K} list fed by the q_sim_ann_ivf
+    candidate stage: every vector is a MEMBER of its nearest centroid's
+    cell and a PROBE of its {_KG_PROBE_CELLS} nearest cells; each cell
+    group scores its probes against its members only.  Candidate volume
+    is ~{_KG_PROBE_CELLS}·n·(n/cells) pairs instead of n²/2 — with
+    cells ~ sqrt(n) (classic IVF sizing) that is O(n^1.5), and each
+    (q, nbr) pair arises in exactly one cell (a member belongs to one
+    cell), so the window merge needs no dedup.  No O(n²) gate: this IS
+    the scale path."""
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    scored = e.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cent_id",
+        F.round(cosine_arrow(F.col("embedding"), F.col("ce")), 6).alias("cs"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cs"), F.asc("cent_id"))
+    roles = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KG_PROBE_CELLS)
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("cent_id").alias("cell"),
+            (F.col("rn") == 1).alias("is_member"),
+            F.lit(True).alias("is_probe"),
+        )
+    )
+    partial = roles.groupBy("cell").applyInPandas(
+        _knn_cell_topk, "vec_id long, nbr_id long, cos_sim double"
+    )
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("cos_sim"), F.asc("nbr_id"))
+    return (
+        partial.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _KG_K)
+        .select("vec_id", "nbr_id", "cos_sim")
+    )
+
+
+def knn_graph_mutual(
+    spark: SparkSession, sf_dir: str, scale_path: bool
+) -> DataFrame:
+    """Both spellings of the mutual-kNN graph (shared mutual join).
+
+    ``scale_path=False`` — exact block-GEMM top-{_KG_K}; the
+    verification twin, O(n²) work, gated at EXACT_PAIRS_CAP vectors.
+
+    ``scale_path=True`` — the 100 TB spelling: the directed top-k list
+    comes from the IVF candidate stage (q_sim_ann_ivf's cells), never
+    an all-pairs scan.  Contract difference is recall only: an edge can
+    drop when either endpoint's true neighbor sits outside its probed
+    cells (and a farther candidate backfills the list); every emitted
+    similarity is still the exact 6-dp cosine of its pair.  The
+    equivalence test pins edge recall/precision vs the exact twin."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if scale_path:
+        top = _knn_topk_ivf(e)
+    else:
+        guard_exact_pairs(
+            e, "q_knn_graph_mutual", "q_knn_graph_mutual_ann (IVF-fed)"
+        )
+        top = _knn_topk_exact(e)
+    # pin: the two mutual-join branches must not re-run the kNN stage
+    top = pin(top, eager=True)
     x, y = top.alias("x"), top.alias("y")
     return (
         x.join(
@@ -1743,3 +1867,85 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.cos_sim").alias("cos_sim"),
         )
     )
+
+
+@query("q_knn_graph_mutual", _KNN_GRAPH_ORACLE)
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-kNN graph over the embedding corpus: an undirected edge
+    (a, b) exists iff b is in a's top-{_KG_K} cosine neighbors AND a is
+    in b's — the sparsifying symmetric filter under semantic clustering
+    and graph label propagation (asymmetric hubs, which dominate plain
+    kNN graphs in high dimension, are exactly what mutuality removes).
+
+    Plan: q_label_noise's two-phase exact kNN wholesale — block-GEMM
+    partial top-k per block pair, one window merge to global top-k —
+    then the mutuality check is a self-join of the (corpus x K)-sized
+    directed edge list on the reversed key, emitting each unordered
+    edge once.  The edge list is pinned first so the two join branches
+    don't re-run the GEMM.  Same O(n²) gate as the other exact twins;
+    set ``spark.stateflow.knnGraph.scalePath=true`` (or run
+    q_knn_graph_mutual_ann) to feed the mutual join from the IVF
+    candidate stage instead — the runnable 100 TB path."""
+    scale = (
+        str(spark.conf.get(KNN_GRAPH_SCALE_CONF, "false")).lower() == "true"
+    )
+    return knn_graph_mutual(spark, sf_dir, scale_path=scale)
+
+
+_KNN_GRAPH_ANN_ORACLE = f"""
+    WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb
+              WHERE vec_id < {N_CENTROIDS}),
+    scored AS (
+        SELECT emb.vec_id, cents.cent_id,
+               ROUND(list_cosine_similarity(emb.e, cents.ce), 6) AS cs
+        FROM emb CROSS JOIN cents
+    ),
+    ranked AS (
+        SELECT vec_id, cent_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, cent_id ASC) AS rn
+        FROM scored
+    ),
+    assigned AS (SELECT vec_id, cent_id FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cent_id FROM ranked
+               WHERE rn <= {_KG_PROBE_CELLS}),
+    cand AS (
+        SELECT p.vec_id AS q, a.vec_id AS n
+        FROM probes p JOIN assigned a USING (cent_id)
+        WHERE a.vec_id <> p.vec_id
+    ),
+    s AS (
+        SELECT c.q, c.n,
+               ROUND(list_cosine_similarity(eq.e, en.e), 6) AS cv
+        FROM cand c
+        JOIN emb eq ON eq.vec_id = c.q
+        JOIN emb en ON en.vec_id = c.n
+    ),
+    r AS (
+        SELECT q, n, cv,
+               ROW_NUMBER() OVER (PARTITION BY q ORDER BY cv DESC, n) AS rk
+        FROM s
+    ),
+    top AS (SELECT q, n, cv FROM r WHERE rk <= {_KG_K})
+    SELECT x.q AS vec_a, x.n AS vec_b, x.cv AS cos_sim
+    FROM top x JOIN top y ON x.q = y.n AND x.n = y.q
+    WHERE x.q < x.n
+"""
+
+
+@query("q_knn_graph_mutual_ann", _KNN_GRAPH_ANN_ORACLE)
+def q_knn_graph_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spelling of q_knn_graph_mutual AS A RUNNABLE QUERY:
+    the directed top-{_KG_K} stage is fed by the IVF candidate stream
+    (q_sim_ann_ivf's deterministic cells, {_KG_PROBE_CELLS} probe cells
+    per query) instead of the gated exact block-GEMM, and the mutual
+    self-join is byte-identical to the exact twin's.  Candidate volume
+    is O(n²·probes/cells) — with cells grown ~ sqrt(n) at ingest this
+    is O(n^1.5) score work and a cell-keyed shuffle, no O(n²) anywhere,
+    so no EXACT_PAIRS_CAP gate.  The oracle mirrors cell assignment,
+    probe choice, candidate generation, and both rankings exactly
+    (6 dp rounding + ascending-id ties), so even the APPROXIMATE graph
+    hash-checks across engines; recall/precision vs the exact graph is
+    pinned separately in tests/test_scale_patterns.py."""
+    return knn_graph_mutual(spark, sf_dir, scale_path=True)
