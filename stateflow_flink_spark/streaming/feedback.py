@@ -89,6 +89,44 @@ def default_advance(df: DataFrame) -> DataFrame:
     )
 
 
+def invoked_advance(latency=None) -> Callable[[DataFrame], DataFrame]:
+    """:func:`default_advance` as a PER-EVENT external function call —
+    the reference's InvokeStatefulLambda contract (one lambda call per
+    event, ``InvokeStatefulLambda.java:103-115``), with the latency
+    histogram wrapped around the call exactly where the reference wraps
+    its Dropwizard metric (``:56-59`` build, ``:112`` update).
+
+    ``latency`` is a ``metrics.InvokeLatency``; None runs the same
+    per-event path untimed.  Use this advance in
+    :func:`run_feedback_loop` to make the live cycle's hops observable:
+    after the loop drains, ``latency.snapshot()`` is the populated
+    histogram the reference's metric reporter would scrape."""
+    import pandas as pd
+
+    def hop(event: dict) -> dict:
+        steps = event["steps_left"] - 1
+        return {
+            "event_id": event["event_id"],
+            "steps_left": steps,
+            "current_node_type": RETURN_NODE if steps <= 0 else "step",
+            "n_hops": event["n_hops"] + 1,
+        }
+
+    fn = latency.timed_stateless(hop) if latency is not None else hop
+    cols = [f.name for f in FLOW_SCHEMA.fields]
+
+    def advance(df: DataFrame) -> DataFrame:
+        def run(batches):
+            for pdf in batches:
+                yield pd.DataFrame(
+                    [fn(ev) for ev in pdf.to_dict("records")], columns=cols
+                )
+
+        return df.mapInPandas(run, FLOW_SCHEMA)
+
+    return advance
+
+
 def run_feedback_loop(
     spark: SparkSession,
     seed: DataFrame,
@@ -97,6 +135,7 @@ def run_feedback_loop(
     expected_replies: int | None = None,
     timeout_s: float = 120.0,
     trigger_s: str = "250 milliseconds",
+    latency=None,
 ) -> DataFrame:
     """Drive ``seed`` flows through the live two-query cycle; return the
     client replies as a DataFrame.
@@ -104,7 +143,17 @@ def run_feedback_loop(
     ``seed`` must match FLOW_SCHEMA minus ``current_node_type``/
     ``n_hops`` (stamped by the ingress router).  ``expected_replies``
     defaults to ``seed.count()`` — the drain condition.
+
+    ``latency`` (a ``metrics.InvokeLatency``): when given and
+    ``advance`` is the default, each hop runs as a per-event invoked
+    call through :func:`invoked_advance`, so every event of every
+    micro-batch lands one histogram sample; scrape
+    ``latency.snapshot()`` after the loop drains (the reference
+    reporter's cadence).  A custom ``advance`` is used as passed —
+    wrap it yourself if it should be timed.
     """
+    if latency is not None and advance is default_advance:
+        advance = invoked_advance(latency)
     base = workdir or tempfile.mkdtemp(prefix="sfs_feedback_")
     d_request = os.path.join(base, "client_request")
     d_internal = os.path.join(base, "internal")
