@@ -80,7 +80,9 @@ def test_events_loader_handles_both_physical_eras(spark, tmp_path):
 def test_bench_artifact_matches_registry():
     """The committed BENCH.json must cover EXACTLY the registered query
     surface with no error sentinels — catches the 'added a query,
-    forgot to refresh the bench artifact' drift (and the reverse)."""
+    forgot to refresh the bench artifact' drift (and the reverse).
+    On failure: python tools/refresh_artifacts.py (the round-end
+    entry point that regenerates all three guarded artifacts)."""
     import json
     import pathlib
 
@@ -101,7 +103,8 @@ def test_operators_md_matches_registry():
     renders from the live registry — catches the 'added a query, forgot
     to regenerate the index' drift (OPERATORS.md said 144 for a round
     while the registry held 145).  On failure:
-    python -m stateflow_flink_spark.plans.operators_md > OPERATORS.md"""
+    python tools/refresh_artifacts.py --no-bench (or the underlying
+    python -m stateflow_flink_spark.plans.operators_md > OPERATORS.md)"""
     import pathlib
 
     from stateflow_flink_spark.plans.operators_md import render_operators_md
@@ -119,7 +122,9 @@ def test_survey_2b_covers_registry():
     """Every registered query name must appear in SURVEY.md §2B (as a
     `q_name` cell) — the round-4 judge found `q_mm_resize` implemented
     and indexed everywhere EXCEPT the survey table.  This pins SURVEY to
-    the registry the same way BENCH.json and OPERATORS.md already are."""
+    the registry the same way BENCH.json and OPERATORS.md already are.
+    tools/refresh_artifacts.py reports the missing names (the row text
+    itself is written by hand, not generated)."""
     import pathlib
     import re
 

@@ -1,0 +1,86 @@
+"""Round-end artifact refresh — the one mechanical entry point the
+artifact guards (tests/test_fixture_schemas.py) reference.
+
+Run AFTER the last query of the round is registered:
+
+    python tools/refresh_artifacts.py            # all three steps
+    python tools/refresh_artifacts.py --no-bench # skip the ~13 min bench
+
+Steps (each is exactly what its guard asserts):
+  1. OPERATORS.md  <- python -m stateflow_flink_spark.plans.operators_md
+  2. SURVEY check  <- every registry name appears in SURVEY.md §2B
+                      (report-only: a missing row needs a human sentence,
+                      not a generated one)
+  3. BENCH.json    <- python bench.py at $SPARK_GRAFT_SF_DIR (sf0.1),
+                      which must cover EXACTLY the registry
+
+Exit code is non-zero if any step fails, so the round's last commit can
+gate on it mechanically (round 6 ended with stale artifacts; round 7
+fixed them by hand; this makes round 8+ a one-liner).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def regenerate_operators_md() -> None:
+    out = subprocess.run(
+        [sys.executable, "-m", "stateflow_flink_spark.plans.operators_md"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    (REPO / "OPERATORS.md").write_text(out)
+    print(f"OPERATORS.md regenerated ({len(out.splitlines())} lines)")
+
+
+def check_survey() -> list[str]:
+    sys.path.insert(0, str(REPO))
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    survey = (REPO / "SURVEY.md").read_text()
+    missing = sorted(n for n in QUERIES if f"`{n}`" not in survey)
+    if missing:
+        print(f"SURVEY.md §2B is missing {len(missing)} rows: {missing}")
+    else:
+        print(f"SURVEY.md covers all {len(QUERIES)} registry queries")
+    return missing
+
+
+def refresh_bench() -> None:
+    print("running bench.py (stdout JSON line -> BENCH.json)...")
+    res = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    line = res.stdout.strip().splitlines()[-1]
+    import json
+
+    parsed = json.loads(line)  # refuse to commit a non-JSON artifact
+    (REPO / "BENCH.json").write_text(line + "\n")
+    print(
+        f"BENCH.json refreshed: {parsed['value']}s over "
+        f"{len(parsed['queries'])} queries at sf{parsed['sf']}"
+    )
+
+
+def main() -> int:
+    regenerate_operators_md()
+    missing = check_survey()
+    if "--no-bench" not in sys.argv:
+        refresh_bench()
+    return 1 if missing else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
