@@ -649,16 +649,18 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         cg.groupBy(F.substring_index(F.col("g"), " ", 1).alias("w1"))
         .agg(F.sum("c2").alias("c1"))
     )
-    scored = (
-        dg.join(cg, "g")
-        .withColumn("w1", F.substring_index(F.col("g"), " ", 1))
+    # resolve P(w2|w1) on the VOCABULARY-sized cg frame (one row per
+    # distinct bigram), so the per-doc frame takes exactly ONE join —
+    # joining c1 after dg⋈cg would re-shuffle the corpus-sized frame a
+    # second time for a lookup the bigram table can answer alone
+    # (isolated-stage profile, tools/SWEEP_r8.md: the two big-frame
+    # joins were the only stage scaling worse than 5x at 10x data).
+    pg = (
+        cg.withColumn("w1", F.substring_index(F.col("g"), " ", 1))
         .join(c1, "w1")
-        .select(
-            "doc_id",
-            "n_dg",
-            F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"),
-        )
+        .select("g", F.expr(f"(c2 * {_LM_SCALE}) div c1").alias("p_scaled"))
     )
+    scored = dg.join(pg, "g").select("doc_id", "n_dg", "p_scaled")
     return scored.groupBy("doc_id").agg(
         F.sum("n_dg").cast("bigint").alias("n_bigrams"),
         (

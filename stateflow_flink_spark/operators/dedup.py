@@ -800,7 +800,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # elimination across lambda scopes), i.e. ~n_tokens splits per doc.
     # Hoisting it is a 2.4x win on the whole explode+md5 stage
     # (measured 100 s -> 41 s for 21.5M windows at 500k docs).
-    d = load(spark, sf_dir, "documents").withColumn(
+    # spread(): the docs parquet is one split at fixture scale, so the
+    # explode+md5 map pass — the query's dominant stage — otherwise runs
+    # on ONE task regardless of cores (isolated-stage profile: 7.7x at
+    # 10x docs for that stage alone; tools/SWEEP_r8.md).
+    d = spread(load(spark, sf_dir, "documents"), spark).withColumn(
         "toks", F.split(F.col("text"), " ")
     )
     toks = F.col("toks")

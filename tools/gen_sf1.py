@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Generate an sf1 fixture set (10x sf0.1: 6M-row lineitem) for the
+scale sweep — round-7 judge item 5.
+
+The driver's testdata tops out at sf0.1 and is read-only, so sf1 is
+builder-generated: each fact table is 10 key-remapped copies of its
+sf0.1 twin (copy i shifts every key/id column by i * key_range), which
+preserves join fan-out, value distributions, date ranges, and skew
+shape while growing key cardinality linearly — the same thing a year
+of extra data does to a warehouse.  Dimension tables (region, nation)
+stay as-is, exactly like real scale-up.
+
+Caveat (documented in TESTDATA.md): documents/embeddings copies are
+textual/vector EXACT duplicates of each other modulo ids, so dedup-
+family outputs explode at sf1 by construction — the LLM-operator scale
+story is stress_sweep.py's planted-dup corpora, not this set.  sf1
+exists for the TPC-H shapes, streaming joins, and event analytics.
+
+    python tools/gen_sf1.py [dst]   # default $SPARK_GRAFT_SF1_DIR or
+                                    # /tmp/sfs_testdata_sf1
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+import shutil
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+COPIES = 10
+
+# per-table: columns shifted by copy_index * range of that key-space.
+# Ranges are the MAX+1 over the sf0.1 table that OWNS the key, so
+# foreign keys in fact tables shift in lockstep with their dimension.
+KEYSPACES = {
+    "c": "SELECT MAX(c_custkey) + 1 FROM read_parquet('{src}/customer.parquet')",
+    "s": "SELECT MAX(s_suppkey) + 1 FROM read_parquet('{src}/supplier.parquet')",
+    "p": "SELECT MAX(p_partkey) + 1 FROM read_parquet('{src}/part.parquet')",
+    "o": "SELECT MAX(o_orderkey) + 1 FROM read_parquet('{src}/orders.parquet')",
+    "e": "SELECT MAX(event_id) + 1 FROM read_parquet('{src}/events.parquet')",
+    "u": "SELECT MAX(user_id) + 1 FROM read_parquet('{src}/events.parquet')",
+    "d": "SELECT MAX(doc_id) + 1 FROM read_parquet('{src}/documents.parquet')",
+    "v": "SELECT MAX(vec_id) + 1 FROM read_parquet('{src}/embeddings.parquet')",
+}
+
+SHIFTS = {
+    "customer": {"c_custkey": "c"},
+    "supplier": {"s_suppkey": "s"},
+    "part": {"p_partkey": "p"},
+    "orders": {"o_orderkey": "o", "o_custkey": "c"},
+    "lineitem": {"l_orderkey": "o", "l_partkey": "p", "l_suppkey": "s"},
+    "events": {"event_id": "e", "user_id": "u"},
+    "documents": {"doc_id": "d"},
+    "embeddings": {"vec_id": "v"},
+}
+
+COPY_AS_IS = ("region", "nation")
+
+
+def main() -> None:
+    dst = pathlib.Path(
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sfs_testdata_sf1")
+    )
+    dst.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    ranges = {
+        k: con.execute(q.format(src=SRC)).fetchone()[0]
+        for k, q in KEYSPACES.items()
+    }
+    print("key ranges:", ranges)
+
+    for t in COPY_AS_IS:
+        shutil.copyfile(f"{SRC}/{t}.parquet", dst / f"{t}.parquet")
+        print(f"{t}: copied")
+
+    for t, shifts in SHIFTS.items():
+        cols = [
+            r[0]
+            for r in con.execute(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+            ).fetchall()
+        ]
+        sel = ", ".join(
+            f"{c} + i * {ranges[shifts[c]]} AS {c}" if c in shifts else c
+            for c in cols
+        )
+        con.execute(
+            f"""
+            COPY (
+                SELECT {sel}
+                FROM read_parquet('{SRC}/{t}.parquet'),
+                     generate_series(0, {COPIES - 1}) g(i)
+                ORDER BY i
+            ) TO '{dst}/{t}.parquet' (FORMAT parquet)
+            """
+        )
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{dst}/{t}.parquet')"
+        ).fetchone()[0]
+        print(f"{t}: {n} rows")
+    print(f"sf1 fixture set at {dst}")
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,14 @@ TARGETS = [
     "q_domain_kl",
     "q_tfidf_cosine_pairs",
     "q_knn_graph_mutual",
+    "q_knn_graph_mutual_ann",
 ]
+
+# Re-measure a subset without paying for the full table:
+#   SPARK_GRAFT_SWEEP_ONLY=q_ngram_lm,q_dedup_substring python tools/stress_sweep.py
+_only = os.environ.get("SPARK_GRAFT_SWEEP_ONLY")
+if _only:
+    TARGETS = [t for t in TARGETS if t in set(_only.split(","))]
 
 
 def gen_corpus(out_dir: str, n_docs: int, seed: int) -> None:
