@@ -1790,13 +1790,22 @@ def _knn_topk_ivf(e: DataFrame) -> DataFrame:
     """Directed approximate top-{_KG_K} list fed by the q_sim_ann_ivf
     candidate stage: every vector is a MEMBER of its nearest centroid's
     cell and a PROBE of its {_KG_PROBE_CELLS} nearest cells; each cell
-    group scores its probes against its members only.  Candidate volume
-    is ~{_KG_PROBE_CELLS}·n·(n/cells) pairs instead of n²/2 — with
-    cells ~ sqrt(n) (classic IVF sizing) that is O(n^1.5), and each
-    (q, nbr) pair arises in exactly one cell (a member belongs to one
-    cell), so the window merge needs no dedup.  No O(n²) gate: this IS
-    the scale path."""
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    group scores its probes against its members only.  Each (q, nbr)
+    pair arises in exactly one cell (a member belongs to one cell), so
+    the window merge needs no dedup.  No O(n²) gate: this IS the scale
+    path.
+
+    Cell count GROWS with the corpus — ceil(sqrt(n)), floored at
+    {N_CENTROIDS} (classic IVF sizing) — so candidate volume is
+    {_KG_PROBE_CELLS}·n·(n/cells) = O(n^1.5), not a constant fraction
+    of n².  The count is a parquet-footer job (the guard_exact_pairs
+    costing), and ceil(sqrt(·)) on an IEEE double is engine-identical,
+    which is what lets the ORACLE size its cells the same way."""
+    import math as _math
+
+    n = e.count()
+    n_cells = max(N_CENTROIDS, int(_math.ceil(_math.sqrt(n))))
+    cents = e.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
     )
     scored = e.crossJoin(broadcast(cents)).select(
@@ -1894,8 +1903,11 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_GRAPH_ANN_ORACLE = f"""
     WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    nc AS (SELECT GREATEST({N_CENTROIDS},
+                           CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS c
+           FROM emb),
     cents AS (SELECT vec_id AS cent_id, e AS ce FROM emb
-              WHERE vec_id < {N_CENTROIDS}),
+              WHERE vec_id < (SELECT c FROM nc)),
     scored AS (
         SELECT emb.vec_id, cents.cent_id,
                ROUND(list_cosine_similarity(emb.e, cents.ce), 6) AS cs
