@@ -1120,3 +1120,143 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "cls")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed engagement score — the feature-store staple
+# ---------------------------------------------------------------------------
+
+_DECAY_ORACLE = """
+    WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS ref_d FROM events),
+    aged AS (
+        SELECT user_id,
+               CAST(value * 1000000 AS DECIMAL(38,0)) AS vq,
+               DATEDIFF('day', CAST(ts AS DATE), ref_d) AS age_days
+        FROM events CROSS JOIN ref
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(age_days) AS BIGINT) AS last_seen_days,
+           CAST(SUM(vq * (1000000 // (1 + age_days))) AS DOUBLE)
+               / 1000000000000.0 AS decay_score
+    FROM aged
+    GROUP BY user_id
+"""
+
+
+@query("q_user_decay_score", _DECAY_ORACLE)
+def q_user_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-decayed engagement: sum of event values weighted by
+    hyperbolic age decay 1/(1 + age_days) against the corpus's newest
+    event day — the recency-weighted activity feature every churn /
+    ranking feature store materializes (recent engagement counts full,
+    last year's counts ~1/365th).
+
+    Hyperbolic rather than exponential ON PURPOSE: the decay becomes an
+    integer floor division (1e6 div (1+age)), so the whole score is the
+    numerics-module recipe end to end — 6-dp-exact value integers times
+    integer decay weights, summed in DECIMAL(38,0), ONE double division
+    at the end.  An exp(-λ·age) spelling would put libm exp() in both
+    engines and hand the hash-compare a transcendental to disagree on.
+
+    Scale shape: one broadcast scalar (the ref date), then one
+    map-side-combining groupBy(user_id) over the event scan — no
+    window, no join, the flattest feature-extraction shape there is."""
+    e = load(spark, sf_dir, "events")
+    ref = e.agg(F.max(F.to_date("ts")).alias("ref_d"))
+    aged = e.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        (F.col("value") * 1_000_000).cast("decimal(38,0)").alias("vq"),
+        F.datediff(F.col("ref_d"), F.to_date("ts")).alias("age_days"),
+    )
+    return aged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("age_days").cast("bigint").alias("last_seen_days"),
+        (
+            F.sum(F.col("vq") * F.expr("1000000 div (1 + age_days)"))
+            .cast("double")
+            / F.lit(1_000_000_000_000.0)
+        ).alias("decay_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket pair mining — co-ordered parts with support and lift
+# ---------------------------------------------------------------------------
+
+_MB_MIN_CO = 2  # minimum co-order count (support floor)
+
+_MB_ORACLE = f"""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM lines),
+    c1 AS (SELECT p, COUNT(*) AS c FROM lines GROUP BY p),
+    co AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_co
+        FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MB_MIN_CO}
+    )
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           ROUND(CAST(n_co AS DOUBLE) / n_orders, 6) AS support,
+           ROUND(CAST(n_co * n_orders AS DOUBLE) / (ca.c * cb.c), 6) AS lift
+    FROM co
+    JOIN c1 ca ON part_a = ca.p
+    JOIN c1 cb ON part_b = cb.p
+    CROSS JOIN n
+"""
+
+
+@query("q_market_basket", _MB_ORACLE)
+def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-ordered part pairs with support and lift (Agrawal &
+    Srikant 1994's pair pass, the one every basket analysis actually
+    ships): pairs of parts appearing in >= {_MB_MIN_CO} common orders,
+    scored by lift = P(a,b) / (P(a)·P(b)) — lift > 1 marks genuinely
+    associated parts, not merely popular ones.
+
+    Scale shape: the pair generator self-joins the DISTINCT (order,
+    part) lines on the ORDER key, so fan-out per order is C(k,2) of its
+    own line count — bounded by order size (TPC-H ~4-7 lines), never by
+    catalog or corpus size; the join shuffles on o and the pair count
+    partial-aggregates map-side.  Lift's denominators join on the
+    (catalog-sized) per-part counts.  Both ratios are single correctly-
+    rounded double divisions of exact integers (the PMI/tfidf
+    discipline), so the 6-dp rounding is engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    from ..session import pin as _pin
+
+    lines = _pin(lines)  # pair join + both count frames read it
+    n = lines.agg(F.countDistinct("o").alias("n_orders"))
+    c1 = lines.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = lines.alias("a"), lines.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _MB_MIN_CO)
+    )
+    ca = c1.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    cb = c1.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    return (
+        co.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            F.col("n_co").cast("bigint").alias("n_co"),
+            F.round(
+                F.col("n_co").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            F.round(
+                (F.col("n_co") * F.col("n_orders")).cast("double")
+                / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )

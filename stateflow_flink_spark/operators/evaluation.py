@@ -1,0 +1,279 @@
+"""Model-evaluation aggregates over the embedding corpus — ROC-AUC and
+calibration, the two curves every classifier eval report starts with.
+Completes the eval family (q_knn_eval confusion cells, q_eval_ndcg
+ranking quality, q_regression_eval fit metrics) with the
+threshold-free discrimination and reliability views.
+
+Shared setup: the "classifier" under eval is the similarity scorer the
+ANN family serves — predicted score s(v) = cosine(v, corpus[0]),
+rounded to 6 dp (the module-wide cross-engine float discipline), truth
+y(v) = label >= 5.  Deterministic, engine-identical, and the exact
+shape of a real retrieval-as-classification eval.
+
+Scale shape (both queries): scores NEVER meet a global row-level sort.
+The 6 dp rounding makes the score domain FINITE (<= 2,000,001 distinct
+values in [-1, 1]) so both queries aggregate to a per-score histogram
+first — one map-side-combining groupBy over the corpus — and run their
+window / binning over the bounded histogram.  AUC via the Mann-Whitney
+rank-sum needs ranks of a 100 TB corpus; ranks of its <= 2e6-row score
+histogram are the same ranks, computed on one executor's worth of
+data.  (A row-level RANK() window would be the single-reducer sort the
+RFM scale path exists to avoid.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+from pyspark.sql.window import Window
+
+from ..io import load
+from ..plans.registry import query
+from .similarity import cosine_arrow
+
+_POS_LABEL_MIN = 5  # labels 0-9 in the fixtures; >= 5 is the positive class
+
+# score histogram + probe-vector CTEs shared by both oracles
+_SCORED_SQL = f"""
+        SELECT e.vec_id,
+               CASE WHEN e.label >= {_POS_LABEL_MIN} THEN 1 ELSE 0 END AS y,
+               ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                                            q.qe::DOUBLE[]), 6) AS s
+        FROM embeddings e,
+             (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id <> 0
+"""
+
+_AUC_ORACLE = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    hist AS (
+        SELECT s, COUNT(*) AS cnt, SUM(y) AS pos
+        FROM scored GROUP BY s
+    ),
+    ranked AS (
+        -- doubled tie-sharing average rank 2*min_rank + ties - 1 (an
+        -- integer), from a cumulative count over the bounded histogram
+        SELECT cnt, pos,
+               2 * (COALESCE(SUM(cnt) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1)
+                   + cnt - 1 AS r2
+        FROM hist
+    )
+    SELECT CAST(npos AS BIGINT) AS n_pos,
+           CAST(nneg AS BIGINT) AS n_neg,
+           CAST(s2pos - npos * (npos + 1) AS DOUBLE)
+               / (2.0 * npos * nneg) AS auc
+    FROM (
+        SELECT SUM(pos) AS npos,
+               SUM(cnt) - SUM(pos) AS nneg,
+               SUM(pos * r2) AS s2pos
+        FROM ranked
+    )
+"""
+
+
+@query("q_eval_auc", _AUC_ORACLE)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the cosine scorer via the Mann-Whitney rank-sum
+    identity AUC = (S_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg), with
+    tie-sharing average ranks — the standard exact AUC (equivalent to
+    the trapezoidal ROC integral with ties at 0.5 credit).
+
+    Integer-exact: ranks come from a cumulative count over the BOUNDED
+    6 dp score histogram (module docstring), doubled average ranks
+    r2 = 2*min_rank + ties - 1 stay integers, and the single final
+    division is double-on-exact-integers in both engines."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qe))
+        .select(
+            (F.col("label") >= _POS_LABEL_MIN).cast("long").alias("y"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("s"),
+        )
+    )
+    hist = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("y").alias("pos")
+    )
+    # bounded-domain window: <= 2e6 rows regardless of corpus size
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = hist.select(
+        "cnt",
+        "pos",
+        (
+            F.lit(2) * (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+            + F.col("cnt")
+            - 1
+        ).alias("r2"),
+    )
+    return ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
+        (
+            (F.sum(F.col("pos") * F.col("r2")) - F.sum("pos") * (F.sum("pos") + 1))
+            .cast("double")
+            / (F.lit(2.0) * F.sum("pos") * (F.sum("cnt") - F.sum("pos")))
+        ).alias("auc"),
+    )
+
+
+_CAL_BINS = 10
+
+_CAL_ORACLE = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    q AS (
+        SELECT y,
+               -- pred = (s+1)/2 carried as HALF-MICROS (2e6 * pred, an
+               -- exact integer for every 6 dp score)
+               CAST(ROUND(s * 1000000) AS BIGINT) + 1000000 AS phm
+        FROM scored
+    )
+    SELECT LEAST(phm * {_CAL_BINS} // 2000000, {_CAL_BINS - 1}) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(phm) AS DOUBLE) / (COUNT(*) * 2000000.0) AS mean_pred,
+           CAST(SUM(y) AS DOUBLE) / COUNT(*) AS pos_rate
+    FROM q
+    GROUP BY 1
+"""
+
+
+@query("q_calibration_bins", _CAL_ORACLE)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the cosine scorer: predicted probability
+    pred = (s+1)/2 bucketed into {_CAL_BINS} equal-width bins; per bin
+    the count, positive count, mean prediction, and empirical positive
+    rate — the (mean_pred, pos_rate) gap per bin IS the calibration
+    error every eval report plots (and sums into ECE).
+
+    Exactness: pred rides as half-micro integers (2e6 * pred, exact for
+    6 dp scores), so the bin id is an integer floor-div and the two
+    means are double divisions of exact integer sums.  One map-side-
+    combining groupBy on a {_CAL_BINS}-value key: no window, no sort,
+    nothing driver-side — the flattest aggregation shape there is."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qe))
+        .select(
+            (F.col("label") >= _POS_LABEL_MIN).cast("long").alias("y"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("s"),
+        )
+    )
+    q = scored.select(
+        "y",
+        (F.round(F.col("s") * 1_000_000).cast("bigint") + 1_000_000).alias("phm"),
+    )
+    return (
+        q.groupBy(
+            F.least(
+                F.expr(f"phm * {_CAL_BINS} div 2000000"),
+                F.lit(_CAL_BINS - 1),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            (
+                F.sum("phm").cast("double")
+                / (F.count(F.lit(1)) * F.lit(2_000_000.0))
+            ).alias("mean_pred"),
+            (F.sum("y").cast("double") / F.count(F.lit(1))).alias("pos_rate"),
+        )
+    )
+
+
+_PR_THRESHOLDS = [k / 10.0 for k in range(1, 10)]  # pred >= 0.1 .. 0.9
+
+_PR_ORACLE = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    q AS (
+        SELECT y,
+               CAST(ROUND(s * 1000000) AS BIGINT) + 1000000 AS phm
+        FROM scored
+    ),
+    thr(k) AS (SELECT UNNEST(GENERATE_SERIES(1, 9))),
+    cells AS (
+        SELECT k,
+               SUM(CASE WHEN phm >= k * 200000 THEN y ELSE 0 END) AS tp,
+               SUM(CASE WHEN phm >= k * 200000 THEN 1 - y ELSE 0 END) AS fp,
+               SUM(CASE WHEN phm <  k * 200000 THEN y ELSE 0 END) AS fn
+        FROM q CROSS JOIN thr
+        GROUP BY k
+    )
+    SELECT CAST(k AS DOUBLE) / 10.0 AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CASE WHEN tp + fp = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn = 0 THEN 0.0
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN 0.0
+                ELSE 2.0 * tp / (2 * tp + fp + fn) END AS f1
+    FROM cells
+"""
+
+
+@query("q_eval_pr_curve", _PR_ORACLE)
+def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / F1 at nine decile thresholds of the cosine
+    scorer's predicted probability — the operating-point sweep behind
+    every PR curve (AUC says WHETHER the scorer discriminates; this
+    says WHERE to cut it).
+
+    Exactness: thresholds live in the same half-micro integer domain as
+    the predictions (pred >= k/10 <=> phm >= 200000k, exact), TP/FP/FN
+    are integer conditional sums, and F1 uses the division-free
+    2tp/(2tp+fp+fn) identity so every ratio is one double division of
+    exact integers.  Scale shape: a 9-row broadcast cross join into the
+    score pass, then a 9-key groupBy — conditional aggregation, no
+    window, no per-threshold rescan."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qe))
+        .select(
+            (F.col("label") >= _POS_LABEL_MIN).cast("long").alias("y"),
+            F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6).alias("s"),
+        )
+    )
+    q = scored.select(
+        "y",
+        (F.round(F.col("s") * 1_000_000).cast("bigint") + 1_000_000).alias("phm"),
+    )
+    thr = spark.range(1, 10).select(F.col("id").alias("k"))
+    cells = (
+        q.crossJoin(broadcast(thr))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("phm") >= F.col("k") * 200_000, F.col("y")).otherwise(0)
+            ).alias("tp"),
+            F.sum(
+                F.when(F.col("phm") >= F.col("k") * 200_000, 1 - F.col("y")).otherwise(0)
+            ).alias("fp"),
+            F.sum(
+                F.when(F.col("phm") < F.col("k") * 200_000, F.col("y")).otherwise(0)
+            ).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    return cells.select(
+        (F.col("k").cast("double") / 10.0).alias("threshold"),
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        F.when(tp + fp == 0, 0.0)
+        .otherwise(tp.cast("double") / (tp + fp))
+        .alias("precision"),
+        F.when(tp + fn == 0, 0.0)
+        .otherwise(tp.cast("double") / (tp + fn))
+        .alias("recall"),
+        F.when(2 * tp + fp + fn == 0, 0.0)
+        .otherwise(F.lit(2.0) * tp / (2 * tp + fp + fn))
+        .alias("f1"),
+    )

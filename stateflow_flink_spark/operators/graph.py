@@ -453,3 +453,96 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("node_id").alias("min_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-supervised label propagation over the trade graph
+# ---------------------------------------------------------------------------
+
+_LP_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    cl AS (SELECT c_custkey AS c, c_nationkey AS lab FROM customer),
+    sv AS (
+        SELECT p.s, cl.lab, COUNT(*) AS m
+        FROM pairs p JOIN cl ON p.c = cl.c
+        GROUP BY 1, 2
+    ),
+    slab AS (
+        SELECT s, MAX(m * 1024 + (1023 - lab)) AS pk FROM sv GROUP BY s
+    ),
+    s1 AS (SELECT s, CAST(1023 - pk % 1024 AS INT) AS slab FROM slab),
+    cv AS (
+        SELECT p.c, s1.slab AS lab, COUNT(*) AS m
+        FROM pairs p JOIN s1 ON p.s = s1.s
+        GROUP BY 1, 2
+    ),
+    cagg AS (
+        SELECT c, MAX(m * 1024 + (1023 - lab)) AS pk, MAX(m) AS mx
+        FROM cv GROUP BY c
+    )
+    SELECT cagg.c AS custkey,
+           cl.lab AS own_nation,
+           CAST(1023 - pk % 1024 AS INT) AS prop_nation,
+           CAST(mx AS BIGINT) AS n_votes,
+           1023 - pk % 1024 = cl.lab AS agree
+    FROM cagg JOIN cl ON cagg.c = cl.c
+"""
+
+
+@query("q_graph_label_prop", _LP_ORACLE)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two synchronized rounds of majority-label propagation over the
+    bipartite trade graph (Raghavan et al. 2007's LPA, one full sweep):
+    customers seed their nation as the label, each supplier adopts the
+    majority nation of its customers, each customer then adopts the
+    majority inferred nation of its suppliers — and the agreement bit
+    per customer is the community-consistency signal (a customer whose
+    trade neighborhood votes a different nation shops across its
+    community boundary).
+
+    Determinism: the argmax rides the q_label_noise packed-integer MAX
+    (votes * 1024 + (1023 - label); nationkey < 25 << 1024), so ties
+    break on the smallest label in both engines — no ROW_NUMBER over a
+    vote table, one aggregate per round.
+
+    Scale shape per round (the PageRank discipline): edges join the
+    label frame on its key, then ONE map-side-combining groupBy on the
+    receiving vertex — never a window, never a collect.  The edge
+    frame would be pinned/bucketed once at 100 TB and reused by every
+    propagation round, like the PageRank iterations above."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = pin(
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    cl = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("lab")
+    )
+    sv = pairs.join(cl, "c").groupBy("s", "lab").agg(F.count(F.lit(1)).alias("m"))
+    s1 = (
+        sv.groupBy("s")
+        .agg(F.max(F.col("m") * 1024 + (F.lit(1023) - F.col("lab"))).alias("pk"))
+        .select("s", (F.lit(1023) - F.col("pk") % 1024).cast("int").alias("slab"))
+    )
+    cv = (
+        pairs.join(s1, "s")
+        .groupBy("c", F.col("slab").alias("lab"))
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    cagg = cv.groupBy("c").agg(
+        F.max(F.col("m") * 1024 + (F.lit(1023) - F.col("lab"))).alias("pk"),
+        F.max("m").alias("mx"),
+    )
+    prop = (F.lit(1023) - F.col("pk") % 1024).cast("int")
+    return cagg.join(cl, "c").select(
+        F.col("c").alias("custkey"),
+        F.col("lab").alias("own_nation"),
+        prop.alias("prop_nation"),
+        F.col("mx").cast("bigint").alias("n_votes"),
+        (prop == F.col("lab")).alias("agree"),
+    )

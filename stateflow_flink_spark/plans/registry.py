@@ -101,6 +101,7 @@ def load_all_modules() -> None:
     # tier 2 — heavier batch suites (candidate joins, block-GEMM, ANN)
     from ..operators import (  # noqa: F401
         dedup,
+        evaluation,
         graph,
         linalg,
         regression,

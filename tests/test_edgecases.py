@@ -1282,3 +1282,187 @@ def test_brute_force_probe_scorers_refuse_above_cap(spark, monkeypatch):
     assert QUERIES["q_knn_label"](spark, SF_SMOKE).columns == [
         "probe_id", "pred_label", "n_votes",
     ]
+
+
+def test_eval_auc_matches_numpy_ranksum(spark):
+    """q_eval_auc's histogram-rank AUC must equal the straight numpy
+    Mann-Whitney computation on the same 6dp scores (exactly, not
+    approximately — both are integer rank sums), and the counts must
+    partition the corpus minus the probe vector."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    from .conftest import SF_SMOKE
+
+    row = QUERIES["q_eval_auc"](spark, SF_SMOKE).collect()[0]
+
+    emb = load(spark, SF_SMOKE, "embeddings").toPandas()
+    q = np.asarray(emb.loc[emb.vec_id == 0, "embedding"].iloc[0], np.float64)
+    rest = emb[emb.vec_id != 0]
+    m = np.stack(rest["embedding"].to_numpy()).astype(np.float64)
+    s = np.round(
+        m @ q / (np.linalg.norm(m, axis=1) * np.linalg.norm(q)), 6
+    )
+    y = (rest["label"].to_numpy() >= 5).astype(np.int64)
+    order = np.argsort(s, kind="stable")
+    ranks = np.empty(len(s), dtype=np.float64)
+    # tie-sharing average ranks
+    ss = s[order]
+    i = 0
+    while i < len(ss):
+        j = i
+        while j < len(ss) and ss[j] == ss[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    auc = (ranks[y == 1].sum() - npos * (npos + 1) / 2.0) / (npos * nneg)
+
+    assert row.n_pos == npos and row.n_neg == nneg
+    assert row.n_pos + row.n_neg == len(emb) - 1
+    assert row.auc == pytest.approx(auc, abs=1e-12)
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_calibration_and_pr_curve_invariants(spark):
+    """Calibration bins partition the scored corpus with in-bounds
+    means; the PR sweep keeps tp+fn constant (= n_pos) and recall
+    non-increasing in the threshold."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    from .conftest import SF_SMOKE
+
+    n_corpus = load(spark, SF_SMOKE, "embeddings").count()
+    cal = QUERIES["q_calibration_bins"](spark, SF_SMOKE).toPandas()
+    assert cal["n"].sum() == n_corpus - 1
+    assert set(cal["bin"]) <= set(range(10))
+    for r in cal.itertuples():
+        lo, hi = r.bin / 10.0, (r.bin + 1) / 10.0 if r.bin < 9 else 1.0
+        assert lo <= r.mean_pred <= hi + 1e-12, r
+        assert 0.0 <= r.pos_rate <= 1.0
+        assert 0 <= r.n_pos <= r.n
+
+    pr = (
+        QUERIES["q_eval_pr_curve"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("threshold")
+    )
+    assert len(pr) == 9
+    assert pr["tp"].add(pr["fn"]).nunique() == 1  # tp+fn == n_pos always
+    assert (pr["recall"].diff().dropna() <= 1e-12).all()
+    for c in ("precision", "recall", "f1"):
+        assert pr[c].between(0.0, 1.0).all(), c
+
+
+def test_graph_label_prop_invariants(spark):
+    """Label propagation output: one row per customer that HAS trade
+    edges, propagated labels are valid nation keys, agree is literal
+    own==prop, and n_votes is at least 1 and at most the customer's
+    supplier-degree."""
+    from pyspark.sql import functions as SF
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_graph_label_prop"](spark, SF_SMOKE).toPandas()
+    o = load(spark, SF_SMOKE, "orders")
+    li = load(spark, SF_SMOKE, "lineitem")
+    deg = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(SF.col("o_custkey").alias("c"), SF.col("l_suppkey").alias("s"))
+        .distinct()
+        .groupBy("c")
+        .agg(SF.count(SF.lit(1)).alias("d"))
+        .toPandas()
+    )
+    assert sorted(out.custkey) == sorted(deg.c)
+    assert out.prop_nation.between(0, 24).all()
+    assert out.own_nation.between(0, 24).all()
+    assert (out.agree == (out.own_nation == out.prop_nation)).all()
+    m = out.merge(deg, left_on="custkey", right_on="c")
+    assert (m.n_votes >= 1).all() and (m.n_votes <= m.d).all()
+
+
+def test_user_decay_score_matches_pandas(spark):
+    """q_user_decay_score must equal a straight pandas recompute of the
+    hyperbolic decay sum (exactly — the score is integer arithmetic
+    until one final division), and last_seen_days must be 0 for at
+    least one user (whoever produced the newest event)."""
+    from decimal import Decimal
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_user_decay_score"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    ev["d"] = ev["ts"].dt.normalize()
+    ref = ev["d"].max()
+    ev["age"] = (ref - ev["d"]).dt.days
+    # mirror the engine arithmetic: round-to-nearest micro-int, integer
+    # floor-div decay, exact integer sum, one double division
+    ev["vq"] = ev["value"].map(lambda v: int(Decimal(v * 1e6).to_integral_value()))
+    ev["term"] = ev["vq"] * (1_000_000 // (1 + ev["age"]))
+    exp = ev.groupby("user_id").agg(
+        n_events=("term", "size"),
+        last_seen_days=("age", "min"),
+        score_scaled=("term", "sum"),
+    )
+    assert sorted(out.index) == sorted(exp.index)
+    assert (out["n_events"] == exp["n_events"]).all()
+    assert (out["last_seen_days"] == exp["last_seen_days"]).all()
+    for uid in exp.index:
+        assert out.loc[uid, "decay_score"] == pytest.approx(
+            exp.loc[uid, "score_scaled"] / 1e12, abs=0
+        ), uid
+    assert (out["last_seen_days"] == 0).any()
+
+
+def test_market_basket_invariants(spark):
+    """Pair-mining sanity: canonical pairs, support floor respected,
+    lift matches the n_co·N/(ca·cb) recompute from raw counts, and the
+    per-order fan-out bound holds (no pair can co-occur more often than
+    the less frequent of its parts)."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_market_basket"](spark, SF_SMOKE).toPandas()
+    assert (out.part_a < out.part_b).all()
+    assert not out.duplicated(["part_a", "part_b"]).any()
+    assert (out.n_co >= 2).all()
+
+    li = load(spark, SF_SMOKE, "lineitem").toPandas()
+    lines = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = lines["l_orderkey"].nunique()
+    c1 = lines.groupby("l_partkey").size()
+    for r in out.itertuples():
+        assert r.n_co <= min(c1[r.part_a], c1[r.part_b]), r
+        # engines round 6dp HALF_UP; Python round() is banker's — so
+        # compare against the unrounded ratio at half-ulp-of-6dp slack
+        assert r.lift == pytest.approx(
+            r.n_co * n_orders / (c1[r.part_a] * c1[r.part_b]), abs=5.1e-7
+        )
+        assert r.support == pytest.approx(r.n_co / n_orders, abs=5.1e-7)
