@@ -977,3 +977,49 @@ def test_first_touch_is_locf_window_no_join(spark):
     plan = plan_of(QUERIES["q_attribution_first_touch"](spark, SF_SMOKE))
     assert "Join" not in plan, plan
     assert plan.count("Window (") == 1, plan
+
+
+def test_user_decay_score_single_exchange_no_window(spark):
+    """Decay score = broadcast ref scalar + ONE user-keyed partial-agg
+    groupBy: no window, no sort-merge join, exactly one hash exchange
+    (the user_id aggregate)."""
+    plan = plan_of(QUERIES["q_user_decay_score"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one hash shuffle (the user_id aggregate); the ref-date
+    # scalar rides a broadcast, which uses no hashpartitioning
+    assert "hashpartitioning(user_id" in plan, plan
+    assert plan.count("hashpartitioning(") == 1, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_market_basket_pair_join_rides_order_key(spark):
+    """The pair generator must shuffle on the ORDER key (bounded
+    per-order fan-out), never a cartesian pair space; the lone
+    nested-loop broadcast is the 1-row n_orders scalar."""
+    plan = plan_of(QUERIES["q_market_basket"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(o#" in plan, plan
+    # partial aggregation collapses pair counts map-side before the
+    # (part_a, part_b) exchange
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_eval_auc_histogram_before_rank_window(spark):
+    """AUC must aggregate to the bounded score histogram BEFORE its
+    (single-partition, bounded-domain) cumulative window — the
+    HashAggregate on s appears under the window's exchange, so the
+    window never sees corpus-sized input."""
+    plan = plan_of(QUERIES["q_eval_auc"](spark, SF_SMOKE))
+    assert plan.count("Window") >= 1
+    # a histogram groupBy(s) must exist (partial+final HashAggregate)
+    assert "HashAggregate" in plan
+    assert "hashpartitioning(s#" in plan, plan
+
+
+def test_graph_label_prop_no_window_no_cartesian(spark):
+    """Each LPA round is edges-join + packed-argmax groupBy — no
+    window function, no cartesian, no broadcast of the edge frame."""
+    plan = plan_of(QUERIES["q_graph_label_prop"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
