@@ -648,3 +648,54 @@ def test_knn_graph_scale_path_has_no_exact_pairs_gate(spark, monkeypatch):
         sim.knn_graph_mutual(spark, SF_SMOKE, scale_path=False)
     edges = sim.knn_graph_mutual(spark, SF_SMOKE, scale_path=True)
     assert edges.limit(1).count() == 1
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=30), st.booleans()),
+        min_size=2,
+        max_size=200,
+    ).filter(lambda xs: any(y for _, y in xs) and any(not y for _, y in xs))
+)
+def test_auc_ranksum_identity_equals_pair_counting(data):
+    """The histogram-rank-sum AUC (q_eval_auc's formula, replicated here
+    in pure python) must equal the pair-counting definition
+    P(s_pos > s_neg) + 0.5·P(s_pos = s_neg) for arbitrary score/label
+    multisets — the Mann-Whitney identity the query rests on."""
+    from collections import Counter
+
+    scores = [s for s, _ in data]
+    labels = [y for _, y in data]
+
+    # rank-sum form over the score histogram (the query's algebra)
+    hist = Counter()
+    pos_hist = Counter()
+    for s, y in data:
+        hist[s] += 1
+        pos_hist[s] += int(y)
+    cum = 0
+    s2pos = 0
+    for s in sorted(hist):
+        r2 = 2 * (cum + 1) + hist[s] - 1
+        s2pos += pos_hist[s] * r2
+        cum += hist[s]
+    npos = sum(labels)
+    nneg = len(labels) - npos
+    auc_rank = (s2pos - npos * (npos + 1)) / (2.0 * npos * nneg)
+
+    # pair-counting form (the definition)
+    wins = ties = 0
+    for sp, yp in data:
+        if not yp:
+            continue
+        for sn, yn in data:
+            if yn:
+                continue
+            if sp > sn:
+                wins += 1
+            elif sp == sn:
+                ties += 1
+    auc_pairs = (wins + 0.5 * ties) / (npos * nneg)
+
+    assert abs(auc_rank - auc_pairs) < 1e-12
