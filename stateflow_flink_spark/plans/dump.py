@@ -189,6 +189,22 @@ NOTES = {
         "Integer-quantized ranks keep every iteration engine-exact; "
         "top-20 via TakeOrderedAndProject."
     ),
+    "q_knn_graph_mutual_ann": (
+        "The 100 TB mutual-kNN spelling: centroid scoring broadcasts the "
+        "ceil(sqrt(n))-row cell frame, every vector shuffles once on its "
+        "cell key into a per-cell FlatMapGroupsInPandas probe-x-member "
+        "GEMM (candidate volume O(n^1.5), never n²/2), a vec_id-keyed "
+        "window merges the partial top-k lists, and the mutual check is "
+        "a self-join of the pinned directed edge list on the reversed "
+        "key — the exact twin's join, fed by pruned candidates."
+    ),
+    "q_eval_auc": (
+        "AUC without a global row sort: the corpus collapses to the "
+        "BOUNDED 6dp score histogram (partial HashAggregate before the "
+        "hashpartitioning(s) exchange), the cumulative rank window runs "
+        "over <=2e6 histogram rows whatever the corpus size, and one "
+        "final single-row aggregate closes the Mann-Whitney identity."
+    ),
 }
 
 

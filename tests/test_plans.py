@@ -1023,3 +1023,23 @@ def test_graph_label_prop_no_window_no_cartesian(spark):
     plan = plan_of(QUERIES["q_graph_label_prop"](spark, SF_SMOKE))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_knn_graph_ann_shuffles_on_cell_not_block_grid(spark):
+    """The IVF-fed top-k stage must group on the cell key (one shuffle
+    of the corpus into cells, candidate volume O(n^1.5)) and must NOT
+    contain the exact twin's block-pair replication explode.  Inspected
+    at the _knn_topk_ivf stage — the registry query pins (eagerly
+    localCheckpoints) this frame before the mutual join, so its plan
+    is invisible through the full query's lineage."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.similarity import _knn_topk_ivf
+
+    e = load(spark, SF_SMOKE, "embeddings").select("vec_id", "embedding")
+    plan = plan_of(_knn_topk_ivf(e))
+    assert "hashpartitioning(cell" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    # the exact path replicates every vector into EMB_BLOCKS block pairs
+    # via explode(array(...)) — absent here
+    assert "Generate explode" not in plan, plan
