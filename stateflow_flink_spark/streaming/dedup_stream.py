@@ -113,48 +113,52 @@ def stream_documents_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
 
 
 # State-key cardinality cap: LSH bucket keys are folded into
-# STATE_BUCKETS state-store groups (pmod of the (band, bucket) hash).
-# Results are IDENTICAL at any cap — colliding buckets only add
-# candidate comparisons, and the exact-Jaccard verify removes every
-# false candidate — so this is a pure state-store knob: it bounds the
-# number of keyed-state entries (and, at fixture scale, the per-group
-# Python/state-roundtrip overhead that dominates when nearly every
-# group is a singleton).  Deployment guidance: size it so the expected
-# bucket occupancy stays O(1..10) — too small re-introduces quadratic
-# within-group compares, too large pays per-key overhead.
+# STATE_BUCKETS state-store groups (pmod of the (band, bucket) hash) —
+# a pure state-store knob bounding the number of keyed-state entries
+# (and, at fixture scale, the per-group Python/state-roundtrip overhead
+# that dominates when nearly every group is a singleton).  INSIDE each
+# merged group, members are stored keyed by their TRUE (band, bucket)
+# and a document verifies only against its own bucket's members: the
+# per-event compare count is the LSH guarantee (bucket occupancy),
+# NOT the merged-group occupancy.  The round-8 sweep caught the
+# difference — comparing against the whole merged group made per-event
+# work grow with corpus/STATE_BUCKETS, i.e. O(n²/4096) total compares,
+# a quadratic term that read 6.3x at 10x docs; true-bucket verify
+# restores volume-linear work at ANY corpus size while keeping the
+# state-key count capped.
 STATE_BUCKETS = 4096
 
 
 def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
-    """(doc_id, dup_of) per (document, state bucket): the incremental
+    """(doc_id, dup_of) per (document, band): the incremental
     per-bucket verify described in the module docstring.  ``dup_of`` is
-    NULL when the bucket holds no earlier member at Jaccard >= tau; the
-    caller min-aggregates over a doc's buckets for the global verdict."""
+    NULL when the doc's bucket holds no earlier member at Jaccard >=
+    tau; the caller min-aggregates over a doc's bands for the global
+    verdict."""
     keyed = minhash_band_buckets(
         docs.select("doc_id", hashed_shingles(F.col("text")).alias("sh")),
         keep=["sh"],
     ).select(
         "doc_id",
+        "band",
+        "bucket",
         "sh",
         F.pmod(F.xxhash64("band", "bucket"), F.lit(STATE_BUCKETS)).alias("skey"),
     )
 
     def verify_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-        members: list = pickle.loads(state.get[0]) if state.exists else []
-        seen_ids = {doc_id for doc_id, _ in members}
-        # a doc can reach one merged state group through several bands —
-        # one membership/verify per doc is enough (min over rows later)
-        pdf = (
-            pd.concat(list(pdfs), ignore_index=True)
-            .drop_duplicates("doc_id")
-            .sort_values("doc_id")
-        )
+        # state: {(band, bucket): [(doc_id, shingle-set), ...]} — merged
+        # group = state-store partition, true bucket = verify scope
+        members: dict = pickle.loads(state.get[0]) if state.exists else {}
+        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
         out_ids, out_dups = [], []
         for row in pdf.itertuples():
+            bk = (int(row.band), int(row.bucket))
+            lst = members.setdefault(bk, [])
             sh = frozenset(row.sh)
             doc_id = int(row.doc_id)
             dup_of = None
-            for m_id, m_sh in members:
+            for m_id, m_sh in lst:
                 if m_id >= doc_id or (dup_of is not None and m_id >= dup_of):
                     continue
                 n_common = len(sh & m_sh)
@@ -163,9 +167,8 @@ def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
                     dup_of = m_id
             out_ids.append(doc_id)
             out_dups.append(dup_of)
-            if doc_id not in seen_ids:  # at-least-once replay guard
-                members.append((doc_id, sh))
-                seen_ids.add(doc_id)
+            if all(m_id != doc_id for m_id, _ in lst):  # replay guard
+                lst.append((doc_id, sh))
         state.update((pickle.dumps(members),))
         yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_dups})
 
