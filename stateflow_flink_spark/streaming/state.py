@@ -885,3 +885,121 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         qy.awaitTermination()
     return spark.table("sfs_stream_anomaly")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC apply — the Debezium→serving-table fold (ref R9 state)
+# ---------------------------------------------------------------------------
+
+_CDC_APPLY_OUTPUT = "user_id long, balance double, is_present boolean"
+
+_CDC_APPLY_ORACLE = """
+    WITH ops AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'error' THEN 'd' ELSE 'u' END AS op,
+               CAST(CAST(value * 100 AS DECIMAL(38,0)) AS BIGINT) AS cents
+        FROM events
+        WHERE event_type IN ('purchase', 'error')
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM ops
+    ),
+    lastd AS (
+        SELECT user_id, MAX(rn) AS drn FROM ranked WHERE op = 'd'
+        GROUP BY user_id
+    ),
+    agg AS (
+        SELECT r.user_id,
+               SUM(CASE WHEN r.op = 'u' AND r.rn > COALESCE(d.drn, 0)
+                        THEN r.cents END) AS cents
+        FROM ranked r LEFT JOIN lastd d USING (user_id)
+        GROUP BY r.user_id
+    )
+    SELECT user_id,
+           CAST(cents AS DOUBLE) / 100 AS balance,
+           cents IS NOT NULL AS is_present
+    FROM agg
+"""
+
+
+def apply_cdc_stream(events: DataFrame) -> DataFrame:
+    """Incremental CDC apply: per key, ValueState holds the CURRENT row
+    of the serving table (balance cents + liveness); each 'purchase' is
+    an upsert-accumulate, each 'error' a tombstone that deletes the key
+    (later upserts re-insert it).  This is q_merge_cdc_delete's apply
+    step run AS the reference's R9 fold — one opaque state blob per
+    key, read-modify-write per change event — instead of a batch MERGE:
+    the op log is never compacted ahead of time because the state store
+    IS the compaction.
+
+    Per micro-batch each touched key emits its post-batch current row;
+    deleted keys emit an explicit (NULL, false) tombstone row so
+    downstream sinks can retract — the Debezium consumer contract.
+    Within a batch keys fold in (ts, event_id) order; across batches
+    the state carries, so any batching of the same log converges to the
+    same serving table.
+
+    Cents conversion matches Spark's double→DECIMAL(38,0) cast exactly
+    (Decimal(repr(x)) HALF_UP — the apply_ewma_stream recipe), so the
+    fold is bit-identical to the batch oracle's arithmetic."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            bal, present = state.get
+        else:
+            bal, present = 0, False
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in pdf.itertuples():
+            if row.event_type == "error":
+                bal, present = 0, False
+            else:
+                cents = int(
+                    Decimal(repr(float(row.value) * 100)).to_integral_value(
+                        rounding=ROUND_HALF_UP
+                    )
+                )
+                bal, present = (bal if present else 0) + cents, True
+        state.update((bal, bool(present)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "balance": [bal / 100.0 if present else None],
+                "is_present": [bool(present)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold_group,
+        outputStructType=_CDC_APPLY_OUTPUT,
+        stateStructType="bal long, present boolean",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query("q_stream_cdc_apply", _CDC_APPLY_ORACLE)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of q_merge_cdc_delete's apply step: the CDC op
+    log ('purchase' upserts, 'error' tombstones) folds through per-key
+    state into the current serving table; the oracle is the batch
+    last-tombstone compaction over the same log.  Deleted keys are
+    observable as explicit (NULL, false) rows."""
+    events, _ = stream_events_dir(spark, sf_dir)
+    ops = events.filter(F.col("event_type").isin("purchase", "error")).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    result = apply_cdc_stream(ops)
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_stream_cdc_apply")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_stream_cdc_apply")

@@ -365,3 +365,79 @@ def test_anomaly_stream_state_survives_restart(spark, tmp_path):
     assert second.loc[100, "n_prior"] == 10, "stats must come from restored state"
     assert bool(second.loc[100, "is_anomaly"])
     assert second.loc[101, "n_prior"] == 0 and not second.loc[101, "is_anomaly"]
+
+
+def test_cdc_apply_stream_state_survives_restart(spark, tmp_path):
+    """CDC-apply resume: run 1 folds upserts into per-key balances;
+    run 2 — a new availableNow pass over the same checkpoint seeing
+    only new files — must apply a tombstone against the RESTORED row
+    (emitting an explicit delete), re-insert after a later upsert, and
+    accumulate onto a restored balance for an untouched-in-run-2 key's
+    twin.  The serving table converges to the same rows any batching of
+    the log produces."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.state import apply_cdc_stream
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> pd.DataFrame:
+        got: list = []
+        rows = apply_cdc_stream(
+            _stream(spark, staged).select(
+                "user_id", "ts", "event_id", "event_type", "value"
+            )
+        )
+        with stream_partitions(spark):
+            q = (
+                rows.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return pd.DataFrame(
+            got, columns=["user_id", "balance", "is_present"]
+        ).set_index("user_id")
+
+    # run 1: two purchases for user 1 (3.00 + 2.00), one for user 2
+    _write_events(
+        spark,
+        staged,
+        [
+            (dt.datetime(2024, 1, 1, 0, 0, 0), 1, 1, "purchase", 3.0),
+            (dt.datetime(2024, 1, 1, 0, 0, 1), 2, 1, "purchase", 2.0),
+            (dt.datetime(2024, 1, 1, 0, 0, 2), 3, 2, "purchase", 7.5),
+        ],
+    )
+    first = run()
+    assert first.loc[1, "balance"] == 5.0 and bool(first.loc[1, "is_present"])
+    assert first.loc[2, "balance"] == 7.5
+
+    # run 2: tombstone user 1 then re-insert 1.25; top up user 2
+    _write_events(
+        spark,
+        staged,
+        [
+            (dt.datetime(2024, 1, 1, 0, 1, 0), 10, 1, "error", 0.0),
+            (dt.datetime(2024, 1, 1, 0, 1, 1), 11, 1, "purchase", 1.25),
+            (dt.datetime(2024, 1, 1, 0, 1, 2), 12, 2, "purchase", 0.5),
+        ],
+    )
+    second = run()
+    # user 1: delete wiped the restored 5.00, re-insert starts fresh
+    assert second.loc[1, "balance"] == 1.25 and bool(second.loc[1, "is_present"])
+    # user 2: restored 7.50 accumulated, never tombstoned
+    assert second.loc[2, "balance"] == 8.0 and bool(second.loc[2, "is_present"])
+
+    # run 3: tombstone user 2 as the FINAL op — explicit delete row
+    _write_events(
+        spark,
+        staged,
+        [(dt.datetime(2024, 1, 1, 0, 2, 0), 20, 2, "error", 0.0)],
+    )
+    third = run()
+    assert not bool(third.loc[2, "is_present"])
+    assert pd.isna(third.loc[2, "balance"])
