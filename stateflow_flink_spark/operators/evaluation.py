@@ -277,3 +277,118 @@ def q_eval_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(2.0) * tp / (2 * tp + fp + fn))
         .alias("f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion — merging retrieval runs
+# ---------------------------------------------------------------------------
+#
+# RRF (Cormack, Clarke & Büttcher, SIGIR 2009): fuse ranked lists by
+# score(d) = Σ_runs 1/(RRF_K + rank_run(d)) — the standard way hybrid
+# search merges a lexical run with a semantic run, no score calibration
+# needed because only RANKS enter the sum.
+#
+# The two runs here are integer-deterministic retrieval orderings of
+# the documents table for the query terms: raw term frequency, and
+# length-normalized term frequency (tf * 1e6 // n_tokens — integer
+# cross-multiplication, no float ordering).  Ranks tie-break on doc_id,
+# so both runs, the fused scores, and the final ordering are
+# bit-identical cross-engine (the fused score is the same two IEEE
+# divisions + one add in both).
+#
+# Scale shape: each run is a TakeOrdered top-N (per-partition heap +
+# driver merge of N rows — no global sort shuffle), ranking then runs
+# over the N-row frame; the fusion is an N-row full outer join.  The
+# corpus is scanned twice (once per run) and never sorted.
+
+_RRF_TERMS = ("spark", "join")
+_RRF_K = 60  # the canonical RRF damping constant
+_RRF_TOPN = 100  # per-run candidate depth
+_RRF_OUT = 20  # fused results returned
+
+_RRF_TERM_LIST = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+
+_RRF_ORACLE = f"""
+    WITH scored AS (
+        SELECT doc_id,
+               LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                               w -> w IN ({_RRF_TERM_LIST}))) AS tf,
+               LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    run_a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf DESC, doc_id) AS rk
+        FROM scored WHERE tf > 0
+        ORDER BY tf DESC, doc_id LIMIT {_RRF_TOPN}
+    ),
+    run_b AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY tf * 1000000 // n_tokens DESC,
+                                  doc_id) AS rk
+        FROM scored WHERE tf > 0
+        ORDER BY tf * 1000000 // n_tokens DESC, doc_id LIMIT {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               a.rk AS rank_tf, b.rk AS rank_norm,
+               COALESCE(1.0 / ({_RRF_K} + a.rk), 0)
+                   + COALESCE(1.0 / ({_RRF_K} + b.rk), 0) AS rrf
+        FROM run_a a FULL OUTER JOIN run_b b USING (doc_id)
+    )
+    SELECT doc_id, rank_tf, rank_norm, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+"""
+
+
+@query("q_rank_fusion", _RRF_ORACLE)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of a term-frequency run and a
+    length-normalized run over the documents table (see block comment):
+    per-run TakeOrdered top-{_RRF_TOPN}, ranks re-derived on the tiny
+    candidate frames, {_RRF_OUT} fused results."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    terms = F.array(*[F.lit(t) for t in _RRF_TERMS])
+    scored = d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda w: F.array_contains(terms, w))).alias("tf"),
+        F.size(toks).alias("n_tokens"),
+    ).filter(F.col("tf") > 0)
+
+    def top_run(df: DataFrame, score, rank_name: str) -> DataFrame:
+        # TakeOrderedAndProject keeps this a per-partition heap, then
+        # row_number re-ranks the N surviving rows (single tiny task)
+        cand = (
+            df.select("doc_id", score.alias("s"))
+            .orderBy(F.desc("s"), F.asc("doc_id"))
+            .limit(_RRF_TOPN)
+        )
+        w = Window.orderBy(F.desc("s"), F.asc("doc_id"))
+        return cand.select("doc_id", F.row_number().over(w).alias(rank_name))
+
+    run_a = top_run(scored, F.col("tf"), "rank_tf")
+    run_b = top_run(
+        scored,
+        F.floor(F.col("tf") * 1_000_000 / F.col("n_tokens")).cast("long"),
+        "rank_norm",
+    )
+    fused = run_a.join(run_b, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_tf",
+        "rank_norm",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_tf")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_norm")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_OUT)
+        .select(
+            "doc_id",
+            F.col("rank_tf").cast("bigint").alias("rank_tf"),
+            F.col("rank_norm").cast("bigint").alias("rank_norm"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

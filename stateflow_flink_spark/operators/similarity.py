@@ -1961,3 +1961,74 @@ def q_knn_graph_mutual_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checks across engines; recall/precision vs the exact graph is
     pinned separately in tests/test_scale_patterns.py."""
     return knn_graph_mutual(spark, sf_dir, scale_path=True)
+
+
+# ---------------------------------------------------------------------------
+# Centroid-distance outlier pruning — embedding-space curation
+# ---------------------------------------------------------------------------
+#
+# The prune step that usually follows clustering in an embedding
+# curation pipeline (the same family as SemDeDup's within-cluster
+# dedup, q_dedup_semantic): vectors FARTHEST from their assigned
+# centroid are mislabeled/noise candidates — flag the top
+# 1/_OUTLIER_DEN of every cluster by distance rank.  Rank-based, not
+# quantile-based: an integer cross-multiplied rank cutoff
+# (rk * DEN <= n) needs no float percentile and is bit-identical
+# cross-engine; distances and assignments come verbatim from
+# q_cluster_kmeans (same determinism contract), whose oracle SQL is
+# reused as a CTE so the prune logic is defined exactly once.
+#
+# Scale shape: q_cluster_kmeans' plan (broadcast centroids + two
+# keyed shuffles) plus ONE cluster-keyed window rank over its output —
+# per-cluster sort, bounded by cluster size; output is the prune list
+# (n/DEN rows), not the corpus.
+
+_OUTLIER_DEN = 50  # flag the top 1/50 (2%) of each cluster by distance
+
+
+def _emb_outlier_oracle() -> str:
+    from ..plans.registry import ORACLE
+
+    return f"""
+    WITH km AS ({ORACLE["q_cluster_kmeans"]}),
+    ranked AS (
+        SELECT vec_id, cluster, dist,
+               ROW_NUMBER() OVER (PARTITION BY cluster
+                                  ORDER BY dist DESC, vec_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cluster) AS n
+        FROM km
+    )
+    SELECT vec_id, cluster, dist,
+           CAST(rk AS BIGINT) AS rank_in_cluster,
+           CAST(n AS BIGINT) AS cluster_size
+    FROM ranked
+    WHERE rk * {_OUTLIER_DEN} <= n
+    """
+
+
+@query("q_emb_outlier")
+def q_emb_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier prune list: the top 1/{_OUTLIER_DEN} of each
+    k-means cluster by distance-to-centroid (see block comment).
+    Assignments/distances are q_cluster_kmeans verbatim; one
+    cluster-keyed window rank on top."""
+    km = q_cluster_kmeans(spark, sf_dir).drop("label")
+    w = Window.partitionBy("cluster").orderBy(F.desc("dist"), F.asc("vec_id"))
+    wn = Window.partitionBy("cluster")
+    ranked = km.select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rk") * _OUTLIER_DEN <= F.col("n")).select(
+        "vec_id",
+        "cluster",
+        "dist",
+        F.col("rk").cast("bigint").alias("rank_in_cluster"),
+        F.col("n").cast("bigint").alias("cluster_size"),
+    )
+
+
+_attach_oracle("q_emb_outlier", _emb_outlier_oracle())

@@ -205,6 +205,21 @@ NOTES = {
         "over <=2e6 histogram rows whatever the corpus size, and one "
         "final single-row aggregate closes the Mann-Whitney identity."
     ),
+    "q_cep_pattern": (
+        "CEP as a window, not a state machine pass: ONE user-keyed "
+        "exchange + sort feeds both the row_number and the LOCF "
+        "last-non-click struct (two Window nodes, zero extra exchanges), "
+        "matches fall out of a Filter — no join, no Generate, per-user "
+        "cost linear in that user's events."
+    ),
+    "q_sketch_kmv": (
+        "Bottom-k order statistics without a per-key giant sort: the "
+        "distinct-pairs frame is range-bucketed by the top hash bits, a "
+        "4096-row occupancy rollup finds the cutoff bucket, and the "
+        "cutoff (BroadcastHashJoin) caps what reaches the per-type "
+        "row_number window to ~k + one bucket's occupancy regardless of "
+        "skew — the containment discipline applied to order statistics."
+    ),
 }
 
 

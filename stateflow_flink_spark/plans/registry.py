@@ -67,6 +67,7 @@ def load_all_modules() -> None:
     from ..operators import (  # noqa: F401
         analytics,
         anomaly,
+        cep,
         curation,
         filters,
         layout,
@@ -109,6 +110,7 @@ def load_all_modules() -> None:
     )
     # tier 3 — streaming queries (micro-batch + state-store startup cost)
     from ..streaming import (  # noqa: F401
+        cep,
         dedup_stream,
         flow,
         invoke,

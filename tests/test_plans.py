@@ -1043,3 +1043,30 @@ def test_knn_graph_ann_shuffles_on_cell_not_block_grid(spark):
     # the exact path replicates every vector into EMB_BLOCKS block pairs
     # via explode(array(...)) — absent here
     assert "Generate explode" not in plan, plan
+
+
+def test_cep_pattern_single_window_no_join(spark):
+    """The CEP matcher is ONE user-keyed window sort carrying the
+    last-non-click LOCF struct (row_number and last() share the same
+    window spec) — no join, no explode, per-user cost linear."""
+    plan = plan_of(QUERIES["q_cep_pattern"](spark, SF_SMOKE))
+    assert "Join" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_sketch_kmv_bounded_bottomk(spark):
+    """The bottom-k sort is fed through the occupancy-cutoff semi-join
+    (cutoff frame broadcast), so the per-type window never sees the
+    full distinct-pairs frame; the set-algebra cross joins ride 1-row
+    broadcast frames, never a CartesianProduct."""
+    plan = plan_of(QUERIES["q_sketch_kmv"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_rank_fusion_takeordered_no_global_sort(spark):
+    """Each retrieval run is a TakeOrdered top-N heap — the corpus is
+    scanned, never globally sorted."""
+    plan = plan_of(QUERIES["q_rank_fusion"](spark, SF_SMOKE))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan

@@ -441,3 +441,70 @@ def test_cdc_apply_stream_state_survives_restart(spark, tmp_path):
     third = run()
     assert not bool(third.loc[2, "is_present"])
     assert pd.isna(third.loc[2, "balance"])
+
+
+def test_cep_stream_pending_match_survives_restart(spark, tmp_path):
+    """CEP resume: a pattern split mid-`click*` across two availableNow
+    runs over one checkpoint must complete from RESTORED state — the
+    match's start id, click count, and span all reach back into run 1.
+    A reset event (error) pending at the end of run 2 must clear state
+    so a later purchase alone does not match."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.cep import apply_cep_stream
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> pd.DataFrame:
+        got: list = []
+        rows = apply_cep_stream(
+            _stream(spark, staged).select("user_id", "ts", "event_id", "event_type")
+        )
+        with stream_partitions(spark):
+            q = (
+                rows.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return pd.DataFrame(
+            got,
+            columns=["user_id", "start_event_id", "end_event_id",
+                     "n_clicks", "span_us"],
+        )
+
+    def ev(eid: int, uid: int, et: str, sec: int) -> tuple:
+        return (
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec),
+            eid, uid, et, 0.0,
+        )
+
+    # run 1: user 1 opens a pattern (view + 2 clicks) — nothing emits
+    _write_events(
+        spark, staged,
+        [ev(1, 1, "view", 0), ev(2, 1, "click", 1), ev(3, 1, "click", 2)],
+    )
+    first = run()
+    assert first.empty, "no purchase yet — the pending match must stay in state"
+
+    # run 2: one more click, then the closing purchase; user 2 gets an
+    # error (reset) in the same batch
+    _write_events(
+        spark, staged,
+        [ev(10, 1, "click", 60), ev(11, 1, "purchase", 61),
+         ev(12, 2, "view", 61), ev(13, 2, "error", 62)],
+    )
+    second = run().set_index("user_id")
+    assert list(second.index) == [1]
+    assert second.loc[1, "start_event_id"] == 1, "start must be run 1's view"
+    assert second.loc[1, "end_event_id"] == 11
+    assert second.loc[1, "n_clicks"] == 3, "clicks from BOTH runs"
+    assert second.loc[1, "span_us"] == 61_000_000
+
+    # run 3: purchase for user 2 — its pending was reset by the error
+    _write_events(spark, staged, [ev(20, 2, "purchase", 120)])
+    third = run()
+    assert third.empty, "error cleared user 2's pending match"
