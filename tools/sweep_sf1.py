@@ -34,6 +34,9 @@ TARGETS = [
     "q_stream_stream_left",
     "q_backlog_intervals",
     "q_dau_wau",
+    "q_cep_pattern",
+    "q_stream_cep",
+    "q_sketch_kmv",
 ]
 
 
