@@ -111,3 +111,109 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.first("mad6") * 2).cast("long").alias("mad_x2_micros"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition + robust residual outliers
+# ---------------------------------------------------------------------------
+#
+# q_anomaly_mad flags outliers against the GLOBAL per-type
+# distribution; telemetry with a daily cycle (checkout spikes at noon,
+# batch errors at 03:00) needs the seasonal component removed first or
+# the whole peak hour reads as anomalous.  Classic two-step STL-lite:
+# (1) seasonal profile = mean value per (event_type, hour-of-day) —
+# the 24-point daily curve; (2) residual = value − seasonal(hour),
+# then the SAME robust MAD census as q_anomaly_mad runs on residuals.
+#
+# Exactness: the seasonal mean is Σ(scaled-int micros, DECIMAL(38,0)
+# exact) / n — ONE double division, then ROUND to an integer micros
+# value — so residuals are exact integer-valued doubles, and the
+# percentile/MAD machinery inherits q_anomaly_mad's bit-identical
+# interpolation contract (integers → half-integers → quarter-integers).
+#
+# Scale shape: the seasonal profile is a types×24-row rollup broadcast
+# back onto the facts; then two grouped percentiles + two broadcast
+# joins (the q_anomaly_mad plan, unchanged).  No fact-side sort.
+
+_SEASONAL_ORACLE = f"""
+    WITH scaled AS (
+        SELECT event_type,
+               HOUR(CAST(ts AS TIMESTAMP)) AS hod,
+               CAST({_V6} AS DOUBLE) AS v6
+        FROM events
+    ),
+    seasonal AS (
+        SELECT event_type, hod,
+               ROUND(CAST(SUM(CAST(v6 AS DECIMAL(38,0))) AS DOUBLE)
+                     / COUNT(*)) AS smean6
+        FROM scaled GROUP BY event_type, hod
+    ),
+    resid AS (
+        SELECT s.event_type, s.v6 - e.smean6 AS r6
+        FROM scaled s JOIN seasonal e USING (event_type, hod)
+    ),
+    med AS (
+        SELECT event_type, QUANTILE_CONT(r6, 0.5) AS med6
+        FROM resid GROUP BY event_type
+    ),
+    dev AS (
+        SELECT r.event_type, ABS(r.r6 - m.med6) AS d6
+        FROM resid r JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, QUANTILE_CONT(d6, 0.5) AS mad6
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN d.d6 > {_MAD_CUTOFF} * a.mad6 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           CAST(4 * ANY_VALUE(a.mad6) AS BIGINT) AS mad_x4_micros
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type
+"""
+
+
+@query("q_anomaly_seasonal", _SEASONAL_ORACLE)
+def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted robust outlier census (see block comment):
+    subtract the per-(type, hour-of-day) mean, then run the
+    q_anomaly_mad Hampel gate on the residuals.  4·MAD is an exact
+    integer (residual medians interpolate to quarter-integers), hence
+    the `mad_x4_micros` publication."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour(F.col("ts").cast("timestamp")).alias("hod"),
+        F.expr(_V6).cast("double").alias("v6"),
+    )
+    seasonal = e.groupBy("event_type", "hod").agg(
+        F.round(
+            F.sum(F.col("v6").cast("decimal(38,0)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("smean6")
+    )
+    resid = e.join(broadcast(seasonal), ["event_type", "hod"]).select(
+        "event_type", (F.col("v6") - F.col("smean6")).alias("r6")
+    )
+    med = resid.groupBy("event_type").agg(
+        F.expr("percentile(r6, 0.5)").alias("med6")
+    )
+    dev = resid.join(broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("r6") - F.col("med6")).alias("d6")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(d6, 0.5)").alias("mad6")
+    )
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("d6") > F.expr(f"{_MAD_CUTOFF} * mad6"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            (F.first("mad6") * 4).cast("long").alias("mad_x4_micros"),
+        )
+    )

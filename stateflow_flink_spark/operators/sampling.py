@@ -748,3 +748,159 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight * F.col("budget")).alias("target_tokens"),
         F.round(weight * F.col("budget") / F.col("n_tokens"), 6).alias("epochs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap — uncertainty estimates in ONE pass
+# ---------------------------------------------------------------------------
+#
+# Classic bootstrap resampling is impossible at 100 TB (you cannot draw
+# n rows with replacement from a distributed table R times); the
+# Poisson bootstrap (Chamandy et al., "Estimating uncertainty for
+# massive data streams", Google TR 2012) replaces it: each row
+# independently contributes k ~ Poisson(1) copies to each replicate,
+# so all R replicate statistics accumulate in ONE scan with partial
+# aggregation — the only shuffle carries R rows per partition.
+#
+# Determinism: k is drawn by inverse-CDF lookup of the md5 bucket of
+# (replicate, doc_id) — the same 10000-bucket integer uniform as
+# q_split_hash, thresholds = floor(10000 * CDF_Poisson(1)(k)), so both
+# engines draw IDENTICAL counts.  Replicate means are exact integer
+# sums + one division; the bootstrap SE quantizes the R means to 6 dp
+# integers and uses the exact integer variance identity
+# R*Σq² - (Σq)² (the kmeans centroid-update discipline), so every
+# emitted number is bit-identical cross-engine.
+
+_BOOT_R = 16  # replicates
+# floor(10000 * P(Poisson(1) <= k)) for k = 0..6; bucket >= last -> 7
+_BOOT_CDF = (3678, 7357, 9196, 9810, 9963, 9994, 9999)
+
+
+def _boot_case_sql(b: str) -> str:
+    cases = " ".join(
+        f"WHEN {b} < {t} THEN {k}" for k, t in enumerate(_BOOT_CDF)
+    )
+    return f"CASE {cases} ELSE {len(_BOOT_CDF)} END"
+
+
+_BOOT_BUCKET_SQL = _SQL_BUCKET.format(
+    c="('boot' || CAST(r AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR))"
+)
+
+_BOOT_ORACLE = f"""
+    WITH draws AS (
+        SELECT r, n_chars,
+               {_boot_case_sql(f"({_BOOT_BUCKET_SQL})")} AS k
+        FROM documents, (SELECT UNNEST(RANGE({_BOOT_R})) AS r)
+    ),
+    reps AS (
+        SELECT r, SUM(k) AS n_eff, SUM(k * n_chars) AS s
+        FROM draws GROUP BY r
+    ),
+    means AS (
+        SELECT r, n_eff, CAST(s AS DOUBLE) / n_eff AS m,
+               CAST(ROUND(CAST(s AS DOUBLE) / n_eff * 1000000) AS BIGINT) AS q
+        FROM reps
+    ),
+    se AS (
+        SELECT SQRT(CAST({_BOOT_R} * SUM(qd * qd) - SUM(qd) * SUM(qd) AS DOUBLE)
+                    / ({_BOOT_R} * ({_BOOT_R} - 1))) / 1000000 AS se_boot
+        FROM (SELECT CAST(q AS DECIMAL(38, 0)) AS qd FROM means)
+    ),
+    point AS (
+        SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS m
+        FROM documents
+    )
+    SELECT 'rep_' || LPAD(CAST(r AS VARCHAR), 2, '0') AS scope,
+           CAST(n_eff AS BIGINT) AS n_eff, ROUND(m, 6) AS value
+    FROM means
+    UNION ALL
+    SELECT 'point', CAST(n AS BIGINT), ROUND(m, 6) FROM point
+    UNION ALL
+    SELECT 'se_boot', CAST({_BOOT_R} AS BIGINT), ROUND(se_boot, 6) FROM se
+"""
+
+
+def boot_means(d):
+    """Per-replicate Poisson-bootstrap means of n_chars: the explode
+    over replicates collapses in the r-keyed partial aggregate, so the
+    shuffle carries _BOOT_R rows per input partition (plan-gated)."""
+    rs = F.sequence(F.lit(0), F.lit(_BOOT_R - 1))
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("boot"),
+                        F.col("r").cast("string"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _BUCKETS
+    )
+    k = F.lit(len(_BOOT_CDF))
+    for kk, t in reversed(list(enumerate(_BOOT_CDF))):
+        k = F.when(b < t, F.lit(kk)).otherwise(k)
+    draws = d.select("doc_id", "n_chars", F.explode(rs).alias("r")).select(
+        "r", "n_chars", k.alias("k")
+    )
+    reps = draws.groupBy("r").agg(
+        F.sum("k").alias("n_eff"), F.sum(F.col("k") * F.col("n_chars")).alias("s")
+    )
+    return reps.select(
+        "r",
+        "n_eff",
+        (F.col("s").cast("double") / F.col("n_eff")).alias("m"),
+        F.round(F.col("s").cast("double") / F.col("n_eff") * 1_000_000)
+        .cast("long")
+        .alias("q"),
+    )
+
+
+@query("q_sample_bootstrap", _BOOT_ORACLE)
+def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap standard error of the mean document length in
+    one corpus pass (see block comment): {_BOOT_R} deterministic
+    replicates, per-replicate exact-integer means, quantized-integer
+    bootstrap SE.  Output: one row per replicate, the full-data point
+    estimate, and `se_boot`."""
+    R = _BOOT_R
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    means = pin(boot_means(d), eager=True)  # two consumers, one 16-row frame
+    rep_rows = means.select(
+        F.concat(F.lit("rep_"), F.lpad(F.col("r").cast("string"), 2, "0")).alias(
+            "scope"
+        ),
+        F.col("n_eff").cast("bigint").alias("n_eff"),
+        F.round("m", 6).alias("value"),
+    )
+    qd = F.col("q").cast("decimal(38,0)")
+    se_row = means.agg(
+        (
+            F.sqrt(
+                (R * F.sum(qd * qd) - F.sum(qd) * F.sum(qd))
+                .cast("double")
+                / (R * (R - 1))
+            )
+            / 1_000_000
+        ).alias("se")
+    ).select(
+        F.lit("se_boot").alias("scope"),
+        F.lit(R).cast("bigint").alias("n_eff"),
+        F.round("se", 6).alias("value"),
+    )
+    point_row = d.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("s")
+    ).select(
+        F.lit("point").alias("scope"),
+        F.col("n").cast("bigint").alias("n_eff"),
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("value"),
+    )
+    return rep_rows.unionByName(point_row).unionByName(se_row)

@@ -122,3 +122,114 @@ def session_window_stream(events: DataFrame) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed-state sessionizer — closed-by-successor semantics
+# ---------------------------------------------------------------------------
+
+_SESS_GAP_US = 30 * 60 * 1_000_000
+_SESS_OUTPUT = (
+    "user_id long, session_start timestamp, n_events long, duration_sec long"
+)
+
+# batch gaps-and-islands sessions, MINUS each user's final session
+# (still open when the log ends — the state holds it, nothing closed it)
+_SESS_STREAM_ORACLE = """
+    WITH marked AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+               CASE WHEN EPOCH_US(CAST(ts AS TIMESTAMP))
+                         - LAG(EPOCH_US(CAST(ts AS TIMESTAMP))) OVER
+                           (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    ), sessions AS (
+        SELECT user_id, session_no, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               (EPOCH_US(MAX(ts)) - EPOCH_US(MIN(ts))) // 1000000 AS duration_sec
+        FROM numbered GROUP BY user_id, session_no
+    )
+    SELECT user_id, session_start, n_events, duration_sec
+    FROM sessions s
+    WHERE session_no < (SELECT MAX(session_no) FROM sessions m
+                        WHERE m.user_id = s.user_id)
+"""
+
+
+def apply_sessionize_stream(events):
+    """Keyed-state sessionizer: ValueState holds each user's OPEN
+    session (start, last-seen, count); an event arriving past the
+    30-minute gap CLOSES it — the closed session emits and the event
+    starts the next one.  Closed-by-successor, not by watermark: a
+    session's row is a pure function of the event log, so ANY in-order
+    batching (including restarts — see the resume test) emits exactly
+    the batch oracle's closed sessions, with each user's final open
+    session held in state rather than guessed closed.  State is O(1)
+    per user (three longs) and per-event work is O(1) — the same cost
+    profile as the reference's keyed ValueState fold (ref R9,
+    InvokeStatefulLambda.java:75-109)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = n = None
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        out = {"session_start": [], "n_events": [], "duration_sec": []}
+        for row in pdf.itertuples():
+            t_us = int(pd.Timestamp(row.ts).value // 1000)
+            if start_us is None:
+                start_us, last_us, n = t_us, t_us, 1
+            elif t_us - last_us > _SESS_GAP_US:
+                out["session_start"].append(pd.Timestamp(start_us * 1000))
+                out["n_events"].append(n)
+                out["duration_sec"].append((last_us - start_us) // 1_000_000)
+                start_us, last_us, n = t_us, t_us, 1
+            else:
+                last_us, n = t_us, n + 1
+        state.update((start_us, last_us, n))
+        if out["n_events"]:
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out["n_events"]), **out}
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold_group,
+        outputStructType=_SESS_OUTPUT,
+        stateStructType="start_us long, last_us long, n long",
+        outputMode="Append",
+        timeoutConf="NoTimeout",
+    )
+
+
+@query("q_stream_sessionize", _SESS_STREAM_ORACLE)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization through keyed state (see
+    apply_sessionize_stream): emits every CLOSED session; the oracle is
+    the batch gaps-and-islands result minus each user's final (still
+    open) session."""
+    from ..session import stream_partitions
+    from .state import stream_events_dir
+
+    events, _ = stream_events_dir(spark, sf_dir)
+    result = apply_sessionize_stream(events.select("user_id", "ts", "event_id"))
+    with stream_partitions(spark):
+        qy = (
+            result.writeStream.format("memory")
+            .queryName("sfs_stream_sessionize")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        qy.awaitTermination()
+    return spark.table("sfs_stream_sessionize")

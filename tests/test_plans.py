@@ -1070,3 +1070,28 @@ def test_rank_fusion_takeordered_no_global_sort(spark):
     scanned, never globally sorted."""
     plan = plan_of(QUERIES["q_rank_fusion"](spark, SF_SMOKE))
     assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_sample_bootstrap_partial_aggregates_replicates(spark):
+    """The 16-replicate explode must collapse in the map-side partial
+    aggregate (two HashAggregate levels around the r-keyed exchange) —
+    the shuffle carries R rows per partition, not R copies of the
+    corpus.  Gated on the pre-pin stage (the registered query
+    localCheckpoints it, hiding the shape)."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.sampling import boot_means
+
+    plan = plan_of(boot_means(load(spark, SF_SMOKE, "documents")))
+    assert "Generate" in plan, plan  # the replicate explode
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "hashpartitioning(r" in plan, plan
+
+
+def test_anomaly_seasonal_broadcasts_stats_no_fact_sort(spark):
+    """The seasonal profile (types×24 rows), the residual median, and
+    the MAD frame must all come back as broadcasts; the fact side is
+    never sorted or windowed."""
+    plan = plan_of(QUERIES["q_anomaly_seasonal"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window (" not in plan, plan

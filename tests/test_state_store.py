@@ -508,3 +508,56 @@ def test_cep_stream_pending_match_survives_restart(spark, tmp_path):
     _write_events(spark, staged, [ev(20, 2, "purchase", 120)])
     third = run()
     assert third.empty, "error cleared user 2's pending match"
+
+
+def test_sessionize_stream_open_session_survives_restart(spark, tmp_path):
+    """Sessionizer resume: run 1 leaves an OPEN session in state (two
+    events 10 s apart, nothing emitted); run 2's first event arrives
+    past the gap and must close THE RESTORED session — start, count,
+    and duration all from run 1 — then run 2's second gap closes the
+    next session entirely within run 2."""
+    import pandas as pd
+
+    from stateflow_flink_spark.streaming.sessionization import (
+        apply_sessionize_stream,
+    )
+
+    staged, ckpt = str(tmp_path / "staged"), str(tmp_path / "ckpt")
+
+    def run() -> pd.DataFrame:
+        got: list = []
+        rows = apply_sessionize_stream(
+            _stream(spark, staged).select("user_id", "ts", "event_id")
+        )
+        with stream_partitions(spark):
+            q = (
+                rows.writeStream.foreachBatch(
+                    lambda df, bid: got.extend(df.collect())
+                )
+                .trigger(availableNow=True)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            q.awaitTermination()
+        return pd.DataFrame(
+            got, columns=["user_id", "session_start", "n_events", "duration_sec"]
+        )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid: int, sec: int) -> tuple:
+        return (t0 + dt.timedelta(seconds=sec), eid, 1, "click", 0.0)
+
+    # run 1: two events 10 s apart — open session, nothing emits
+    _write_events(spark, staged, [ev(1, 0), ev(2, 10)])
+    first = run()
+    assert first.empty, "open session must stay in state, not emit"
+
+    # run 2: event at +1h closes the restored session; event at +2h
+    # closes the singleton session started at +1h
+    _write_events(spark, staged, [ev(3, 3600), ev(4, 7200)])
+    second = run().sort_values("session_start").reset_index(drop=True)
+    assert len(second) == 2
+    assert second.loc[0, "session_start"] == t0, "start restored from run 1"
+    assert second.loc[0, "n_events"] == 2 and second.loc[0, "duration_sec"] == 10
+    assert second.loc[1, "n_events"] == 1 and second.loc[1, "duration_sec"] == 0
