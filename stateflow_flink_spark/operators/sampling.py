@@ -904,3 +904,154 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("s").cast("double") / F.col("n"), 6).alias("value"),
     )
     return rep_rows.unionByName(point_row).unionByName(se_row)
+
+
+# ---------------------------------------------------------------------------
+# Negative sampling — the word2vec/contrastive-training draw
+# ---------------------------------------------------------------------------
+#
+# Skip-gram and contrastive losses need K negatives per positive pair,
+# drawn from the unigram distribution raised to 3/4 (Mikolov et al.
+# 2013 §2.2).  Deterministic draw machinery:
+#
+#   * weight w(t) = floor(1000 * sqrt(cnt * sqrt(cnt))) — cnt^0.75 via
+#     two square roots and one multiply, every step an IEEE
+#     correctly-rounded operation, so the INTEGER weights are
+#     bit-identical cross-engine (a pow(x, 0.75) call would not be).
+#   * per (doc, position, k) the uniform u = md5 48-bit value mod W —
+#     content-keyed like every other sampler in this module.
+#   * inverse-CDF lookup u -> token WITHOUT a range join: the
+#     cumulative-weight axis [0, W) is cut into _NEG_B equal buckets,
+#     each vocab interval is exploded onto the buckets it overlaps
+#     (vocab + _NEG_B rows total), and the lookup becomes an EQUI-join
+#     on bucket + one filter — the bucketed-interval-join discipline,
+#     broadcast because the expanded table is vocabulary-sized.
+#
+# Output is the bounded per-token census of sampled negatives (the
+# verification artifact), not the pairs×K stream — at 100 TB the draws
+# stay inside the job that consumes them.
+
+_NEG_K = 2  # negatives per positive
+_NEG_B = 1024  # cumulative-axis buckets
+
+_NEG_HASH_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5('neg:' || CAST(doc_id AS VARCHAR) || ':'"
+    " || CAST(pos AS VARCHAR) || ':' || CAST(k AS VARCHAR)), 1, 12))"
+    "::UBIGINT AS BIGINT)"
+)
+
+_NEG_ORACLE = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               UNNEST(GENERATE_SERIES(1, LEN(t))) - 1 AS pos,
+               UNNEST(t) AS token
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents)
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+    wt AS (
+        SELECT token, CAST(FLOOR(1000 * SQRT(c * SQRT(c))) AS BIGINT) AS w
+        FROM cnt
+    ),
+    cum AS (
+        SELECT token, w,
+               SUM(w) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) AS hi,
+               SUM(w) OVER (ORDER BY token ROWS UNBOUNDED PRECEDING) - w AS lo
+        FROM wt
+    ),
+    tot AS (SELECT SUM(w) AS wtot FROM wt),
+    draws AS (
+        SELECT {_NEG_HASH_SQL} % wtot AS u
+        FROM toks, (SELECT UNNEST(RANGE({_NEG_K})) AS k), tot
+    ),
+    hit AS (
+        SELECT c.token
+        FROM draws d JOIN cum c ON d.u >= c.lo AND d.u < c.hi
+    )
+    SELECT c.token, c.w,
+           COALESCE(h.n, 0) AS n_sampled
+    FROM cum c LEFT JOIN (
+        SELECT token, COUNT(*) AS n FROM hit GROUP BY token
+    ) h USING (token)
+"""
+
+
+@query("q_negative_sampling", _NEG_ORACLE)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unigram^(3/4) negative sampler (see block comment): {_NEG_K}
+    deterministic draws per token position, inverse-CDF via the
+    bucketed-interval equi-join; returns the per-token census of
+    sampled negatives against its weight."""
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token")
+    )
+    toks = pin(toks)  # positives feed both the weights and the draws
+    cnt = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    wt = cnt.select(
+        "token",
+        F.floor(1000 * F.sqrt(F.col("c") * F.sqrt(F.col("c")))).alias("w"),
+    )
+    wcum = Window.orderBy("token").rowsBetween(Window.unboundedPreceding, 0)
+    cum = wt.select(
+        "token", "w", F.sum("w").over(wcum).alias("hi"),
+        (F.sum("w").over(wcum) - F.col("w")).alias("lo"),
+    )
+    cum = pin(cum, eager=True)  # vocab-sized; consumed three times
+    wtot = cum.agg(F.max("hi").alias("wtot"))
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("neg:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.col("pos").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("wtot")
+    )
+    draws = (
+        toks.select("doc_id", "pos", F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("k"))
+        .crossJoin(broadcast(wtot))
+        .select(u.alias("u"), "wtot")
+    )
+    # bucketed interval join: width = ceil(wtot / B)
+    width = F.floor((F.col("wtot") + _NEG_B - 1) / F.lit(_NEG_B)).cast("long")
+    dmap = (
+        cum.crossJoin(broadcast(wtot))
+        .select(
+            "token", "lo", "hi",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / width).cast("long"),
+                    F.floor((F.col("hi") - 1) / width).cast("long"),
+                )
+            ).alias("b"),
+        )
+    )
+    hits = (
+        draws.withColumn("b", F.floor(F.col("u") / width).cast("long"))
+        .join(broadcast(dmap), "b")
+        .filter((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+    )
+    census = hits.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        cum.join(census, "token", "left")
+        .select(
+            "token",
+            F.col("w").cast("bigint").alias("w"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_sampled"),
+        )
+    )
