@@ -212,6 +212,13 @@ NOTES = {
         "matches fall out of a Filter — no join, no Generate, per-user "
         "cost linear in that user's events."
     ),
+    "q_negative_sampling": (
+        "Inverse-CDF sampling without a range join: the vocab cumulative "
+        "table expands onto 1024 cumulative-axis buckets (vocab+1024 rows, "
+        "BroadcastHashJoin), each draw equi-joins on its bucket and one "
+        "filter picks the interval — per-draw work O(1), corpus never "
+        "sorted, the draw stream never leaves its scan stage."
+    ),
     "q_sketch_kmv": (
         "Bottom-k order statistics without a per-key giant sort: the "
         "distinct-pairs frame is range-bucketed by the top hash bits, a "

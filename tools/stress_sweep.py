@@ -75,6 +75,10 @@ TARGETS = [
     "q_tfidf_cosine_pairs",
     "q_knn_graph_mutual",
     "q_knn_graph_mutual_ann",
+    "q_negative_sampling",
+    "q_sample_bootstrap",
+    "q_rank_fusion",
+    "q_emb_outlier",
 ]
 
 # Re-measure a subset without paying for the full table:
