@@ -919,7 +919,10 @@ def q_sample_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     correctly-rounded operation, so the INTEGER weights are
 #     bit-identical cross-engine (a pow(x, 0.75) call would not be).
 #   * per (doc, position, k) the uniform u = md5 48-bit value mod W —
-#     content-keyed like every other sampler in this module.
+#     content-keyed like every other sampler in this module.  Valid for
+#     W up to ~2^44 (modulo bias W/2^48 stays under 1/16); a corpus
+#     whose total 3/4-power weight exceeds that should read 15 hex
+#     digits (60 bits) instead — one constant, both engines.
 #   * inverse-CDF lookup u -> token WITHOUT a range join: the
 #     cumulative-weight axis [0, W) is cut into _NEG_B equal buckets,
 #     each vocab interval is exploded onto the buckets it overlaps

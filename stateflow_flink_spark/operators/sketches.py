@@ -333,12 +333,14 @@ _KMV_ORACLE = f"""
     UNION ALL
     SELECT 'click|purchase', CAST(est_union AS BIGINT), CAST(tu AS BIGINT)
     FROM uni, true_sets
+    WHERE ska IS NOT NULL AND skb IS NOT NULL
     UNION ALL
     SELECT 'click&purchase',
            CAST(LEN(LIST_INTERSECT(LIST_INTERSECT(mg, ska), skb))
                 * est_union // {_KMV_K} AS BIGINT),
            CAST(ti AS BIGINT)
     FROM uni, true_sets
+    WHERE ska IS NOT NULL AND skb IS NOT NULL
 """
 
 
