@@ -1260,3 +1260,70 @@ def q_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-to-convert distribution — the funnel's latency histogram
+# ---------------------------------------------------------------------------
+#
+# q_window_funnel answers "how FAR did each user get"; the growth
+# question next to it is "how LONG does conversion take".  For every
+# user, latency = first purchase AFTER the first view, minus that first
+# view; the deliverable is the hour-bucketed latency histogram (the
+# curve product teams read conversion windows off).
+#
+# Scale shape: two user-keyed partial aggregates (first view, first
+# qualifying purchase) and ONE user-keyed join between them — both
+# sides pre-shrunk by their event_type scan filters, bucket rollup is
+# map-side combined.  No windows, no sorts, exact integer microseconds
+# end to end.
+
+_TTC_ORACLE = """
+    WITH v AS (
+        SELECT user_id, MIN(EPOCH_US(CAST(ts AS TIMESTAMP))) AS v_us
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(EPOCH_US(CAST(e.ts AS TIMESTAMP))) AS p_us
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase'
+          AND EPOCH_US(CAST(e.ts AS TIMESTAMP)) > v.v_us
+        GROUP BY e.user_id
+    )
+    SELECT CAST((p_us - v_us) // 3600000000 AS BIGINT) AS lat_hours,
+           COUNT(*) AS n_users,
+           CAST(MIN(p_us - v_us) AS BIGINT) AS min_lat_us,
+           CAST(MAX(p_us - v_us) AS BIGINT) AS max_lat_us
+    FROM p JOIN v USING (user_id)
+    GROUP BY 1
+"""
+
+
+@query("q_funnel_time_to_convert", _TTC_ORACLE)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-bucketed view→purchase conversion-latency histogram (see
+    block comment): first purchase strictly after the first view, per
+    user; two partial aggs + one user-keyed join."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("us").alias("v_us"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("v_us"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("p_us"), F.first("v_us").alias("v_us"))
+    )
+    lat = F.col("p_us") - F.col("v_us")
+    return p.groupBy(
+        F.floor(lat / F.lit(3_600_000_000)).cast("bigint").alias("lat_hours")
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.min(lat).cast("bigint").alias("min_lat_us"),
+        F.max(lat).cast("bigint").alias("max_lat_us"),
+    )
