@@ -62,8 +62,10 @@ _AUC_ORACLE = f"""
     )
     SELECT CAST(npos AS BIGINT) AS n_pos,
            CAST(nneg AS BIGINT) AS n_neg,
-           CAST(s2pos - npos * (npos + 1) AS DOUBLE)
-               / (2.0 * npos * nneg) AS auc
+           -- single-class corpus => AUC undefined: NULL, not a 0/0 NaN
+           CASE WHEN npos = 0 OR nneg = 0 THEN NULL
+                ELSE CAST(s2pos - npos * (npos + 1) AS DOUBLE)
+                     / (2.0 * npos * nneg) END AS auc
     FROM (
         SELECT SUM(pos) AS npos,
                SUM(cnt) - SUM(pos) AS nneg,
@@ -108,13 +110,16 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("r2"),
     )
+    n_pos = F.sum("pos")
+    n_neg = F.sum("cnt") - F.sum("pos")
     return ranked.agg(
-        F.sum("pos").cast("bigint").alias("n_pos"),
-        (F.sum("cnt") - F.sum("pos")).cast("bigint").alias("n_neg"),
-        (
-            (F.sum(F.col("pos") * F.col("r2")) - F.sum("pos") * (F.sum("pos") + 1))
-            .cast("double")
-            / (F.lit(2.0) * F.sum("pos") * (F.sum("cnt") - F.sum("pos")))
+        n_pos.cast("bigint").alias("n_pos"),
+        n_neg.cast("bigint").alias("n_neg"),
+        # single-class corpus => AUC undefined: NULL, not a 0/0 NaN
+        F.when(
+            (n_pos > 0) & (n_neg > 0),
+            (F.sum(F.col("pos") * F.col("r2")) - n_pos * (n_pos + 1)).cast("double")
+            / (F.lit(2.0) * n_pos * n_neg),
         ).alias("auc"),
     )
 

@@ -891,7 +891,9 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Streaming CDC apply — the Debezium→serving-table fold (ref R9 state)
 # ---------------------------------------------------------------------------
 
-_CDC_APPLY_OUTPUT = "user_id long, balance double, is_present boolean"
+_CDC_APPLY_OUTPUT = (
+    "user_id long, balance double, is_present boolean, n_applied long"
+)
 
 _CDC_APPLY_ORACLE = """
     WITH ops AS (
@@ -939,7 +941,12 @@ def apply_cdc_stream(events: DataFrame) -> DataFrame:
     downstream sinks can retract — the Debezium consumer contract.
     Within a batch keys fold in (ts, event_id) order; across batches
     the state carries, so any batching of the same log converges to the
-    same serving table.
+    same serving table.  Each emission carries ``n_applied`` — the
+    per-key count of ops folded so far, a monotone version stamp — so
+    an append sink that accumulated one row per (key, batch) compacts
+    to the serving table by keeping the max-``n_applied`` row per key,
+    batching-invariantly (a multi-file staging or maxFilesPerTrigger
+    run produces the same final table as the single-batch run).
 
     Cents conversion matches Spark's double→DECIMAL(38,0) cast exactly
     (Decimal(repr(x)) HALF_UP — the apply_ewma_stream recipe), so the
@@ -948,9 +955,9 @@ def apply_cdc_stream(events: DataFrame) -> DataFrame:
 
     def fold_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         if state.exists:
-            bal, present = state.get
+            bal, present, n_applied = state.get
         else:
-            bal, present = 0, False
+            bal, present, n_applied = 0, False, 0
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         for row in pdf.itertuples():
@@ -963,19 +970,21 @@ def apply_cdc_stream(events: DataFrame) -> DataFrame:
                     )
                 )
                 bal, present = (bal if present else 0) + cents, True
-        state.update((bal, bool(present)))
+            n_applied += 1
+        state.update((bal, bool(present), n_applied))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "balance": [bal / 100.0 if present else None],
                 "is_present": [bool(present)],
+                "n_applied": [n_applied],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fold_group,
         outputStructType=_CDC_APPLY_OUTPUT,
-        stateStructType="bal long, present boolean",
+        stateStructType="bal long, present boolean, n_applied long",
         outputMode="Append",
         timeoutConf="NoTimeout",
     )
@@ -987,7 +996,12 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     log ('purchase' upserts, 'error' tombstones) folds through per-key
     state into the current serving table; the oracle is the batch
     last-tombstone compaction over the same log.  Deleted keys are
-    observable as explicit (NULL, false) rows."""
+    observable as explicit (NULL, false) rows.
+
+    The append memory sink holds one row per (key, micro-batch); the
+    final select keeps the max-``n_applied`` row per key, so the result
+    is the current serving table whether the staged log arrived as one
+    availableNow batch or many (maxFilesPerTrigger-proof)."""
     events, _ = stream_events_dir(spark, sf_dir)
     ops = events.filter(F.col("event_type").isin("purchase", "error")).select(
         "user_id", "ts", "event_id", "event_type", "value"
@@ -1002,4 +1016,10 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         qy.awaitTermination()
-    return spark.table("sfs_stream_cdc_apply")
+    latest = Window.partitionBy("user_id").orderBy(F.desc("n_applied"))
+    return (
+        spark.table("sfs_stream_cdc_apply")
+        .withColumn("_r", F.row_number().over(latest))
+        .filter(F.col("_r") == 1)
+        .select("user_id", "balance", "is_present")
+    )

@@ -1420,7 +1420,16 @@ def test_user_decay_score_matches_pandas(spark):
     ev["age"] = (ref - ev["d"]).dt.days
     # mirror the engine arithmetic: round-to-nearest micro-int, integer
     # floor-div decay, exact integer sum, one double division
-    ev["vq"] = ev["value"].map(lambda v: int(Decimal(v * 1e6).to_integral_value()))
+    # Decimal(repr(...)) + HALF_UP matches both engines' double→DECIMAL
+    # cast on a .5-micro tie (Decimal-from-binary-float + HALF_EVEN
+    # would not — the apply_cdc_stream recipe).
+    from decimal import ROUND_HALF_UP
+
+    ev["vq"] = ev["value"].map(
+        lambda v: int(
+            Decimal(repr(v * 1_000_000)).to_integral_value(rounding=ROUND_HALF_UP)
+        )
+    )
     ev["term"] = ev["vq"] * (1_000_000 // (1 + ev["age"]))
     exp = ev.groupby("user_id").agg(
         n_events=("term", "size"),

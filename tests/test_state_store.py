@@ -399,7 +399,7 @@ def test_cdc_apply_stream_state_survives_restart(spark, tmp_path):
             )
             q.awaitTermination()
         return pd.DataFrame(
-            got, columns=["user_id", "balance", "is_present"]
+            got, columns=["user_id", "balance", "is_present", "n_applied"]
         ).set_index("user_id")
 
     # run 1: two purchases for user 1 (3.00 + 2.00), one for user 2
@@ -441,6 +441,12 @@ def test_cdc_apply_stream_state_survives_restart(spark, tmp_path):
     third = run()
     assert not bool(third.loc[2, "is_present"])
     assert pd.isna(third.loc[2, "balance"])
+    # n_applied is the per-key fold-count version stamp: it must count
+    # every op across restarts (user 2: 1 in run 1 + 1 in run 2 + 1 in
+    # run 3), so max-n_applied-per-key compaction of an append sink is
+    # batching-invariant.
+    assert third.loc[2, "n_applied"] == 3
+    assert second.loc[1, "n_applied"] == 4  # 2 upserts + tombstone + re-insert
 
 
 def test_cep_stream_pending_match_survives_restart(spark, tmp_path):
