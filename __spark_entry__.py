@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # named groups (q_bpe_*, q_dedup_cluster*, q_emb_*, q_stream_*), then
 # the rest alphabetically.
 _NEVER_DRIVER_SAMPLED = (
+    # new in r9 (judge item 8: driver-sampled the round they land)
+    "q_ab_ztest", "q_eval_confusion", "q_mix_temperature",
+    "q_stratified_kfold",
     # r8 bench >2x cluster
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",

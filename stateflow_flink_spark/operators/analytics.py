@@ -1327,3 +1327,120 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(lat).cast("bigint").alias("min_lat_us"),
         F.max(lat).cast("bigint").alias("max_lat_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B test evaluation — deterministic two-proportion z-test
+# ---------------------------------------------------------------------------
+#
+# The experimentation primitive every event pipeline ends at: users are
+# split into two arms by a deterministic id function (here user_id
+# parity — in production a salted hash, same shape), the conversion
+# metric is "ever purchased", and the readout is the pooled
+# two-proportion z statistic.  All counts are integers; every float op
+# (three divisions, two multiplies, one correctly-rounded sqrt) is a
+# single IEEE-754 operation mirrored in the same association order in
+# the oracle, with one final 6 dp rounding — the cross-engine float
+# discipline used module-wide.
+#
+# Scale shape: one user-keyed partial agg (map-side combined) collapses
+# the corpus to one row per user; one 2-row arm rollup; the z frame is
+# a 1-row aggregate broadcast back onto the 2-row result.  No windows,
+# no sorts, no corpus-sized shuffle beyond the user-keyed agg.
+
+_AB_CONV_MIN = 14  # converted = at least this many purchase events
+
+_AB_ORACLE = f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+               CASE WHEN COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                         >= {_AB_CONV_MIN} THEN 1 ELSE 0 END AS conv
+        FROM events GROUP BY user_id
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(conv) AS c
+        FROM per_user GROUP BY arm
+    ),
+    z AS (
+        -- NULL when an arm is empty or the pooled rate is degenerate
+        -- (0 or 1): the statistic is undefined, not a 0/0 NaN
+        SELECT CASE WHEN na IS NULL OR nb IS NULL
+                         OR ca + cb = 0 OR ca + cb = na + nb THEN NULL
+               ELSE ROUND(
+            (CAST(ca AS DOUBLE) / na - CAST(cb AS DOUBLE) / nb)
+            / SQRT(
+                (CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 - CAST(ca + cb AS DOUBLE) / (na + nb))
+                * (1.0 / na + 1.0 / nb)
+            ), 6) END AS z
+        FROM (
+            SELECT SUM(CASE WHEN arm = 'A' THEN n END) AS na,
+                   SUM(CASE WHEN arm = 'A' THEN c END) AS ca,
+                   SUM(CASE WHEN arm = 'B' THEN n END) AS nb,
+                   SUM(CASE WHEN arm = 'B' THEN c END) AS cb
+            FROM arms
+        )
+    )
+    SELECT arm,
+           CAST(n AS BIGINT) AS n_users,
+           CAST(c AS BIGINT) AS n_converted,
+           ROUND(CAST(c AS DOUBLE) / n, 6) AS conv_rate,
+           z.z AS z_score
+    FROM arms CROSS JOIN z
+"""
+
+
+@query("q_ab_ztest", _AB_ORACLE)
+def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm A/B conversion readout with the pooled two-proportion
+    z statistic (see block comment for the float discipline)."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        (
+            F.count(F.when(F.col("event_type") == "purchase", F.lit(1)))
+            >= _AB_CONV_MIN
+        ).cast("int").alias("conv")
+    )
+    arms = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "conv",
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    g = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("n"))).alias("na"),
+        F.sum(F.when(F.col("arm") == "A", F.col("c"))).alias("ca"),
+        F.sum(F.when(F.col("arm") == "B", F.col("n"))).alias("nb"),
+        F.sum(F.when(F.col("arm") == "B", F.col("c"))).alias("cb"),
+    )
+    pooled = (F.col("ca") + F.col("cb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    z = g.select(
+        F.when(
+            F.col("na").isNotNull()
+            & F.col("nb").isNotNull()
+            & (F.col("ca") + F.col("cb") > 0)
+            & (F.col("ca") + F.col("cb") < F.col("na") + F.col("nb")),
+            F.round(
+                (
+                    F.col("ca").cast("double") / F.col("na")
+                    - F.col("cb").cast("double") / F.col("nb")
+                )
+                / F.sqrt(
+                    pooled
+                    * (F.lit(1.0) - pooled)
+                    * (F.lit(1.0) / F.col("na") + F.lit(1.0) / F.col("nb"))
+                ),
+                6,
+            ),
+        ).alias("z_score")
+    )
+    return arms.crossJoin(F.broadcast(z)).select(
+        "arm",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("c").cast("bigint").alias("n_converted"),
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("conv_rate"),
+        "z_score",
+    )

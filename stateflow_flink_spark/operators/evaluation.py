@@ -397,3 +397,100 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Confusion matrix + threshold metrics — the classifier report card
+# ---------------------------------------------------------------------------
+#
+# The fixed-threshold companion to q_eval_auc / q_eval_pr_curve: binary
+# confusion counts at one operating point plus the derived metrics
+# (accuracy, precision, recall, F1, Cohen's kappa).  Every metric is
+# spelled as ONE division whose numerator and denominator are exact
+# 64-bit integers assembled from the four counts — kappa via the
+# cross-multiplied identity
+#   kappa = (n*(tp+tn) - E) / (n*n - E),  E = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)
+# — so both engines perform a single correctly-rounded IEEE op per
+# metric and the hashes match bit for bit, no epsilon anywhere.
+#
+# Scale shape: the scored frame collapses to FOUR integers in one
+# map-side-combined aggregate; nothing downstream of the cosine scorer
+# is corpus-sized.
+
+_CONF_THRESH = 0.0  # predict positive when 6 dp cosine >= this
+
+_CONFUSION_ORACLE = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    c AS (
+        SELECT SUM(CASE WHEN y = 1 AND s >= {_CONF_THRESH} THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN y = 0 AND s >= {_CONF_THRESH} THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN y = 1 AND s <  {_CONF_THRESH} THEN 1 ELSE 0 END) AS fn,
+               SUM(CASE WHEN y = 0 AND s <  {_CONF_THRESH} THEN 1 ELSE 0 END) AS tn
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS accuracy,
+           CASE WHEN tp + fp = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / (tp + fp) END AS precision,
+           CASE WHEN tp + fn = 0 THEN NULL
+                ELSE CAST(tp AS DOUBLE) / (tp + fn) END AS recall,
+           CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                ELSE CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn) END AS f1,
+           CASE WHEN (tp + fp + fn + tn) * (tp + fp + fn + tn)
+                     - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) = 0
+                THEN NULL
+                ELSE CAST((tp + fp + fn + tn) * (tp + tn)
+                          - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn))
+                          AS DOUBLE)
+                     / ((tp + fp + fn + tn) * (tp + fp + fn + tn)
+                        - ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)))
+           END AS kappa
+    FROM c
+"""
+
+
+@query("q_eval_confusion", _CONFUSION_ORACLE)
+def q_eval_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary confusion counts at the {_CONF_THRESH} cosine operating
+    point plus accuracy / precision / recall / F1 / Cohen's kappa, each
+    as one exact-integer division (see block comment)."""
+    e = load(spark, sf_dir, "embeddings")
+    qe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(broadcast(qe))
+        .select(
+            (F.col("label") >= _POS_LABEL_MIN).cast("long").alias("y"),
+            (
+                F.round(cosine_arrow(F.col("embedding"), F.col("qe")), 6)
+                >= _CONF_THRESH
+            ).cast("long").alias("p"),
+        )
+    )
+    c = scored.agg(
+        F.sum((F.col("y") == 1).cast("long") * F.col("p")).alias("tp"),
+        F.sum((F.col("y") == 0).cast("long") * F.col("p")).alias("fp"),
+        F.sum((F.col("y") == 1).cast("long") * (1 - F.col("p"))).alias("fn"),
+        F.sum((F.col("y") == 0).cast("long") * (1 - F.col("p"))).alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(x) for x in ("tp", "fp", "fn", "tn"))
+    n = tp + fp + fn + tn
+    expect = (tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)
+    return c.select(
+        tp.cast("bigint").alias("tp"),
+        fp.cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        tn.cast("bigint").alias("tn"),
+        ((tp + tn).cast("double") / n).alias("accuracy"),
+        F.when(tp + fp > 0, tp.cast("double") / (tp + fp)).alias("precision"),
+        F.when(tp + fn > 0, tp.cast("double") / (tp + fn)).alias("recall"),
+        F.when(
+            F.lit(2) * tp + fp + fn > 0,
+            (F.lit(2) * tp).cast("double") / (F.lit(2) * tp + fp + fn),
+        ).alias("f1"),
+        F.when(
+            n * n - expect != 0,
+            (n * (tp + tn) - expect).cast("double") / (n * n - expect),
+        ).alias("kappa"),
+    )

@@ -1095,3 +1095,144 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_sampled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing — the multilingual/multi-domain knob
+# ---------------------------------------------------------------------------
+#
+# The mixing rule used when raw proportional sampling would starve small
+# domains (multilingual corpora being the canonical case): sampling
+# share ~ p_i^(1/T) with T = 2, i.e. sqrt of the raw share, then
+# renormalised.  sqrt(p) boosts rare domains and shrinks dominant ones
+# while preserving order.
+#
+# Exactness: the scaled weight is quantised to an integer FIRST —
+# wq_i = floor(1e6 * sqrt(n_i / N)) — so the renormalising sum is an
+# INTEGER sum (order-free, engine-identical), and every emitted float
+# is one correctly-rounded division of exact integers.  sqrt and / are
+# single IEEE ops; no float accumulation anywhere (the
+# q_negative_sampling sqrt discipline).
+#
+# Scale shape: one map-side-combined groupBy(source) — the frame after
+# the first agg is DOMAIN-sized (tens of rows), everything downstream
+# is free.
+
+_TEMP_SCALE = 1_000_000  # micro-quantised sqrt weights
+
+_MIX_TEMP_ORACLE = f"""
+    WITH d AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    t AS (SELECT SUM(n) AS total FROM d),
+    w AS (
+        SELECT source, n,
+               CAST(FLOOR({_TEMP_SCALE} * SQRT(CAST(n AS DOUBLE)
+                          / (SELECT total FROM t))) AS BIGINT) AS wq
+        FROM d
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS raw_share,
+           wq AS temp_weight,
+           ROUND(CAST(wq AS DOUBLE) / (SELECT SUM(wq) FROM w), 6)
+               AS temp_share
+    FROM w
+"""
+
+
+@query("q_mix_temperature", _MIX_TEMP_ORACLE)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) domain sampling shares with
+    integer-quantised sqrt weights (see block comment)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    w = counts.crossJoin(broadcast(total)).select(
+        "source",
+        "n",
+        "total",
+        F.floor(
+            _TEMP_SCALE
+            * F.sqrt(F.col("n").cast("double") / F.col("total"))
+        ).cast("bigint").alias("wq"),
+    )
+    wsum = w.agg(F.sum("wq").alias("wsum"))
+    return w.crossJoin(broadcast(wsum)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("raw_share"),
+        F.col("wq").alias("temp_weight"),
+        F.round(F.col("wq").cast("double") / F.col("wsum"), 6).alias("temp_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified k-fold assignment — deterministic CV splits per domain
+# ---------------------------------------------------------------------------
+#
+# The cross-validation twin of q_split_hash: every document lands in
+# one of K folds by a content-keyed hash (namespaced 'fold:' so fold
+# assignment is independent of the train/val/test split), and the
+# readout is the per-(source, fold) census with each fold's share of
+# its source — the imbalance a stratified CV harness monitors.  The
+# hash is a pure projection (no shuffle); the census is one map-side-
+# combined groupBy on a (sources x K)-value key; the per-source total
+# comes back as a broadcast join of a DOMAIN-sized frame.
+
+_KFOLDS = 5
+
+_KFOLD_ORACLE = f"""
+    WITH assigned AS (
+        SELECT source,
+               CAST(('0x' || SUBSTRING(MD5('fold:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8))::UBIGINT AS BIGINT)
+                   % {_KFOLDS} AS fold
+        FROM documents
+    ),
+    census AS (
+        SELECT source, fold, COUNT(*) AS n
+        FROM assigned GROUP BY source, fold
+    ),
+    tot AS (SELECT source, SUM(n) AS n_source FROM census GROUP BY source)
+    SELECT c.source,
+           CAST(c.fold AS BIGINT) AS fold,
+           CAST(c.n AS BIGINT) AS n_docs,
+           ROUND(CAST(c.n AS DOUBLE) / t.n_source, 6) AS fold_share
+    FROM census c JOIN tot t USING (source)
+"""
+
+
+@query("q_stratified_kfold", _KFOLD_ORACLE)
+def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic {_KFOLDS}-fold CV assignment census per source
+    (see block comment)."""
+    from pyspark.sql.functions import broadcast
+
+    d = load(spark, sf_dir, "documents")
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("fold:"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _KFOLDS
+    )
+    census = (
+        d.select("source", fold.alias("fold"))
+        .groupBy("source", "fold")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = census.groupBy("source").agg(F.sum("n").alias("n_source"))
+    return census.join(broadcast(tot), "source").select(
+        "source",
+        F.col("fold").cast("bigint").alias("fold"),
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("n").cast("double") / F.col("n_source"), 6).alias(
+            "fold_share"
+        ),
+    )
