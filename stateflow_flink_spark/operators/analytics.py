@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..numerics import exact_sum, sql_sum
 from ..plans.registry import query
+from ..session import pin
 
 _WEEK = 7 * 24 * 3600
 
@@ -1443,4 +1444,172 @@ def q_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("bigint").alias("n_converted"),
         F.round(F.col("c").cast("double") / F.col("n"), 6).alias("conv_rate"),
         "z_score",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration — the Gini coefficient of per-user event counts
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    hist AS (SELECT c AS k, COUNT(*) AS m FROM per_user GROUP BY c),
+    cum AS (
+        SELECT k, m,
+               COALESCE(SUM(m) OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+        FROM hist
+    ),
+    s AS (
+        SELECT SUM(m) AS n, SUM(m * k) AS tot,
+               SUM(k::HUGEINT * (2 * m::HUGEINT * cum_before::HUGEINT
+                                 + m::HUGEINT * (m + 1))) AS r2
+        FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(tot AS BIGINT) AS n_events,
+           ROUND(CAST(r2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
+    FROM s
+"""
+
+
+@query("q_gini_concentration", _GINI_ORACLE)
+def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the one-number answer to
+    "how concentrated is traffic on heavy users?" that capacity planning
+    and abuse triage both start from (0 = uniform, ->1 = one whale).
+
+    Determinism: for ascending-sorted counts the textbook statistic is
+    G = (2 * sum_i i*x_i) / (n * sum_i x_i) - (n+1)/n.  Grouping the
+    sort by DISTINCT count value k (multiplicity m_k, users below
+    cum_k), the rank-weighted sum collapses exactly to
+    sum_k k * (2*m_k*cum_k + m_k*(m_k+1)) — every factor an integer, so
+    both engines sum identical integers (decimal/HUGEINT, no overflow)
+    and the result is two IEEE divisions + one round.
+
+    Scale shape: one user-keyed map-side-combined count, then a
+    count-of-counts histogram whose domain is DISTINCT activity levels
+    (<< corpus; bounded by max per-user activity).  The only ordered
+    window runs over that bounded histogram — the q_eval_auc
+    discipline — never over users."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = per_user.groupBy(F.col("c").alias("k")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "k", "m", F.coalesce(F.sum("m").over(w), F.lit(0)).alias("cum_before")
+    )
+    dec = "decimal(38,0)"
+    s = cum.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("k")).alias("tot"),
+        F.sum(
+            F.col("k").cast(dec)
+            * (
+                2 * F.col("m").cast(dec) * F.col("cum_before").cast(dec)
+                + F.col("m").cast(dec) * (F.col("m") + 1)
+            )
+        ).alias("r2"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("tot").cast("bigint").alias("n_events"),
+        F.round(
+            F.col("r2").cast("double")
+            / (F.col("n").cast("double") * F.col("tot").cast("double"))
+            - (F.col("n") + 1).cast("double") / F.col("n").cast("double"),
+            6,
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Item-item collaborative-filtering cosine over user co-occurrence
+# ---------------------------------------------------------------------------
+
+_ITEM_CF_ORACLE = """
+    WITH uv AS (
+        SELECT user_id, event_type, COUNT(*) AS v
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS item_x, b.event_type AS item_y,
+               COUNT(*) AS n_cousers, SUM(a.v * b.v) AS dot
+        FROM uv a JOIN uv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    ),
+    norms AS (SELECT event_type, SUM(v * v) AS ss FROM uv GROUP BY event_type)
+    SELECT item_x, item_y,
+           CAST(n_cousers AS BIGINT) AS n_cousers,
+           CAST(dot AS BIGINT) AS dot,
+           ROUND(CAST(dot AS DOUBLE)
+                 / SQRT(CAST(nx.ss AS DOUBLE) * CAST(ny.ss AS DOUBLE)),
+                 6) AS cosine
+    FROM pairs
+    JOIN norms nx ON pairs.item_x = nx.event_type
+    JOIN norms ny ON pairs.item_y = ny.event_type
+"""
+
+
+@query("q_item_cf_cosine", _ITEM_CF_ORACLE)
+def q_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity: cosine between
+    event types, each viewed as a count vector over users (the
+    Sarwar et al. 2001 item-kNN building block; here items = the
+    event-type catalog).
+
+    Determinism: per-(user,item) counts are exact integers; the dot
+    product and the squared norms are integer sums (decimal-exact),
+    and cosine is one double division against SQRT of a double product
+    written identically in both engines.
+
+    Scale shape: one (user,item)-keyed map-side-combined count, then a
+    SINGLE user-keyed self-join whose per-user fan-out is bounded by
+    C(|catalog-per-user|, 2) — never user x user.  Norms reuse the same
+    aggregate; the final joins run on the catalog-sized pair frame."""
+    e = load(spark, sf_dir, "events")
+    uv = pin(
+        e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("v"))
+    )
+    a = uv.select(
+        "user_id", F.col("event_type").alias("item_x"), F.col("v").alias("va")
+    )
+    b = uv.select(
+        "user_id", F.col("event_type").alias("item_y"), F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, "user_id")
+        .where(F.col("item_x") < F.col("item_y"))
+        .groupBy("item_x", "item_y")
+        .agg(
+            F.count(F.lit(1)).alias("n_cousers"),
+            F.sum(F.col("va") * F.col("vb")).alias("dot"),
+        )
+    )
+    norms = uv.groupBy("event_type").agg(
+        F.sum(F.col("v") * F.col("v")).alias("ss")
+    )
+    nx = norms.select(F.col("event_type").alias("item_x"), F.col("ss").alias("ssx"))
+    ny = norms.select(F.col("event_type").alias("item_y"), F.col("ss").alias("ssy"))
+    return (
+        pairs.join(F.broadcast(nx), "item_x")
+        .join(F.broadcast(ny), "item_y")
+        .select(
+            "item_x",
+            "item_y",
+            F.col("n_cousers").cast("bigint").alias("n_cousers"),
+            F.col("dot").cast("bigint").alias("dot"),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(F.col("ssx").cast("double") * F.col("ssy").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
     )

@@ -1222,3 +1222,173 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             (uniq.cast("double") / F.count(F.lit(1))).alias("novelty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency readout — top-K corpus tokens + fitted log-log slope
+# ---------------------------------------------------------------------------
+
+_ZIPF_K = 25
+
+_ZIPF_ORACLE = f"""
+    WITH cnt AS (
+        SELECT w AS token, COUNT(*) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    ),
+    topk AS (
+        SELECT token, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+        FROM cnt ORDER BY cnt DESC, token LIMIT {_ZIPF_K}
+    ),
+    q AS (
+        SELECT rnk, token, cnt,
+               CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS xq,
+               CAST(ROUND(LN(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT) AS yq
+        FROM topk
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xq) AS DOUBLE) AS sx, CAST(SUM(yq) AS DOUBLE) AS sy,
+               CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+               CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+        FROM q
+    )
+    SELECT CAST(rnk AS INT) AS rank, token, CAST(cnt AS BIGINT) AS cnt,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+    FROM q CROSS JOIN m
+"""
+
+
+@query("q_zipf_topk", _ZIPF_ORACLE)
+def q_zipf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-frequency head of the corpus unigram distribution with the
+    fitted Zipf exponent: the top-{_ZIPF_K} tokens by count plus the
+    OLS slope of ln(freq) on ln(rank) over those rows (Zipf's law
+    predicts ~= -1; a corpus whose head is flatter is template/boiler-
+    plate heavy — a curation signal next to q_quality_repetition).
+
+    Determinism: ties in count break on the token string in BOTH
+    engines; ln(rank)/ln(cnt) are evaluated on the K retained rows and
+    quantized to 6 dp integers before the moment sums (the q_group_ols
+    expression tree on micro-int moments; the 1e6 scale cancels in the
+    slope).
+
+    Scale shape: one token pass -> token-keyed map-side-combined
+    counts; the global order collapses to a TakeOrdered top-K (never a
+    full sort — Spark plans `limit` after `orderBy` as a per-partition
+    heap + K-row merge on the driver); every window/regression below
+    runs on the K-row frame."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    topk = cnt.orderBy(F.col("cnt").desc(), F.col("token")).limit(_ZIPF_K)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token"))
+    q = topk.select(
+        F.row_number().over(w).alias("rnk"), "token", "cnt"
+    ).select(
+        "rnk",
+        "token",
+        "cnt",
+        F.round(F.log(F.col("rnk").cast("double")) * 1_000_000.0)
+        .cast("long")
+        .alias("xq"),
+        F.round(F.log(F.col("cnt").cast("double")) * 1_000_000.0)
+        .cast("long")
+        .alias("yq"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xq").cast("double").alias("sx"),
+        F.sum("yq").cast("double").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).cast("double").alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    return q.crossJoin(F.broadcast(m)).select(
+        F.col("rnk").cast("int").alias("rank"),
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.round(
+            (n * F.col("sxy") - sx * sy) / (n * F.col("sxx") - sx * sx), 6
+        ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bigram conditional entropy — H(w2 | w1) of the corpus bigram model
+# ---------------------------------------------------------------------------
+
+_COND_ENT_ORACLE = f"""
+    WITH big AS (
+        SELECT UNNEST(gs) AS g FROM ({_gram_sql(2, distinct=False)})
+    ),
+    c12 AS (
+        SELECT STRING_SPLIT(g, ' ')[1] AS w1, g, COUNT(*) AS c12
+        FROM big GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, SUM(c12) AS c1 FROM c12 GROUP BY w1),
+    q AS (
+        SELECT c12.c12,
+               CAST(ROUND(LN(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS ql
+        FROM c12 JOIN c1 USING (w1)
+    )
+    SELECT CAST(SUM(c12) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           ROUND(-CAST(SUM(c12 * ql) AS DOUBLE)
+                 / (1000000.0 * CAST(SUM(c12) AS DOUBLE)), 6)
+               AS cond_entropy_nats
+    FROM q
+"""
+
+
+@query("q_bigram_cond_entropy", _COND_ENT_ORACLE)
+def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(w2|w1) of the corpus bigram model, in nats
+    — the single number that says how predictable the corpus is one
+    token ahead (low = template/boilerplate heavy, high = diverse
+    prose).  The summary statistic OVER the q_ngram_lm model: where
+    that query emits per-document perplexity against P(w2|w1), this
+    collapses the model itself to its entropy.
+
+    Determinism: H = -(1/N) * sum c12 * ln(c12/c1); the only float,
+    ln(c12/c1) of two exact integers, quantizes to a 6 dp integer per
+    DISTINCT bigram before the cross-row sum (q_domain_kl recipe), so
+    both engines sum identical integers and divide once.
+
+    Scale shape: one gram pass -> bigram-keyed map-side-combined
+    counts; the w1 marginal rolls up FROM the bigram counts (no second
+    corpus scan); the join runs bigram-frame vs w1-frame (vocab-sized,
+    both) and collapses to one row.  Gram extraction reuses grams_all
+    — the token array is bound once, not re-tokenized per position."""
+    from ..session import pin as _pin
+
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    big = d.select(F.explode(grams_all(F.col("text"), 2)).alias("g"))
+    c12 = big.groupBy(
+        F.substring_index(F.col("g"), " ", 1).alias("w1"), "g"
+    ).agg(F.count(F.lit(1)).alias("c12"))
+    c12 = _pin(c12)
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    q = c12.join(c1, "w1").select(
+        "c12",
+        F.round(
+            F.log(F.col("c12").cast("double") / F.col("c1").cast("double"))
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("ql"),
+    )
+    return q.agg(
+        F.sum("c12").cast("bigint").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.round(
+            -F.sum(F.col("c12") * F.col("ql")).cast("double")
+            / (1_000_000.0 * F.sum("c12").cast("double")),
+            6,
+        ).alias("cond_entropy_nats"),
+    )

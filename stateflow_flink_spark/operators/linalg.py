@@ -276,3 +276,104 @@ def q_emb_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("norm_before"),
         F.round(F.sqrt(_dots(v2, v2)), 6).alias("norm_after"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid shift — how far each label's embedding centroid
+# sits from the corpus centroid (the class-separation / drift probe)
+# ---------------------------------------------------------------------------
+
+_CENTROID_ORACLE = """
+    WITH per AS (
+        SELECT label, d.d AS dim,
+               CAST(ROUND(CAST(embedding[d.d] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 65)) AS d) d
+    ),
+    lab AS (
+        SELECT label, dim, SUM(q) AS sq, COUNT(*) AS n
+        FROM per GROUP BY label, dim
+    ),
+    g AS (SELECT dim, SUM(sq) AS gq, SUM(n) AS nn FROM lab GROUP BY dim),
+    diffs AS (
+        SELECT label, dim, n,
+               (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)
+                - CAST(gq AS DOUBLE) / CAST(nn AS DOUBLE)) AS diff
+        FROM lab JOIN g USING (dim)
+    ),
+    folded AS (
+        SELECT label, MAX(n) AS n_vecs,
+               LIST_REDUCE(LIST_PREPEND(0.0, LIST(diff * diff ORDER BY dim)),
+                           (a, b) -> a + b) AS ss
+        FROM diffs GROUP BY label
+    )
+    SELECT CAST(label AS INT) AS label, CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(SQRT(ss) / 1000000.0, 6) AS centroid_dist
+    FROM folded
+"""
+
+
+@query("q_emb_centroid_shift", _CENTROID_ORACLE)
+def q_emb_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean distance of each label's embedding centroid from the
+    corpus centroid — the one-pass class-separation probe (all-near-zero
+    means labels are not linearly separable; one far label is the drift
+    / contamination flag).  Pairs with q_emb_outlier (within-cluster
+    tails) and q_cluster_kmeans (learned centroids): this is the
+    supervised read on the same geometry.
+
+    Determinism: components quantize to 6 dp micro-ints BEFORE the
+    per-(label,dim) sums (exact integers; the corpus centroid rolls up
+    FROM the label sums, no second pass); each centroid coordinate is
+    one double division; the 64 squared diffs reduce by a SEQUENTIAL
+    dimension-ordered left fold (the regression/_dot_fold discipline —
+    no reassociation), then sqrt + descale + round.
+
+    Scale shape: one posexplode pass -> (label,dim)-keyed map-side-
+    combined integer sums (|labels| x 64 rows); everything downstream
+    lives on that bounded frame.  The only collect_list gathers exactly
+    64 rows per label."""
+    e = load(spark, sf_dir, "embeddings")
+    per = e.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        F.round(F.col("v").cast("double") * 1_000_000.0).cast("long").alias("q"),
+    )
+    lab = pin(
+        per.groupBy("label", "dim").agg(
+            F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+        )
+    )
+    g = lab.groupBy("dim").agg(F.sum("sq").alias("gq"), F.sum("n").alias("nn"))
+    diffs = lab.join(F.broadcast(g), "dim").select(
+        "label",
+        "dim",
+        "n",
+        (
+            F.col("sq").cast("double") / F.col("n").cast("double")
+            - F.col("gq").cast("double") / F.col("nn").cast("double")
+        ).alias("diff"),
+    )
+    folded = diffs.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("dim"), (F.col("diff") * F.col("diff")).alias("t")
+                )
+            )
+        ).alias("pv"),
+    )
+    ss = F.aggregate(
+        F.transform(F.col("pv"), lambda s: s["t"]),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return folded.select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(F.sqrt(ss) / 1_000_000.0, 6).alias("centroid_dist"),
+    )

@@ -543,3 +543,67 @@ def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hot_factor"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power-law tail fit — continuous-approximation MLE alpha on per-user
+# activity (Clauset, Shalizi & Newman 2009, eq. 3.1 with x_min = 1)
+# ---------------------------------------------------------------------------
+
+_PLAW_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    hist AS (SELECT c AS k, COUNT(*) AS m FROM per_user GROUP BY c),
+    s AS (
+        SELECT SUM(m) AS n,
+               SUM(m::HUGEINT
+                   * CAST(ROUND(LN(2.0 * k) * 1000000.0) AS BIGINT)) AS slog
+        FROM hist
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           CAST(1 AS INT) AS x_min,
+           ROUND(1.0 + CAST(n AS DOUBLE) * 1000000.0 / CAST(slog AS DOUBLE),
+                 6) AS alpha
+    FROM s
+"""
+
+
+@query("q_power_law_alpha", _PLAW_ORACLE)
+def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLE exponent of a power-law fit to per-user event counts —
+    alpha_hat = 1 + n / sum_i ln(x_i / (x_min - 1/2)) with x_min = 1,
+    i.e. ln(2 x_i) (the CSN 2009 continuous correction for discrete
+    data).  The distribution-shape probe a skew-mitigation plan
+    (salting thresholds, AQE skew factors) reads: alpha near 2 means a
+    handful of users carry most rows.
+
+    Determinism: the only transcendental, ln(2k), is evaluated on the
+    DISTINCT count values and quantized to a 6 dp integer BEFORE the
+    cross-row sum; sum_k m_k * qln(k) is exact in both engines, and
+    alpha is one division + round.
+
+    Scale shape: user-keyed map-side-combined count, then the bounded
+    count-of-counts histogram (same frame q_gini_concentration rides);
+    no window at all — two scalar aggregates."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    hist = per_user.groupBy(F.col("c").alias("k")).agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    qln = F.round(F.log(2.0 * F.col("k")) * 1_000_000.0).cast("long")
+    s = hist.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m").cast("decimal(38,0)") * qln).alias("slog"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.lit(1).cast("int").alias("x_min"),
+        F.round(
+            1.0
+            + F.col("n").cast("double")
+            * 1_000_000.0
+            / F.col("slog").cast("double"),
+            6,
+        ).alias("alpha"),
+    )

@@ -224,3 +224,82 @@ def q_regression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group closed-form OLS — slope/intercept of extendedprice ~ quantity
+# per part brand, exact moments only (no iteration, no collect)
+# ---------------------------------------------------------------------------
+
+_GROUP_OLS_ORACLE = """
+    WITH j AS (
+        SELECT p.p_brand AS brand,
+               CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS xq,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS yq
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+        SELECT brand,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(xq) AS DOUBLE) AS sx,
+               CAST(SUM(yq) AS DOUBLE) AS sy,
+               CAST(SUM(xq * xq) AS DOUBLE) AS sxx,
+               CAST(SUM(xq * yq) AS DOUBLE) AS sxy
+        FROM j GROUP BY brand
+    )
+    SELECT brand,
+           CAST(n AS BIGINT) AS n_rows,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / (n * 100.0), 6) AS intercept
+    FROM m
+"""
+
+
+@query("q_group_ols", _GROUP_OLS_ORACLE)
+def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand simple linear regression (extendedprice on quantity)
+    by the closed-form normal equations — the GROUP BY sibling of the
+    iterative trainer above and of q_corr_matrix's moment recipe:
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the means.
+    Thousands of independent per-segment fits in ONE aggregation pass
+    is the shape price-elasticity / trend-per-segment jobs take at
+    100 TB (a per-group iterative GD would be thousands of barriers).
+
+    Determinism: inputs quantize to cent-integers (2 dp, the
+    q_corr_matrix discipline); all five moments are exact integer sums
+    (decimal / HUGEINT); slope and intercept are the identical double
+    expression tree in both engines, rounded at 6 dp.  The quantization
+    scale cancels in the slope; the intercept rescales by /100.
+
+    Scale shape: broadcast the part dim into the fact scan, one
+    brand-keyed map-side-combined aggregate (25 brands -> tiny result),
+    zero windows, zero self-joins.  Skewed brands are irrelevant: the
+    partial aggregate collapses each partition to |brands| rows before
+    the exchange."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(broadcast(pt), li.l_partkey == pt.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("xq"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("yq"),
+    )
+    dec = "decimal(38,0)"
+    m = j.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("xq").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("yq").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("xq") * F.col("xq")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("xq") * F.col("yq")).cast(dec)).cast("double").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy = F.col("sxx"), F.col("sxy")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "brand",
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.round(slope_raw, 6).alias("slope"),
+        F.round((sy - slope_raw * sx) / (n * 100.0), 6).alias("intercept"),
+    )

@@ -1236,3 +1236,160 @@ def q_stratified_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fold_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jensen-Shannon divergence — the symmetric, bounded sibling of
+# q_domain_kl: each source vs the REST of the corpus over the same
+# hashed unigram buckets
+# ---------------------------------------------------------------------------
+
+_JS_ORACLE = f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT AS BIGINT)
+                   % {_DSIR_B} AS b
+        FROM (SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS w
+              FROM documents)
+    ),
+    grid AS (
+        SELECT source, g.b
+        FROM (SELECT DISTINCT source FROM documents)
+        CROSS JOIN (SELECT UNNEST(GENERATE_SERIES(0, {_DSIR_B - 1})) AS b) g
+    ),
+    dom_cnt AS (SELECT source, b, COUNT(*) AS cd FROM tok GROUP BY 1, 2),
+    cor_cnt AS (SELECT b, COUNT(*) AS cc FROM tok GROUP BY 1),
+    tot AS (SELECT source, SUM(cd) AS nd FROM dom_cnt GROUP BY source),
+    ntot AS (SELECT COUNT(*) AS nc FROM tok),
+    terms AS (
+        SELECT grid.source,
+               COALESCE(cd, 0) + 1 AS cd1,
+               COALESCE(cc, 0) - COALESCE(cd, 0) + 1 AS ce1,
+               nd,
+               nc - nd AS ne
+        FROM grid
+        LEFT JOIN dom_cnt ON grid.source = dom_cnt.source AND grid.b = dom_cnt.b
+        LEFT JOIN cor_cnt ON grid.b = cor_cnt.b
+        JOIN tot ON grid.source = tot.source
+        CROSS JOIN ntot
+    ),
+    quant AS (
+        SELECT source, cd1, ce1, nd, ne,
+               CAST(ROUND(LN(CAST(2 * cd1::HUGEINT * (ne + {_DSIR_B}) AS DOUBLE)
+                             / CAST(cd1::HUGEINT * (ne + {_DSIR_B})
+                                    + ce1::HUGEINT * (nd + {_DSIR_B}) AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS lp,
+               CAST(ROUND(LN(CAST(2 * ce1::HUGEINT * (nd + {_DSIR_B}) AS DOUBLE)
+                             / CAST(cd1::HUGEINT * (ne + {_DSIR_B})
+                                    + ce1::HUGEINT * (nd + {_DSIR_B}) AS DOUBLE))
+                          * 1000000.0) AS BIGINT) AS lq
+        FROM terms
+    )
+    SELECT source,
+           CAST(MAX(nd) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(cd1 * lp) AS DOUBLE)
+                     / (2000000.0 * (MAX(nd) + {_DSIR_B}))
+                 + CAST(SUM(ce1 * lq) AS DOUBLE)
+                     / (2000000.0 * (MAX(ne) + {_DSIR_B})), 6) AS js_nats
+    FROM quant GROUP BY source
+"""
+
+
+@query("q_js_divergence", _JS_ORACLE)
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JS(P_source || P_rest) per source over the q_mix_dsir hashed
+    unigram buckets — the symmetric, [0, ln 2]-bounded divergence a
+    mixing pipeline prefers to raw KL when sources can have
+    near-disjoint support (KL explodes; JS saturates).  Q is the
+    corpus WITHOUT the source (cc - cd), so a dominant source is not
+    compared against itself.  Both sides add-one smoothed on the full
+    bucket grid.
+
+    Determinism: the per-bucket log-ratios ln(p/m) and ln(q/m) reduce
+    to ln of a ratio of two EXACT integers —
+    2*cd1*(ne+B) / (cd1*(ne+B) + ce1*(nd+B)) — quantized to 6 dp
+    integers; JS * 2e6 * (n+B) decomposes into two exact integer sums
+    (the q_domain_kl recipe, applied once per side of the mixture).
+
+    Scale shape: identical to q_domain_kl — ONE token pass to
+    (source, bucket) partial counts (pinned; corpus counts roll up
+    from it), then everything downstream is #sources x 256 rows with a
+    generated grid.  No second corpus scan for the complement: ce is
+    cc - cd, computed on the bucket frame."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    ).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _DSIR_B
+        ).alias("b"),
+    )
+    dom = pin(tok.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cd")))
+    cor = dom.groupBy("b").agg(F.sum("cd").alias("cc"))
+    tot = dom.groupBy("source").agg(F.sum("cd").alias("nd"))
+    nc = dom.agg(F.sum("cd").alias("nc"))
+    grid = (
+        d.select("source")
+        .distinct()
+        .select(
+            "source", F.explode(F.sequence(F.lit(0), F.lit(_DSIR_B - 1))).alias("b")
+        )
+    )
+    cd0 = F.coalesce(F.col("cd"), F.lit(0))
+    cc0 = F.coalesce(F.col("cc"), F.lit(0))
+    terms = (
+        grid.join(dom, ["source", "b"], "left")
+        .join(F.broadcast(cor), "b", "left")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "source",
+            (cd0 + 1).alias("cd1"),
+            (cc0 - cd0 + 1).alias("ce1"),
+            "nd",
+            (F.col("nc") - F.col("nd")).alias("ne"),
+        )
+    )
+    dec = "decimal(38,0)"
+    den = (
+        F.col("cd1").cast(dec) * (F.col("ne") + _DSIR_B)
+        + F.col("ce1").cast(dec) * (F.col("nd") + _DSIR_B)
+    ).cast("double")
+    lp = (
+        F.round(
+            F.log(
+                (2 * F.col("cd1").cast(dec) * (F.col("ne") + _DSIR_B)).cast(
+                    "double"
+                )
+                / den
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("lp")
+    )
+    lq = (
+        F.round(
+            F.log(
+                (2 * F.col("ce1").cast(dec) * (F.col("nd") + _DSIR_B)).cast(
+                    "double"
+                )
+                / den
+            )
+            * 1_000_000.0
+        )
+        .cast("long")
+        .alias("lq")
+    )
+    quant = terms.select("source", "cd1", "ce1", "nd", "ne", lp, lq)
+    return quant.groupBy("source").agg(
+        F.max("nd").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.col("cd1") * F.col("lp")).cast("double")
+            / (2_000_000.0 * (F.max("nd") + _DSIR_B))
+            + F.sum(F.col("ce1") * F.col("lq")).cast("double")
+            / (2_000_000.0 * (F.max("ne") + _DSIR_B)),
+            6,
+        ).alias("js_nats"),
+    )

@@ -824,3 +824,62 @@ def q_length_filter_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keep"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix — the eval readout for the lang_id heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_PRED_SQL = """CASE
+        WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'query') THEN 'en'
+        WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'join')  THEN 'fr'
+        WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'table') THEN 'de'
+        WHEN LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data')  THEN 'es'
+        ELSE 'und' END"""
+
+_LANG_CONFUSION_ORACLE = f"""
+    WITH pred AS (
+        SELECT lang, {_LANG_PRED_SQL} AS lang_pred FROM documents
+    ),
+    cells AS (
+        SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2
+    ),
+    row_tot AS (SELECT lang, SUM(n) AS tot FROM cells GROUP BY lang)
+    SELECT c.lang, c.lang_pred, CAST(c.n AS BIGINT) AS n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS row_share
+    FROM cells c JOIN row_tot t ON c.lang = t.lang
+"""
+
+
+@query("q_lang_confusion", _LANG_CONFUSION_ORACLE)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the fixture's ground-truth ``lang`` column
+    against the marker-token language_id prediction, with per-true-lang
+    row shares — the multi-class eval readout that closes the loop on
+    q_text_lang_id (its binary siblings live in evaluation.py).  The
+    per-language recall sits on the diagonal; everything else is where
+    the router would mis-shard a multilingual corpus.
+
+    Determinism: counts are exact; the row share is ONE double division
+    of two integers.  The prediction CASE is the same marker chain as
+    q_text_lang_id's, verbatim, in both engines.
+
+    Scale shape: one map-side-combined groupBy on the (|langs| x
+    |langs+1|)-bounded cell domain; row totals roll up FROM the cells
+    (no second corpus pass); the final join runs on the cell frame."""
+    d = load(spark, sf_dir, "documents")
+    cells = (
+        d.select("lang", language_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cells = pin(cells)
+    row_tot = cells.groupBy("lang").agg(F.sum("n").alias("tot"))
+    return cells.join(F.broadcast(row_tot), "lang").select(
+        "lang",
+        "lang_pred",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "row_share"
+        ),
+    )

@@ -1475,3 +1475,210 @@ def test_market_basket_invariants(spark):
             r.n_co * n_orders / (c1[r.part_a] * c1[r.part_b]), abs=5.1e-7
         )
         assert r.support == pytest.approx(r.n_co / n_orders, abs=5.1e-7)
+
+
+def test_gini_concentration_matches_numpy(spark):
+    """q_gini_concentration must equal the textbook rank formula
+    computed directly on the sorted per-user counts, and sit in [0, 1)."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_gini_concentration"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    x = np.sort(ev.groupby("user_id").size().to_numpy())
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = 2 * int((i * x).sum()) / (n * int(x.sum())) - (n + 1) / n
+    assert out["n_users"] == n
+    assert out["n_events"] == int(x.sum())
+    assert abs(out["gini"] - gini) < 1e-6
+    assert 0.0 <= out["gini"] < 1.0
+
+
+def test_power_law_alpha_matches_numpy(spark):
+    """q_power_law_alpha must equal the CSN continuous-MLE recompute
+    (with the engines' 6 dp log quantization) and exceed 1."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_power_law_alpha"](spark, SF_SMOKE).toPandas().iloc[0]
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    x = ev.groupby("user_id").size().to_numpy()
+    slog = int(np.round(np.log(2.0 * x) * 1e6).astype(np.int64).sum())
+    alpha = 1.0 + len(x) * 1e6 / slog
+    assert out["x_min"] == 1
+    assert abs(out["alpha"] - alpha) < 1e-6
+    assert out["alpha"] > 1.0
+
+
+def test_item_cf_cosine_properties(spark):
+    """All C(|catalog|,2) pairs present exactly once (x < y), cosines in
+    (0, 1], and each dot matches a pandas pivot recompute exactly."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_item_cf_cosine"](spark, SF_SMOKE).toPandas()
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    piv = (
+        ev.groupby(["user_id", "event_type"]).size().unstack(fill_value=0)
+    )
+    items = sorted(piv.columns)
+    assert len(out) == len(items) * (len(items) - 1) // 2
+    assert (out["item_x"] < out["item_y"]).all()
+    for _, r in out.iterrows():
+        vx, vy = piv[r["item_x"]].to_numpy(), piv[r["item_y"]].to_numpy()
+        assert r["dot"] == int((vx * vy).sum())
+        cos = (vx * vy).sum() / np.sqrt(
+            float((vx * vx).sum()) * float((vy * vy).sum())
+        )
+        assert abs(r["cosine"] - cos) < 1e-6
+        assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_group_ols_matches_polyfit(spark):
+    """Per-brand slope/intercept must match numpy lstsq on the
+    cent-quantized inputs (the engines' exact-moment algebra) for every
+    brand with non-degenerate x variance."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_group_ols"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("brand")
+        .sort_index()
+    )
+    li = load(spark, SF_SMOKE, "lineitem").toPandas()
+    pt = load(spark, SF_SMOKE, "part").toPandas()
+    j = li.merge(pt, left_on="l_partkey", right_on="p_partkey")
+    for brand, g in j.groupby("p_brand"):
+        xq = np.round(g["l_quantity"] * 100).astype(np.int64)
+        yq = np.round(g["l_extendedprice"] * 100).astype(np.int64)
+        n = len(g)
+        sx, sy = int(xq.sum()), int(yq.sum())
+        sxx, sxy = int((xq * xq).sum()), int((xq * yq).sum())
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = (n * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / (n * 100.0)
+        assert out.loc[brand, "n_rows"] == n
+        assert abs(out.loc[brand, "slope"] - slope) < 1e-5
+        assert abs(out.loc[brand, "intercept"] - intercept) < 1e-4
+
+
+def test_js_divergence_bounds_and_symmetry_frame(spark):
+    """JS is bounded by [0, ln 2] for every source, and the n_tokens
+    column must reproduce the per-source token totals."""
+    import math
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_js_divergence"](spark, SF_SMOKE).toPandas()
+    assert (out["js_nats"] >= 0.0).all()
+    assert (out["js_nats"] <= math.log(2) + 1e-9).all()
+    d = load(spark, SF_SMOKE, "documents").toPandas()
+    toks = d.assign(n=d["text"].str.split(" ").map(len)).groupby("source")["n"].sum()
+    got = out.set_index("source")["n_tokens"]
+    assert got.sort_index().astype(int).tolist() == toks.sort_index().astype(int).tolist()
+
+
+def test_zipf_topk_ranks_and_slope(spark):
+    """Ranks are 1..K aligned with (cnt desc, token) order; the slope
+    column is constant and matches a numpy recompute on the K rows."""
+    import numpy as np
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_zipf_topk"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert out["rank"].tolist() == list(range(1, len(out) + 1))
+    srt = out.sort_values(["cnt", "token"], ascending=[False, True])
+    assert srt["rank"].tolist() == out["rank"].tolist()
+    assert out["zipf_slope"].nunique() == 1
+    xq = np.round(np.log(out["rank"].to_numpy(float)) * 1e6).astype(np.int64)
+    yq = np.round(np.log(out["cnt"].to_numpy(float)) * 1e6).astype(np.int64)
+    n = float(len(out))
+    sx, sy = float(xq.sum()), float(yq.sum())
+    sxx, sxy = float((xq * xq).sum()), float((xq * yq).sum())
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert abs(out["zipf_slope"].iloc[0] - slope) < 1e-6
+
+
+def test_lang_confusion_row_shares_sum_to_one(spark):
+    """Each true-lang row of the confusion matrix carries shares that
+    sum to 1 (6 dp tolerance), and total n equals the corpus size."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_lang_confusion"](spark, SF_SMOKE).toPandas()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert out["n"].sum() == n_docs
+    sums = out.groupby("lang")["row_share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+
+
+def test_emb_centroid_shift_matches_numpy(spark):
+    """Centroid distances must match a numpy recompute on the micro-int
+    quantized embeddings, and the weighted centroid identity must hold
+    (labels partition the corpus)."""
+    import numpy as np
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_emb_centroid_shift"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("label")
+        .sort_index()
+    )
+    emb = load(spark, SF_SMOKE, "embeddings").toPandas()
+    m = np.round(
+        np.stack(emb["embedding"].to_numpy()).astype(np.float64) * 1e6
+    ).astype(np.int64)
+    labels = emb["label"].to_numpy()
+    gc = m.sum(axis=0) / len(m)
+    for lbl in np.unique(labels):
+        rows = m[labels == lbl]
+        lc = rows.sum(axis=0) / len(rows)
+        dist = float(np.sqrt(((lc - gc) ** 2).sum())) / 1e6
+        assert out.loc[lbl, "n_vecs"] == len(rows)
+        assert abs(out.loc[lbl, "centroid_dist"] - dist) < 1e-5
