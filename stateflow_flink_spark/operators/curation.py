@@ -1392,3 +1392,79 @@ def q_bigram_cond_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cond_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax-trigram ratio — per-document share of corpus-unique trigrams
+# ---------------------------------------------------------------------------
+
+_HAPAX_ORACLE = f"""
+    WITH g AS (
+        SELECT doc_id, UNNEST(gs) AS gram
+        FROM ({_gram_sql(3, distinct=False)})
+    ),
+    g_stats AS (
+        SELECT gram, COUNT(*) AS cnt, MIN(doc_id) AS d FROM g GROUP BY gram
+    ),
+    hap AS (
+        SELECT d AS doc_id, COUNT(*) AS n_hapax
+        FROM g_stats WHERE cnt = 1 GROUP BY d
+    ),
+    totals AS (
+        SELECT doc_id,
+               GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 1) AS n_grams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hapax, 0) AS BIGINT) AS n_hapax,
+           ROUND(CAST(COALESCE(n_hapax, 0) AS DOUBLE)
+                 / CAST(n_grams AS DOUBLE), 6) AS hapax_ratio
+    FROM totals LEFT JOIN hap USING (doc_id)
+"""
+
+
+@query("q_hapax_ratio", _HAPAX_ORACLE)
+def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of each document's trigrams that occur EXACTLY ONCE in the
+    whole corpus — the lexical-novelty signal that separates generative
+    prose (hapax-rich) from template/boilerplate spam (hapax-poor); the
+    per-doc complement of q_ngram_stats' corpus head and q_text_novelty's
+    ordering view.
+
+    Scale shape — the hapax identity removes the obvious second join: a
+    corpus-hapax gram lives in exactly one document, so MIN(doc_id) over
+    its occurrences IS that document.  One gram pass -> gram-keyed
+    (count, min-doc) partial aggregate; the cnt=1 slice re-keys by doc
+    in a doc-sized aggregate; per-doc totals come from size(split()) on
+    the base scan — the corpus is never joined back to a vocab-sized
+    frame.  Gram extraction reuses grams_all (token array bound once).
+
+    Determinism: counts are exact; the ratio is one double division of
+    two integers."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    g = d.select("doc_id", F.explode(grams_all(F.col("text"), 3)).alias("gram"))
+    g_stats = g.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("d")
+    )
+    hap = (
+        g_stats.where(F.col("cnt") == 1)
+        .groupBy(F.col("d").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_hapax"))
+    )
+    base = d.select(
+        "doc_id",
+        F.greatest(F.size(F.split("text", " ")) - 2, F.lit(1))
+        .cast("bigint")
+        .alias("n_grams"),
+    )
+    return base.join(hap, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("n_hapax"), F.lit(0)).cast("bigint").alias("n_hapax"),
+        F.round(
+            F.coalesce(F.col("n_hapax"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("hapax_ratio"),
+    )

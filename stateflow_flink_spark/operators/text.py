@@ -883,3 +883,42 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "row_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Type-token ratio — per-document lexical diversity
+# ---------------------------------------------------------------------------
+
+_TTR_ORACLE = """
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS BIGINT)
+               AS n_types,
+           ROUND(CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                 / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE), 6) AS ttr
+    FROM documents
+"""
+
+
+@query("q_ttr", _TTR_ORACLE)
+def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document — the classic lexical-diversity
+    measure (distinct tokens / tokens); low TTR flags repetition the
+    same way q_quality_repetition's bigram fraction does, but at the
+    unigram level and without corpus state.
+
+    Scale shape: embarrassingly parallel — one narrow map over the
+    corpus, no shuffle at all (array_distinct runs inside the row).
+    Determinism: two integers and one division."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            6,
+        ).alias("ttr"),
+    )

@@ -1682,3 +1682,79 @@ def test_emb_centroid_shift_matches_numpy(spark):
         dist = float(np.sqrt(((lc - gc) ** 2).sum())) / 1e6
         assert out.loc[lbl, "n_vecs"] == len(rows)
         assert abs(out.loc[lbl, "centroid_dist"] - dist) < 1e-5
+
+
+def test_hapax_ratio_matches_pandas(spark):
+    """n_hapax per doc must match a pandas recompute of corpus-unique
+    trigrams, and ratios stay in [0, 1]."""
+    from collections import Counter
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_hapax_ratio"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+
+    def grams(text):
+        t = text.split(" ")
+        if len(t) <= 3:
+            return [" ".join(t)]
+        return [" ".join(t[i : i + 3]) for i in range(len(t) - 2)]
+
+    per_doc = {r.doc_id: grams(r.text) for r in docs.itertuples()}
+    cnt = Counter(g for gs in per_doc.values() for g in gs)
+    for doc_id, gs in per_doc.items():
+        n_hapax = sum(1 for g in gs if cnt[g] == 1)
+        assert out.loc[doc_id, "n_hapax"] == n_hapax
+    assert ((out["hapax_ratio"] >= 0) & (out["hapax_ratio"] <= 1)).all()
+
+
+def test_ttr_zero_shuffle_and_bounds(spark):
+    """TTR plan must contain NO exchange (narrow map only), values in
+    (0, 1], and types never exceed tokens."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    df = QUERIES["q_ttr"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, "q_ttr must be a zero-shuffle map"
+    pdf = df.toPandas()
+    assert (pdf["n_types"] <= pdf["n_tokens"]).all()
+    assert ((pdf["ttr"] > 0) & (pdf["ttr"] <= 1)).all()
+
+
+def test_burstiness_matches_pandas(spark):
+    """Fano factors must equal a pandas recompute of var/mean over the
+    same UTC epoch-day buckets (population variance)."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_burstiness"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+        .sort_index()
+    )
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    ev["day"] = (ev["ts"].astype("int64") // 10**6) // 86400
+    daily = ev.groupby(["event_type", "day"]).size()
+    for et, g in daily.groupby(level=0):
+        n = len(g)
+        mean = g.sum() / n
+        var = (g * g).sum() / n - mean * mean
+        assert out.loc[et, "n_days"] == n
+        assert out.loc[et, "n_events"] == g.sum()
+        assert abs(out.loc[et, "fano"] - var / mean) < 1e-6
