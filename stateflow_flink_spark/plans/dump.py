@@ -227,6 +227,21 @@ NOTES = {
         "row_number window to ~k + one bucket's occupancy regardless of "
         "skew — the containment discipline applied to order statistics."
     ),
+    "q_gini_concentration": (
+        "The bounded-histogram discipline end-to-end: the corpus meets ONE "
+        "user-keyed partial-aggregated count; the count-of-counts histogram "
+        "(distinct activity levels, << corpus at any scale) is the only frame "
+        "the ordered window ever sees, and the rank-weighted Gini sum is "
+        "exact integer algebra on it. A row-level ntile/rank formulation "
+        "would be a single-reducer corpus sort."
+    ),
+    "q_item_cf_cosine": (
+        "Item-item CF without an item-pair blowup: the (user,item) aggregate "
+        "is pinned and reused three ways (both self-join sides + norms); the "
+        "self-join shuffles ONCE on user_id with per-user fan-out bounded by "
+        "C(catalog-per-user, 2), and the norm joins broadcast catalog-sized "
+        "frames onto the pair result."
+    ),
 }
 
 

@@ -63,10 +63,18 @@ def refresh_bench() -> None:
         text=True,
         check=True,
     )
-    line = res.stdout.strip().splitlines()[-1]
     import json
 
-    parsed = json.loads(line)  # refuse to commit a non-JSON artifact
+    # bench.py emits TWO JSON lines since r9 (the per-query map, then a
+    # short self-diff vs the previously-committed BENCH.json); the
+    # artifact is the line that carries the "queries" map.
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.startswith("{")]
+    line, parsed = next(
+        (ln, d)
+        for ln in lines
+        for d in [json.loads(ln)]  # refuse to commit a non-JSON artifact
+        if "queries" in d
+    )
     (REPO / "BENCH.json").write_text(line + "\n")
     print(
         f"BENCH.json refreshed: {parsed['value']}s over "

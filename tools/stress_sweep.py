@@ -79,6 +79,13 @@ TARGETS = [
     "q_sample_bootstrap",
     "q_rank_fusion",
     "q_emb_outlier",
+    # r9 additions with any non-trivial shuffle shape
+    "q_item_cf_cosine",
+    "q_hapax_ratio",
+    "q_bigram_cond_entropy",
+    "q_js_divergence",
+    "q_zipf_topk",
+    "q_gini_concentration",
 ]
 
 # Re-measure a subset without paying for the full table:
@@ -147,6 +154,30 @@ def gen_corpus(out_dir: str, n_docs: int, seed: int) -> None:
         }
     )
     embs.to_parquet(os.path.join(out_dir, "embeddings.parquet"), index=False)
+
+    # events table (FIXTURES.md schema) for the activity-shaped targets
+    # (q_gini_concentration, q_item_cf_cosine, ...): ~20 events/doc over
+    # a DELIBERATELY Zipf-skewed user population — the stress these
+    # queries exist to survive is a whale user, so plant one.
+    n_ev = n_docs * 20
+    n_users = max(50, n_docs // 65)
+    # inverse-CDF Zipf(1.2)-ish: user k gets weight (k+1)^-1.2
+    w = (np.arange(n_users) + 1.0) ** -1.2
+    users = rng.choice(n_users, size=n_ev, p=w / w.sum()).astype(np.int64)
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    events = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "ts": ts0 + rng.integers(0, 90 * 86400, n_ev) * np.timedelta64(10**6, "us"),
+            "user_id": users,
+            "event_type": rng.choice(
+                ["view", "click", "purchase", "signup", "error"], n_ev
+            ),
+            "value": np.round(rng.random(n_ev) * 100, 2),
+            "props": "{}",
+        }
+    )
+    events.to_parquet(os.path.join(out_dir, "events.parquet"), index=False)
 
 
 def _worker(name: str, d1: str, d10: str) -> None:
