@@ -1613,3 +1613,186 @@ def q_item_cf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test over co-ordered part pairs — the
+# significance layer on top of q_market_basket's lift
+# ---------------------------------------------------------------------------
+
+_CHI2_CRIT = 3.841  # 95th percentile of chi-square with 1 dof
+
+_BASKET_CHI2_ORACLE = f"""
+    WITH lines AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT COUNT(DISTINCT o) AS n_orders FROM lines),
+    c1 AS (SELECT p, COUNT(*) AS c FROM lines GROUP BY p),
+    co AS (
+        SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_co
+        FROM lines a JOIN lines b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MB_MIN_CO}
+    )
+    SELECT part_a, part_b, CAST(n_co AS BIGINT) AS n_co,
+           ROUND(CAST(n_orders AS DOUBLE)
+                 * (CAST(n_co AS DOUBLE) * (n_orders - ca.c - cb.c + n_co)
+                    - CAST(ca.c - n_co AS DOUBLE) * (cb.c - n_co))
+                 * (CAST(n_co AS DOUBLE) * (n_orders - ca.c - cb.c + n_co)
+                    - CAST(ca.c - n_co AS DOUBLE) * (cb.c - n_co))
+                 / (CAST(ca.c AS DOUBLE) * (n_orders - ca.c)
+                    * CAST(cb.c AS DOUBLE) * (n_orders - cb.c)), 6) AS chi2,
+           (CAST(n_orders AS DOUBLE)
+                 * (CAST(n_co AS DOUBLE) * (n_orders - ca.c - cb.c + n_co)
+                    - CAST(ca.c - n_co AS DOUBLE) * (cb.c - n_co))
+                 * (CAST(n_co AS DOUBLE) * (n_orders - ca.c - cb.c + n_co)
+                    - CAST(ca.c - n_co AS DOUBLE) * (cb.c - n_co))
+                 / (CAST(ca.c AS DOUBLE) * (n_orders - ca.c)
+                    * CAST(cb.c AS DOUBLE) * (n_orders - cb.c)))
+               > {_CHI2_CRIT} AS significant
+    FROM co
+    JOIN c1 ca ON co.part_a = ca.p
+    JOIN c1 cb ON co.part_b = cb.p
+    CROSS JOIN n
+"""
+
+
+@query("q_basket_chi2", _BASKET_CHI2_ORACLE)
+def q_basket_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test (1 dof) for every
+    co-ordered part pair — the significance gate q_market_basket's lift
+    needs before anyone acts on it: lift > 1 on 3 co-orders is noise;
+    chi2 > 3.841 says the association clears 95% against the
+    independence null.  The 2x2 table per pair is (a=both, b=A-only,
+    c=B-only, d=neither), all derived from n_co / per-part counts / N —
+    no fourth scan for 'neither'.
+
+    Determinism: every cell is an exact integer; chi2 =
+    N(ad-bc)^2 / (ca(N-ca) cb(N-cb)) is the SAME double expression tree
+    in both engines (products of integer-valued doubles, one division),
+    rounded at 6 dp; the significance flag compares the unrounded
+    value.
+
+    Scale shape: identical to q_market_basket — distinct lines pinned
+    once, pair fan-out C(order size, 2) via the order-keyed self-join,
+    catalog-sized count joins, one broadcast scalar N."""
+    li = load(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    lines = pin(lines)
+    n = lines.agg(F.countDistinct("o").alias("n_orders"))
+    c1 = lines.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a, b = lines.alias("a"), lines.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= _MB_MIN_CO)
+    )
+    ca = c1.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
+    cb = c1.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
+    j = co.join(ca, "part_a").join(cb, "part_b").crossJoin(F.broadcast(n))
+    nn, nco = F.col("n_orders"), F.col("n_co")
+    cca, ccb = F.col("ca"), F.col("cb")
+    det = (
+        nco.cast("double") * (nn - cca - ccb + nco)
+        - (cca - nco).cast("double") * (ccb - nco)
+    )
+    chi2 = (
+        nn.cast("double")
+        * det
+        * det
+        / (
+            cca.cast("double") * (nn - cca)
+            * ccb.cast("double") * (nn - ccb)
+        )
+    )
+    return j.select(
+        "part_a",
+        "part_b",
+        nco.cast("bigint").alias("n_co"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > _CHI2_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Churn hazard — discrete-time hazard per week from last-activity weeks
+# ---------------------------------------------------------------------------
+
+_HAZARD_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP)) / 86400)
+                        AS BIGINT)) AS last_day
+        FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    deaths AS (
+        SELECT last_day AS day, COUNT(*) AS n_ending
+        FROM per_user GROUP BY last_day
+    ),
+    risk AS (
+        SELECT day, n_ending,
+               SUM(n_ending) OVER (ORDER BY day DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_at_risk
+        FROM deaths
+    )
+    SELECT day, CAST(n_ending AS BIGINT) AS n_ending,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           ROUND(CAST(n_ending AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 6)
+               AS hazard
+    FROM risk
+"""
+
+
+@query("q_churn_hazard", _HAZARD_ORACLE)
+def q_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time churn hazard per epoch-day over PURCHASE activity:
+    of the buyers still alive entering day d (= whose LAST purchase
+    falls on d or later), what fraction made their final purchase on d?
+    The survival-analysis readout next to q_cohort_retention's
+    triangle: retention says who came back, hazard says when the
+    remaining buyers quit — the curve a lifecycle team reads
+    re-engagement timing off.  Purchases (not all events) keyed at day
+    granularity so the fixture's dense activity still yields a curve;
+    right-censoring note: the final observed day's hazard is 1.0 by
+    construction — every survivor's last purchase is on it.
+
+    Determinism: days are epoch floor-division (the q_dau_wau bucket);
+    deaths and the reverse-cumulative risk set are exact integers;
+    hazard is one double division, 6 dp.
+
+    Scale shape: the event_type filter is pushed to the scan; one
+    user-keyed map-side-combined MAX, then the last-day histogram
+    (|days| rows — bounded by calendar, not corpus); the only ordered
+    window is the reverse cumsum over that bounded frame."""
+    e = load(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.floor(F.unix_timestamp(F.max("ts")) / 86400)
+            .cast("long")
+            .alias("last_day")
+        )
+    )
+    deaths = per_user.groupBy(F.col("last_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_ending")
+    )
+    w = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = deaths.select(
+        "day", "n_ending", F.sum("n_ending").over(w).alias("n_at_risk")
+    )
+    return risk.select(
+        "day",
+        F.col("n_ending").cast("bigint").alias("n_ending"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.round(
+            F.col("n_ending").cast("double") / F.col("n_at_risk").cast("double"),
+            6,
+        ).alias("hazard"),
+    )

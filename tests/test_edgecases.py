@@ -1749,7 +1749,8 @@ def test_burstiness_matches_pandas(spark):
         .sort_index()
     )
     ev = load(spark, SF_SMOKE, "events").toPandas()
-    ev["day"] = (ev["ts"].astype("int64") // 10**6) // 86400
+    # toPandas yields datetime64[ns]; epoch-seconds = ns // 1e9
+    ev["day"] = (ev["ts"].astype("int64") // 10**9) // 86400
     daily = ev.groupby(["event_type", "day"]).size()
     for et, g in daily.groupby(level=0):
         n = len(g)
@@ -1758,3 +1759,66 @@ def test_burstiness_matches_pandas(spark):
         assert out.loc[et, "n_days"] == n
         assert out.loc[et, "n_events"] == g.sum()
         assert abs(out.loc[et, "fano"] - var / mean) < 1e-6
+
+
+def test_basket_chi2_matches_scipy_free_recompute(spark):
+    """chi2 must equal the 2x2 shortcut formula recomputed in pandas
+    from raw co-order counts, and 'significant' must be chi2 > 3.841
+    on the unrounded value."""
+    from itertools import combinations
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_basket_chi2"](spark, SF_SMOKE).toPandas()
+    li = load(spark, SF_SMOKE, "lineitem").toPandas()
+    lines = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    n_orders = lines["l_orderkey"].nunique()
+    per_part = lines.groupby("l_partkey").size()
+    co = {}
+    for _, grp in lines.groupby("l_orderkey"):
+        for x, y in combinations(sorted(grp["l_partkey"]), 2):
+            co[(x, y)] = co.get((x, y), 0) + 1
+    expected = {k: v for k, v in co.items() if v >= 2}
+    assert len(out) == len(expected)
+    got = out.set_index(["part_a", "part_b"])
+    for (x, y), n_co in expected.items():
+        ca, cb = int(per_part[x]), int(per_part[y])
+        det = n_co * (n_orders - ca - cb + n_co) - (ca - n_co) * (cb - n_co)
+        chi2 = (
+            n_orders * float(det) * float(det)
+            / (float(ca) * (n_orders - ca) * float(cb) * (n_orders - cb))
+        )
+        row = got.loc[(x, y)]
+        assert row["n_co"] == n_co
+        assert abs(row["chi2"] - chi2) < 1e-5
+        assert bool(row["significant"]) == (chi2 > 3.841)
+
+
+def test_seasonal_strength_bounds_and_recompute(spark):
+    """Cramér V in [0, 1]; chi2 matches the per-bucket textbook sum
+    (c - n/24)^2 / (n/24) over UTC hour-of-day buckets."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_seasonal_strength"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("event_type")
+    )
+    assert ((out["seasonal_v"] >= 0) & (out["seasonal_v"] <= 1)).all()
+    ev = load(spark, SF_SMOKE, "events").toPandas()
+    ev["h"] = ((ev["ts"].astype("int64") // 10**9) // 3600) % 24
+    for et, g in ev.groupby("event_type"):
+        n = len(g)
+        counts = g.groupby("h").size().reindex(range(24), fill_value=0)
+        exp = n / 24.0
+        chi2 = float(((counts - exp) ** 2 / exp).sum())
+        assert abs(out.loc[et, "chi2_uniform"] - chi2) < 1e-4
+        assert out.loc[et, "n_events"] == n
