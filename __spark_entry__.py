@@ -44,7 +44,7 @@ _NEVER_DRIVER_SAMPLED = (
     "q_group_ols", "q_js_divergence", "q_zipf_topk",
     "q_lang_confusion", "q_emb_centroid_shift", "q_bigram_cond_entropy",
     "q_hapax_ratio", "q_ttr", "q_burstiness", "q_basket_chi2",
-    "q_seasonal_strength", "q_churn_hazard",
+    "q_seasonal_strength", "q_churn_hazard", "q_k_anonymity",
     # r8 bench >2x cluster
     "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
     "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",

@@ -607,3 +607,66 @@ def q_power_law_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("alpha"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit — equivalence-class census over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_KANON_RISK_K = 5
+
+_KANON_ORACLE = f"""
+    WITH classes AS (
+        SELECT c_mktsegment, c_nationkey,
+               CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               COUNT(*) AS sz
+        FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(sz) AS BIGINT) AS k_anonymity,
+           CAST(SUM(CASE WHEN sz < {_KANON_RISK_K} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_at_risk,
+           CAST(SUM(CASE WHEN sz < {_KANON_RISK_K} THEN sz ELSE 0 END)
+                AS BIGINT) AS n_rows_at_risk,
+           ROUND(CAST(SUM(CASE WHEN sz < {_KANON_RISK_K} THEN sz ELSE 0 END)
+                      AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+               AS at_risk_share
+    FROM classes
+"""
+
+
+@query("q_k_anonymity", _KANON_ORACLE)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the customer table's
+    quasi-identifier tuple (market segment, nation, $1000 balance
+    band): the dataset's k is the SMALLEST equivalence-class size — a
+    released row in a class of size < k_risk is re-identifiable by
+    anyone who knows the QI values.  The privacy gate that pairs with
+    q_pii_scrub: scrubbing direct identifiers is step one; this
+    measures what the REMAINING columns still leak.
+
+    Determinism: the class census and every output are exact integers;
+    the share is one double division.
+
+    Scale shape: one QI-keyed map-side-combined count (the class
+    frame: |segments| x |nations| x |bands|, domain-bounded), then a
+    one-row rollup.  No windows, no joins — the audit costs one corpus
+    pass regardless of table width."""
+    c = load(spark, sf_dir, "customer")
+    classes = c.groupBy(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("sz"))
+    risk = F.when(F.col("sz") < _KANON_RISK_K, F.col("sz")).otherwise(F.lit(0))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("sz").cast("bigint").alias("k_anonymity"),
+        F.sum((F.col("sz") < _KANON_RISK_K).cast("int"))
+        .cast("bigint")
+        .alias("n_classes_at_risk"),
+        F.sum(risk).cast("bigint").alias("n_rows_at_risk"),
+        F.round(
+            F.sum(risk).cast("double") / F.sum("sz").cast("double"), 6
+        ).alias("at_risk_share"),
+    )
