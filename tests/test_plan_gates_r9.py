@@ -65,3 +65,16 @@ def test_k_anonymity_single_pass_no_join(spark):
     plan = _plan(spark, "q_k_anonymity")
     for bad in ("Join", "CartesianProduct", "Window"):
         assert bad not in plan, f"unexpected {bad} in q_k_anonymity plan"
+
+
+def test_driver_fronting_list_is_valid():
+    """Every name in __spark_entry__._NEVER_DRIVER_SAMPLED must exist in
+    the registry (a typo silently drops the query from driver-sampling
+    rotation), and queries() must lead with that block in order."""
+    import __spark_entry__ as E
+
+    missing = [n for n in E._NEVER_DRIVER_SAMPLED if n not in QUERIES]
+    assert not missing, f"fronted-but-unregistered names: {missing}"
+    ordered = list(E.queries())
+    front = [n for n in E._NEVER_DRIVER_SAMPLED if n in QUERIES]
+    assert ordered[: len(front)] == front
