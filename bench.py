@@ -137,6 +137,35 @@ def main() -> None:
         )
     except Exception as exc:  # self-diff is advisory; never break the bench line
         print(f"BENCH SELFDIFF SKIPPED: {exc}", file=sys.stderr)
+    # Third, rotating line (judge r9 item 3): the driver archives only the
+    # ~2000-char TAIL of this stdout, which preserves the self-diff line
+    # plus whatever fits of line 1's alphabetical end — so per-round
+    # driver timings for the first ~200 queries were unrecoverable from
+    # committed BENCH_rNN.json artifacts.  Emit one ~55-query alphabetical
+    # chunk per round, chunk index = (#BENCH_r*.json in repo + 1) mod
+    # n_chunks — r10 has 9 archived rounds -> chunk 0 (the alphabetical
+    # HEAD, disjoint from r9's visible tail), r11 -> chunk 1, ... so any
+    # 5 consecutive rounds together cover every query.
+    try:
+        import glob
+
+        chunk_sz = 55
+        names = sorted(timings)
+        n_chunks = max(1, -(-len(names) // chunk_sz))
+        idx = (len(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))) + 1) % n_chunks
+        chunk = names[idx * chunk_sz : (idx + 1) * chunk_sz]
+        print(
+            json.dumps(
+                {
+                    "metric": "per_query_history_chunk",
+                    "chunk": idx,
+                    "of": n_chunks,
+                    "t": {q: timings[q] for q in chunk},
+                }
+            )
+        )
+    except Exception as exc:  # history chunk is advisory too
+        print(f"BENCH CHUNK SKIPPED: {exc}", file=sys.stderr)
     spark.stop()
 
 

@@ -1474,6 +1474,7 @@ _GINI_ORACLE = """
            ROUND(CAST(r2 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
                  - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini
     FROM s
+    WHERE n > 0
 """
 
 
@@ -1517,7 +1518,9 @@ def q_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r2"),
     )
-    return s.select(
+    # an empty events table makes n = 0 (0/0: Spark NULL vs DuckDB NaN) —
+    # both engines return zero rows instead (oracle mirrors with WHERE n > 0)
+    return s.filter(F.col("n") > 0).select(
         F.col("n").cast("bigint").alias("n_users"),
         F.col("tot").cast("bigint").alias("n_events"),
         F.round(
@@ -1654,6 +1657,7 @@ _BASKET_CHI2_ORACLE = f"""
     JOIN c1 ca ON co.part_a = ca.p
     JOIN c1 cb ON co.part_b = cb.p
     CROSS JOIN n
+    WHERE ca.c < n_orders AND cb.c < n_orders
 """
 
 
@@ -1692,7 +1696,16 @@ def q_basket_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ca = c1.select(F.col("p").alias("part_a"), F.col("c").alias("ca"))
     cb = c1.select(F.col("p").alias("part_b"), F.col("c").alias("cb"))
-    j = co.join(ca, "part_a").join(cb, "part_b").crossJoin(F.broadcast(n))
+    # a part in EVERY distinct order makes the chi2 denominator
+    # ca*(N-ca)*cb*(N-cb) zero (Spark NULL vs DuckDB inf/NaN) — such a
+    # part carries no association information anyway, so both engines
+    # exclude it (oracle mirrors with WHERE c < n_orders)
+    j = (
+        co.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("ca") < F.col("n_orders")) & (F.col("cb") < F.col("n_orders")))
+    )
     nn, nco = F.col("n_orders"), F.col("n_co")
     cca, ccb = F.col("ca"), F.col("cb")
     det = (
@@ -1718,7 +1731,7 @@ def q_basket_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Churn hazard — discrete-time hazard per week from last-activity weeks
+# Churn hazard — discrete-time hazard per day from last-activity days
 # ---------------------------------------------------------------------------
 
 _HAZARD_ORACLE = """

@@ -253,6 +253,7 @@ _GROUP_OLS_ORACLE = """
            ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
                  / (n * 100.0), 6) AS intercept
     FROM m
+    WHERE n * sxx - sx * sx <> 0
 """
 
 
@@ -297,6 +298,10 @@ def q_group_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, sxy = F.col("sxx"), F.col("sxy")
     slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # a zero-x-variance brand (every lineitem the same quantity) has no
+    # defined slope: Spark /0 yields NULL, DuckDB inf/NaN — both engines
+    # drop the brand instead (oracle mirrors with WHERE n*sxx - sx*sx <> 0)
+    m = m.filter(n * sxx - sx * sx != 0)
     return m.select(
         "brand",
         F.col("n").cast("bigint").alias("n_rows"),
