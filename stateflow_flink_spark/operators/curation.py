@@ -1468,3 +1468,94 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier — the model-based filter
+# beside the rule-based q_quality_gopher
+# ---------------------------------------------------------------------------
+
+# fastText-style hashed bag-of-words (Joulin et al. 2017,
+# arXiv:1607.01759): unigrams hash into _QC_B buckets and a linear
+# model scores the bucket-count vector.  The weight VECTOR here is
+# deterministic (md5-derived per bucket, milli-units in [-1000, 1000])
+# so both engines materialize the identical model without a training
+# artifact — swapping in real learned weights is a broadcast-map
+# replacement of the same expression.
+_QC_B = 256
+
+_QC_ORACLE = f"""
+    WITH tw AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTRING(MD5('qw' || CAST(
+                   CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT AS BIGINT)
+                       % {_QC_B} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                   % 2001 - 1000 AS wt
+        FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+              FROM documents)
+    ),
+    agg AS (
+        SELECT doc_id, COUNT(*) AS n, SUM(wt) AS s FROM tw GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(CAST(s AS DOUBLE) / (1000.0 * n), 6) AS margin,
+           s > 0 AS keep
+    FROM agg
+"""
+
+
+@query("q_quality_classifier", _QC_ORACLE)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: a hashed-feature linear classifier
+    (fastText bag-of-words shape) scored as a PURE PROJECTION — the
+    learned sibling of q_quality_gopher's hand rules, and the filter
+    shape CCNet/RefinedWeb run at corpus scale.
+
+    Per token: bucket = md5(token) mod {_QC_B}, weight = md5-derived
+    milli-units in [-1000, 1000] per bucket; per doc: margin = mean
+    token weight (the linear logit).  ``keep`` compares the exact
+    INTEGER weight sum against 0 — sign(margin) without sigmoid, so the
+    decision never touches a transcendental.
+
+    Determinism: md5 on both engines bit-for-bit; milli-unit weights
+    sum as exact integers (order-free); margin is ONE correctly-rounded
+    division of exact integers, rounded at 6 dp.
+
+    Scale shape: zero shuffles — the token loop is a JVM higher-order
+    ``aggregate`` over the split array, so scoring rides the parquet
+    scan and emits 4 scalar columns per doc (plan-gated: no Exchange,
+    no Join, no Window).  At 100 TB this is the cheapest possible
+    filter pass: one scan, embarrassingly parallel, output prunable by
+    ``keep`` before any downstream stage pays for text bytes."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def token_weight(t: Column) -> Column:
+        bucket = (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % _QC_B
+        )
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qw"), bucket.cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
+    s = F.aggregate(
+        F.transform(toks, token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size(toks)
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(s.cast("double") / (1000.0 * n), 6).alias("margin"),
+        (s > 0).alias("keep"),
+    )

@@ -1198,3 +1198,96 @@ def q_soft_dedup_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz1.cast("bigint").alias("n_copies"),
         (F.lit(1.0) / sz1).alias("weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-keyed near-dup — MinHash/LSH sharded by source domain
+# ---------------------------------------------------------------------------
+
+_DOMAIN_FUZZY_ORACLE = f"""
+    WITH docsh AS (
+        SELECT doc_id, source, LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> ARRAY_TO_STRING(t[i:LEAST(i+2, LEN(t))], ' ')
+               )) AS sh
+        FROM (SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t
+              FROM documents)
+    ),
+    ds AS (SELECT doc_id, source, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    pairs AS (
+        SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(*) AS n_common
+        FROM ds a JOIN ds b
+          ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3
+    )
+    SELECT source, doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {JACCARD_TAU}
+"""
+
+
+@query("q_dedup_domain", _DOMAIN_FUZZY_ORACLE)
+def q_dedup_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-domain near-dup pairs: q_dedup_minhash with the source
+    domain folded into the LSH bucket key — the URL/host-keyed dedup
+    axis (C4 dedups within-host boilerplate; RefinedWeb shards its
+    MinHash by snapshot/host for exactly this reason).
+
+    Scale shape: the banding join keys on (band, bucket, source), so a
+    bucket never spans domains — each domain dedups as an independent
+    shard of the global LSH, the candidate space shrinks by the
+    cross-domain collision mass, and a skewed bucket is bounded by the
+    skewed DOMAIN, not the corpus.  Per-domain runs are also
+    incrementally schedulable at 100 TB (new crawl of one host ->
+    re-dedup one shard), which global banding cannot do.
+
+    Verification is the same exact-Jaccard intersect on shingle-hash
+    arrays, so the output is engine-exact; the oracle constrains the
+    quadratic join to a.source = b.source."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    docsh = d.select(
+        "doc_id", "source", hashed_shingles(F.col("text")).alias("sh")
+    ).cache()
+    wb = minhash_band_buckets(docsh, keep=["source"])
+    a, b = wb.alias("a"), wb.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.source").alias("source"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = docsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    return (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("source", "doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# q_pipeline_fuzzy_dedup (operators/text.py, tier 1) reuses this
+# module's LSH stack at run time; its oracle needs JACCARD_TAU, so it
+# is attached here at tier-2 import time instead of importing dedup
+# from text (registration-order discipline in
+# plans.registry.load_all_modules).
+from ..plans.registry import oracle as _attach_oracle  # noqa: E402
+from .text import _FUZZY_PIPELINE_ORACLE as _FP_ORACLE  # noqa: E402
+
+_attach_oracle("q_pipeline_fuzzy_dedup", _FP_ORACLE.format(tau=JACCARD_TAU))

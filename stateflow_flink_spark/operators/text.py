@@ -922,3 +922,245 @@ def q_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain document caps — the C4/RefinedWeb host-level frequency axis
+# ---------------------------------------------------------------------------
+
+# Cap on documents kept per source domain.  An absolute constant, not a
+# corpus fraction: the cap exists to bound any single host's share of
+# the training set, and that bound is absolute (same reasoning as
+# dedup.SHINGLE_DF_CAP).
+DOMAIN_CAP = 16
+
+_DOMAIN_CAP_ORACLE = f"""
+    WITH q AS (
+        SELECT source,
+               CAST(ROUND(({QUALITY_SQL}) * 1000000) AS BIGINT) AS qb
+        FROM documents
+    ),
+    hist AS (SELECT source, qb, COUNT(*) AS c FROM q GROUP BY 1, 2),
+    cum AS (
+        SELECT source, qb, c,
+               SUM(c) OVER (PARTITION BY source ORDER BY qb DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT source, SUM(c) AS n FROM hist GROUP BY source),
+    thr AS (
+        SELECT cum.source, MAX(qb) AS tqb, MAX(n) AS n
+        FROM cum JOIN tot USING (source)
+        WHERE cum >= LEAST(n, {DOMAIN_CAP})
+        GROUP BY cum.source
+    )
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(LEAST(n, {DOMAIN_CAP}) AS BIGINT) AS n_kept,
+           CAST(GREATEST(n - {DOMAIN_CAP}, 0) AS BIGINT) AS n_dropped,
+           ROUND(tqb / 1000000.0, 6) AS q_threshold
+    FROM thr
+"""
+
+
+@query("q_domain_cap", _DOMAIN_CAP_ORACLE)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap census: keep at most DOMAIN_CAP docs per
+    source (highest quality first), report per domain how many survive
+    and the quality of the last kept doc — the C4/RefinedWeb host-level
+    frequency control next to content-level dedup: without it one
+    boilerplate-heavy host floods the mixture no matter how clean each
+    page is.
+
+    Computed WITHOUT ranking the corpus: quality quantizes to 6-dp
+    micro-units, a (source, score) HISTOGRAM aggregates first, and the
+    only ordered window walks that histogram (the q_gini /
+    q_length_filter_quantile discipline — a whale domain with 10^9 docs
+    contributes at most its distinct score levels to the window, and
+    the threshold census never materializes kept rows at all).  The
+    kept SET, when a downstream stage needs it, is one broadcast-join
+    of this threshold table against the scan.
+
+    Determinism: quality is rounded at 6 dp before quantizing, so both
+    engines build identical integer histograms; the threshold is a MAX
+    over integers; the final division is exact."""
+    d = load(spark, sf_dir, "documents")
+    qb = F.round(F.round(quality_score(F.col("text")), 6) * 1_000_000).cast(
+        "long"
+    )
+    hist = (
+        d.select("source", qb.alias("qb"))
+        .groupBy("source", "qb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("qb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    thr = (
+        cum.join(tot, "source")
+        .filter(F.col("cum") >= F.least(F.col("n"), F.lit(DOMAIN_CAP)))
+        .groupBy("source")
+        .agg(F.max("qb").alias("tqb"), F.max("n").alias("n"))
+    )
+    return thr.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.least(F.col("n"), F.lit(DOMAIN_CAP)).cast("bigint").alias("n_kept"),
+        F.greatest(F.col("n") - DOMAIN_CAP, F.lit(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+        F.round(F.col("tqb") / 1_000_000.0, 6).alias("q_threshold"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training pipeline with the MinHash-cluster fuzzy-dedup stage — the
+# RefinedWeb/Dolma chain (quality -> exact dedup -> fuzzy dedup -> split)
+# ---------------------------------------------------------------------------
+
+_FUZZY_PIPELINE_ORACLE = f"""
+    WITH RECURSIVE kept AS (
+        SELECT doc_id, source, text
+        FROM (SELECT doc_id, source, text, {QUALITY_SQL} AS q FROM documents)
+        WHERE q >= 0.3
+    ),
+    deduped AS (
+        SELECT doc_id, source, text
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                           ORDER BY doc_id) AS rn
+              FROM kept)
+        WHERE rn = 1
+    ),
+    docsh AS (
+        SELECT doc_id, LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> ARRAY_TO_STRING(t[i:LEAST(i+2, LEN(t))], ' ')
+               )) AS sh
+        FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM deduped)
+    ),
+    ds AS (SELECT doc_id, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    prs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM prs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE n_common * 1.0 / (sa.n + sb.n - n_common) >= {{tau}}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    members AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    clean AS (
+        SELECT doc_id, source, text FROM deduped
+        WHERE doc_id NOT IN
+            (SELECT doc_id FROM members WHERE doc_id <> cluster_id)
+    )
+    SELECT CASE WHEN b < 9000 THEN 'train'
+                WHEN b < 9500 THEN 'val'
+                ELSE 'test' END AS split,
+           source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_tokens
+    FROM (SELECT *, {_TP_SQL_BUCKET.format(c="doc_id")} AS b FROM clean)
+    GROUP BY 1, source
+"""
+
+
+@query("q_pipeline_fuzzy_dedup", None)
+def q_pipeline_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_pipeline_training_data with the MinHash-CLUSTER fuzzy-dedup
+    stage the RefinedWeb/Dolma pipelines run before splitting:
+
+        quality filter (q >= 0.3)
+        -> exact dedup (min doc_id per md5)
+        -> fuzzy dedup: MinHash+LSH candidates over the SURVIVORS,
+           exact-Jaccard verified (q_dedup_minhash), connected
+           components (q_dedup_cluster), keep each cluster's min
+           doc_id — near-dup groups collapse to one canonical doc
+        -> deterministic 90/5/5 hash split
+        -> per-(split, source) doc/token census
+
+    Every stage is a shipped operator reused wholesale — the fuzzy
+    stage composes dedup.hashed_shingles / minhash_candidates /
+    label_propagation_cluster on the already-pruned frame, so the
+    expensive shingle pass runs only on quality-surviving,
+    exact-unique docs (staged pruning; at 100 TB the quality+exact
+    stages typically drop 30-50% of bytes before LSH pays for them).
+
+    Oracle: the same chain with the recursive-CTE transitive closure
+    as the clustering step — valid because LSH banding recalls every
+    tau>=0.3 pair on the fixtures (asserted in tests), and the
+    survivor frame is a subset of the corpus those tests cover."""
+    from .dedup import (
+        JACCARD_TAU,
+        hashed_shingles,
+        label_propagation_cluster,
+        minhash_candidates,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    kept = d.select(
+        "doc_id", "source", "text",
+        F.round(quality_score(F.col("text")), 6).alias("q"),
+    ).filter(F.col("q") >= 0.3)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    deduped = pin(deduped, eager=True)
+    docsh = deduped.select(
+        "doc_id", hashed_shingles(F.col("text")).alias("sh")
+    ).cache()
+    cands = minhash_candidates(docsh)
+    sh_a = docsh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = docsh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_b") - n_common)
+    pairs = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .filter(jac >= JACCARD_TAU)
+        .select("doc_a", "doc_b")
+    )
+    members = label_propagation_cluster(pin(pairs, eager=True))
+    drop = members.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    clean = deduped.join(drop, "doc_id", "left_anti")
+    bucket = _tp_hash_bucket("doc_id")
+    split = (
+        F.when(bucket < 9000, "train").when(bucket < 9500, "val").otherwise("test")
+    )
+    return (
+        clean.select(
+            split.alias("split"), "source",
+            F.size(tokens(F.col("text"))).alias("n_toks"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_toks").cast("long")).alias("n_tokens"),
+        )
+    )
+
+
+# q_pipeline_fuzzy_dedup's oracle is attached from dedup.py's module
+# bottom (it needs dedup.JACCARD_TAU, and importing dedup here would
+# pull its tier-2 registrations into tier-1 order — see
+# plans.registry.load_all_modules).

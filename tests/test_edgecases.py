@@ -1822,3 +1822,127 @@ def test_seasonal_strength_bounds_and_recompute(spark):
         chi2 = float(((counts - exp) ** 2 / exp).sum())
         assert abs(out.loc[et, "chi2_uniform"] - chi2) < 1e-4
         assert out.loc[et, "n_events"] == n
+
+
+def test_quality_classifier_matches_python_md5(spark):
+    """Per-doc margin/keep must match a pure-python hashlib recompute of
+    the hashed-feature model (bucket = md5(tok) % 256, weight =
+    md5('qw'+bucket) milli-units), and keep == (margin > 0)."""
+    import hashlib
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_quality_classifier"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+
+    def h8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    for r in docs.sample(n=50, random_state=7).itertuples():
+        toks = r.text.split(" ")
+        s = sum(h8("qw" + str(h8(t) % 256)) % 2001 - 1000 for t in toks)
+        assert out.loc[r.doc_id, "n_tokens"] == len(toks)
+        assert out.loc[r.doc_id, "margin"] == round(s / (1000.0 * len(toks)), 6)
+        assert bool(out.loc[r.doc_id, "keep"]) == (s > 0)
+
+
+def test_domain_cap_census_matches_pandas(spark):
+    """Per-source census must match a pandas rank recompute off
+    q_text_quality's scores: n_kept = min(n, CAP) and q_threshold =
+    the CAP-th highest (6-dp) quality in the domain."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.text import DOMAIN_CAP
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = QUERIES["q_domain_cap"](spark, SF_SMOKE).toPandas().set_index("source")
+    q = QUERIES["q_text_quality"](spark, SF_SMOKE).toPandas()
+    docs = load(spark, SF_SMOKE, "documents").toPandas()[["doc_id", "source"]]
+    merged = docs.merge(q, on="doc_id")
+    for source, grp in merged.groupby("source"):
+        n = len(grp)
+        k = min(n, DOMAIN_CAP)
+        thr = sorted(grp["quality"], reverse=True)[k - 1]
+        assert out.loc[source, "n_docs"] == n
+        assert out.loc[source, "n_kept"] == k
+        assert out.loc[source, "n_dropped"] == max(n - DOMAIN_CAP, 0)
+        assert abs(out.loc[source, "q_threshold"] - thr) < 1e-9
+
+
+def test_dedup_domain_equals_global_pairs_within_source(spark):
+    """Domain-sharded LSH must find EXACTLY the global MinHash pairs
+    whose endpoints share a source: sharding the bucket key by domain
+    drops cross-domain candidates and nothing else."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    dom = QUERIES["q_dedup_domain"](spark, SF_SMOKE).toPandas()
+    glob = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).toPandas()
+    src = load(spark, SF_SMOKE, "documents").toPandas().set_index("doc_id")["source"]
+    expected = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in glob.itertuples()
+        if src[r.doc_a] == src[r.doc_b]
+    }
+    got = {(r.doc_a, r.doc_b, r.jaccard) for r in dom.itertuples()}
+    assert got == expected
+    for r in dom.itertuples():
+        assert src[r.doc_a] == r.source and src[r.doc_b] == r.source
+
+
+def test_pipeline_fuzzy_dedup_census_matches_union_find(spark):
+    """The census total must equal |quality+exact survivors| minus the
+    non-canonical members of a python union-find over the verified
+    MinHash pairs restricted to the survivor set — the whole chain
+    recomputed without Spark's clustering."""
+    import hashlib
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    census = QUERIES["q_pipeline_fuzzy_dedup"](spark, SF_SMOKE).toPandas()
+    q = QUERIES["q_text_quality"](spark, SF_SMOKE).toPandas().set_index("doc_id")
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+    kept = docs[docs.doc_id.map(q["quality"]) >= 0.3]
+    first_by_md5 = {}
+    for r in kept.sort_values("doc_id").itertuples():
+        first_by_md5.setdefault(hashlib.md5(r.text.encode()).hexdigest(), r.doc_id)
+    survivors = set(first_by_md5.values())
+
+    pairs = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).toPandas()
+    parent = {d: d for d in survivors}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.itertuples():
+        if r.doc_a in survivors and r.doc_b in survivors:
+            ra, rb = find(r.doc_a), find(r.doc_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters = {}
+    for d in survivors:
+        clusters.setdefault(find(d), []).append(d)
+    expected_total = sum(1 for members in clusters.values())  # one canonical each
+    assert census["n_docs"].sum() == expected_total
+    assert set(census["split"]).issubset({"train", "val", "test"})
+    assert (census["n_tokens"] > 0).all()

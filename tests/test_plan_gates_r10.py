@@ -1,0 +1,58 @@
+"""Physical-plan gates for the round-10 queries — each pins the ONE
+plan property its 100 TB story depends on, so a future refactor that
+silently loses it fails here instead of in a driver bench."""
+
+from __future__ import annotations
+
+import re
+
+from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+from .conftest import SF_SMOKE
+
+load_all_modules()
+
+
+def _plan(spark, name: str) -> str:
+    return QUERIES[name](spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_classifier_is_pure_projection(spark):
+    """The hashed-feature scorer must ride the scan: zero exchanges,
+    zero joins, zero windows — its whole 100 TB value is being the
+    free filter pass before anything that shuffles."""
+    plan = _plan(spark, "q_quality_classifier")
+    for bad in ("Exchange", "Join", "Window", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in q_quality_classifier plan"
+
+
+def test_domain_cap_window_runs_on_histogram_not_corpus(spark):
+    """The per-source ordered window must consume the (source, score)
+    HISTOGRAM (post-aggregation), never document rows — a whale domain
+    contributes its distinct score levels, not its doc count."""
+    plan = _plan(spark, "q_domain_cap")
+    win = plan.index("Window")
+    # the histogram aggregate (partial+final) sits under the window
+    assert plan[win:].count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_domain_bands_are_keyed_by_source(spark):
+    """The LSH banding join must carry the source domain IN ITS EQUI-KEY
+    (bucket never spans domains) — source as a post-join filter would
+    re-admit the cross-domain candidate mass the query exists to
+    avoid."""
+    plan = _plan(spark, "q_dedup_domain")
+    assert re.search(
+        r"Join \[band#\d+, bucket#\d+L?, source#\d+\]", plan
+    ), "banding join does not key on (band, bucket, source)"
+    assert "CartesianProduct" not in plan
+
+
+def test_pipeline_fuzzy_dedup_prunes_before_shingling(spark):
+    """The fuzzy stage must run on the quality+exact SURVIVORS: the
+    final census joins the deduped frame anti-wise against cluster
+    non-canonicals, and no stage degenerates to a cross product."""
+    plan = _plan(spark, "q_pipeline_fuzzy_dedup")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan

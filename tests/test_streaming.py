@@ -601,3 +601,94 @@ def test_progress_observables_capture_drops_and_throughput(spark):
     assert summary["rows_dropped_by_watermark"] == 1, summary
     assert summary["max_state_rows"] >= 1
     assert summary["total_batch_ms"] > 0 and summary["rows_per_sec"] > 0
+
+
+def test_cdc_apply_query_is_batching_invariant(spark, tmp_path):
+    """The r9 ADVICE scenario end-to-end: q_stream_cdc_apply's returned
+    serving table must be byte-identical whether the staged op log
+    arrives as ONE availableNow micro-batch or as four files drip-fed
+    with maxFilesPerTrigger=1 — the max-n_applied compaction must erase
+    the batch boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+    from stateflow_flink_spark.streaming.state import (
+        apply_cdc_stream,
+        stream_partitions,
+    )
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    ops = (
+        load(spark, SF_SMOKE, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select("user_id", "ts", "event_id", "event_type", "value")
+    )
+    # Stage as four CONSECUTIVE chunks of the (ts, event_id)-ordered log
+    # with ascending mtimes — a CDC log's files arrive in commit order
+    # (a random repartition would interleave ops across batch
+    # boundaries, which no order-sensitive apply can converge from).
+    import glob
+    import os
+    import shutil
+
+    import numpy as np
+
+    staged = str(tmp_path / "staged")
+    os.makedirs(staged)
+    pdf = ops.toPandas().sort_values(["ts", "event_id"]).reset_index(drop=True)
+    for i, chunk in enumerate(np.array_split(pdf, 4)):
+        # write via Spark so the parquet ts type matches ops.schema
+        # (pandas' writer emits TIMESTAMP(NANOS), which the schema'd
+        # file stream refuses — the TESTDATA.md fixture trap)
+        wdir = str(tmp_path / f"w{i}")
+        spark.createDataFrame(chunk, ops.schema).coalesce(1).write.parquet(wdir)
+        p = os.path.join(staged, f"chunk-{i}.parquet")
+        shutil.move(glob.glob(os.path.join(wdir, "part-*.parquet"))[0], p)
+        os.utime(p, (1_000_000_000 + i * 1000, 1_000_000_000 + i * 1000))
+
+    def run(max_files: int, name: str):
+        result = apply_cdc_stream(
+            spark.readStream.schema(ops.schema)
+            .option("maxFilesPerTrigger", max_files)
+            .parquet(staged)
+        )
+        with stream_partitions(spark):
+            q = (
+                result.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        latest = Window.partitionBy("user_id").orderBy(F.desc("n_applied"))
+        return (
+            spark.table(name)
+            .withColumn("_r", F.row_number().over(latest))
+            .filter(F.col("_r") == 1)
+            .select("user_id", "balance", "is_present")
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+
+    multi = run(1, "sfs_cdc_multi")
+    single = run(100, "sfs_cdc_single")
+    assert len(multi) > 0
+    assert multi.equals(single), "drip-fed vs single-batch serving tables differ"
+    # the multi-batch append sink really saw MORE than one row per key
+    # for at least one key (i.e. the compaction had work to do)
+    raw = spark.table("sfs_cdc_multi").groupBy("user_id").count().toPandas()
+    assert (raw["count"] > 1).any()
+    # and both equal the registered query's own single-staged-file run
+    official = (
+        QUERIES["q_stream_cdc_apply"](spark, SF_SMOKE)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert multi.equals(official)

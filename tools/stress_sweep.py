@@ -403,12 +403,160 @@ def streaming_variance() -> None:
           "run-to-run spread under per-JVM isolation.")
 
 
+# ---------------------------------------------------------------------------
+# Three-point dedup scale mode (round-9 judge item 2): the 10x sweep's
+# top ratios cluster on the dedup/ngram family (3.2-3.8x), and a single
+# two-point ratio cannot distinguish "log-factor constants" from the
+# onset of a quadratic.  This mode runs the family at 5k -> 50k -> 500k
+# docs (same scale-invariant dup density) and compares the SECOND decade
+# ratio against the first: sub-quadratic cost means ratio(50k->500k) <=
+# ~ratio(5k->50k) x slack, while a quadratic term grows its decade ratio
+# 10x per decade.  Median-of-3 per query in a private JVM; median-of-7
+# for q_dedup_minhash (its r9 15.7x one-off was adjudicated on a single
+# re-measure — this is the stronger discipline the judge asked for).
+#
+#     python tools/stress_sweep.py --three-point   # ~40-60 min
+# ---------------------------------------------------------------------------
+
+THREE_POINT_TARGETS = [
+    "q_dedup_minhash",       # median-of-7 (re-adjudication)
+    "q_dedup_fuzzy",
+    "q_dedup_simhash",
+    "q_dedup_prefix",
+    "q_dedup_containment",
+    "q_dedup_paragraph",
+    "q_ngram_lm",
+    "q_tfidf_cosine_pairs",
+    "q_dedup_embedding_lsh",  # output itself grows superlinearly
+    "q_dedup_minhash_stream",
+]
+_TP_SCALES = (5_000, 50_000, 500_000)
+# second-decade ratio may exceed the first by this slack before it
+# counts as super-linear onset (log factors, shuffle-partition constants
+# crossing the 32-task granularity, scheduler noise)
+_TP_DECADE_SLACK = 1.6
+
+
+def _worker_3p(name: str, runs: int, *dirs: str) -> None:
+    """One operator, one private JVM, all three scales: warm-up at the
+    smallest scale, then median-of-``runs`` wall clock per scale."""
+    import json
+
+    from pyspark.sql import SparkSession
+
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+    from stateflow_flink_spark.session import apply_runtime_conf
+
+    load_all_modules()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"3p-{name}")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
+    apply_runtime_conf(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def once(d: str) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, d)
+        if df.isStreaming:
+            df = spark.createDataFrame(df.collect(), df.schema)
+        rows = df.count()
+        dt = time.perf_counter() - t0
+        for t in spark.catalog.listTables():
+            if t.isTemporary and t.name.startswith("sfs_"):
+                spark.catalog.dropTempView(t.name)
+        return dt, rows
+
+    once(dirs[0])  # warm-up, discarded
+    out = []
+    for d in dirs:
+        ts, rows = [], 0
+        for _ in range(runs):
+            dt, rows = once(d)
+            ts.append(dt)
+        ts.sort()
+        out.append({"t": round(ts[len(ts) // 2], 3), "rows": rows})
+    print(json.dumps(out))
+    spark.stop()
+
+
+def three_point() -> None:
+    import json
+    import subprocess
+
+    dirs = []
+    for n in _TP_SCALES:
+        d = tempfile.mkdtemp(prefix=f"sfs_3p_{n}_")
+        print(f"generating {n}-doc corpus at {d} ...", file=sys.stderr)
+        gen_corpus(d, n, seed=1234)
+        dirs.append(d)
+
+    print("| query | runs | 5k s | 50k s | 500k s | d1 ratio | d2 ratio "
+          "| rows 5k/50k/500k | verdict |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    failures = []
+    for name in THREE_POINT_TARGETS:
+        runs = 7 if name == "q_dedup_minhash" else 3
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker-3p",
+                 name, str(runs), *dirs],
+                capture_output=True, text=True,
+                timeout=int(os.environ.get("SPARK_GRAFT_SWEEP_TIMEOUT", "3600")),
+            )
+        except subprocess.TimeoutExpired:
+            print(f"| {name} | {runs} | TIMEOUT | | | | | | |")
+            failures.append((name, "timeout"))
+            continue
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode != 0 or not line.startswith("["):
+            print(f"| {name} | {runs} | ERROR | | | | | | |")
+            print(f"3P ERROR {name}: {proc.stderr[-400:]}", file=sys.stderr)
+            failures.append((name, "error"))
+            continue
+        m = json.loads(line)
+        t = [p["t"] for p in m]
+        r = [p["rows"] for p in m]
+        d1 = t[1] / t[0] if t[0] > 0 else float("inf")
+        d2 = t[2] / t[1] if t[1] > 0 else float("inf")
+        # when the TRUE output grows superlinearly (random-vector cosine
+        # pairs crowd quadratically), judge the decade against its own
+        # output growth as well — R rows cannot be emitted in < R work
+        out_d2 = (r[2] / r[1]) if r[1] else float("nan")
+        bar = _TP_DECADE_SLACK * max(d1, out_d2 / 10.0 * d1 if out_d2 == out_d2 else 0.0)
+        ok = d2 <= max(bar, _TP_DECADE_SLACK * d1)
+        verdict = "sub-quadratic" if ok else "SUPER-LINEAR ONSET"
+        print(
+            f"| {name} | {runs} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} "
+            f"| **{d1:.1f}x** | **{d2:.1f}x** | {r[0]}/{r[1]}/{r[2]} "
+            f"| {verdict} |"
+        )
+        if not ok:
+            failures.append((name, round(d2, 2)))
+    if failures:
+        print(f"\nSUPER-LINEAR ONSET: {failures}", file=sys.stderr)
+        sys.exit(1)
+    print(f"\nAll {len(THREE_POINT_TARGETS)} dedup-family queries hold "
+          "decade-over-decade (ratio(50k->500k) <= ratio(5k->50k) x "
+          f"{_TP_DECADE_SLACK} or bounded by their own output growth).")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         _worker(sys.argv[2], sys.argv[3], sys.argv[4])
     elif len(sys.argv) > 1 and sys.argv[1] == "--worker-sv":
         _worker_sv(sys.argv[2], sys.argv[3])
+    elif len(sys.argv) > 1 and sys.argv[1] == "--worker-3p":
+        _worker_3p(sys.argv[2], int(sys.argv[3]), *sys.argv[4:])
     elif len(sys.argv) > 1 and sys.argv[1] == "--streaming-variance":
         streaming_variance()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--three-point":
+        three_point()
     else:
         main()
