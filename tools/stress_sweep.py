@@ -525,12 +525,22 @@ def three_point() -> None:
         r = [p["rows"] for p in m]
         d1 = t[1] / t[0] if t[0] > 0 else float("inf")
         d2 = t[2] / t[1] if t[1] > 0 else float("inf")
-        # when the TRUE output grows superlinearly (random-vector cosine
-        # pairs crowd quadratically), judge the decade against its own
-        # output growth as well — R rows cannot be emitted in < R work
+        # Verdict bar, three clauses:
+        #   (a) d2 <= d1 x slack — decade ratios not growing (the
+        #       strictest reading of "sub-quadratic");
+        #   (b) d2 <= 10 x slack — a decade that costs at most the DATA
+        #       growth is at-most-linear BY DEFINITION; without this
+        #       clause a perfectly linear algorithm whose 5k/50k points
+        #       are fixed-cost-dominated (d1 ~ 1.5) would be flagged as
+        #       its ratios drift toward 10x while costs amortize;
+        #   (c) output-growth bound — when the TRUE result grows
+        #       super-linearly (random-vector cosine pairs crowd
+        #       quadratically), emitting R rows is Omega(R) work.
         out_d2 = (r[2] / r[1]) if r[1] else float("nan")
-        bar = _TP_DECADE_SLACK * max(d1, out_d2 / 10.0 * d1 if out_d2 == out_d2 else 0.0)
-        ok = d2 <= max(bar, _TP_DECADE_SLACK * d1)
+        bars = [_TP_DECADE_SLACK * d1, _TP_DECADE_SLACK * 10.0]
+        if out_d2 == out_d2:
+            bars.append(_TP_DECADE_SLACK * out_d2)
+        ok = d2 <= max(bars)
         verdict = "sub-quadratic" if ok else "SUPER-LINEAR ONSET"
         print(
             f"| {name} | {runs} | {t[0]:.2f} | {t[1]:.2f} | {t[2]:.2f} "
