@@ -1484,13 +1484,45 @@ def q_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replacement of the same expression.
 _QC_B = 256
 
+# per-token weight, DuckDB spelling (lambda variable {w}) — reused by
+# q_quality_ensemble's oracle in operators/text.py
+QC_WEIGHT_SQL = (
+    "CAST(('0x' || SUBSTRING(MD5('qw' || CAST("
+    "CAST(('0x' || SUBSTRING(MD5({w}), 1, 8))::UBIGINT AS BIGINT)"
+    f" % {_QC_B} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 2001 - 1000"
+)
+
+
+def qc_token_weight(t: Column) -> Column:
+    """Spark twin of QC_WEIGHT_SQL: milli-unit weight of one token under
+    the deterministic hashed-feature model."""
+    bucket = F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % _QC_B
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qw"), bucket.cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+
+
+def qc_weight_sum(toks: Column) -> Column:
+    """Exact integer milli-unit weight sum of a token array (the
+    classifier's un-normalized logit)."""
+    return F.aggregate(
+        F.transform(toks, qc_token_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 _QC_ORACLE = f"""
     WITH tw AS (
-        SELECT doc_id,
-               CAST(('0x' || SUBSTRING(MD5('qw' || CAST(
-                   CAST(('0x' || SUBSTRING(MD5(w), 1, 8))::UBIGINT AS BIGINT)
-                       % {_QC_B} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
-                   % 2001 - 1000 AS wt
+        SELECT doc_id, {QC_WEIGHT_SQL.format(w="w")} AS wt
         FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
               FROM documents)
     ),
@@ -1530,28 +1562,7 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``keep`` before any downstream stage pays for text bytes."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-
-    def token_weight(t: Column) -> Column:
-        bucket = (
-            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % _QC_B
-        )
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit("qw"), bucket.cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2001
-            - 1000
-        )
-
-    s = F.aggregate(
-        F.transform(toks, token_weight),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    s = qc_weight_sum(toks)
     n = F.size(toks)
     return d.select(
         "doc_id",

@@ -1291,3 +1291,128 @@ from ..plans.registry import oracle as _attach_oracle  # noqa: E402
 from .text import _FUZZY_PIPELINE_ORACLE as _FP_ORACLE  # noqa: E402
 
 _attach_oracle("q_pipeline_fuzzy_dedup", _FP_ORACLE.format(tau=JACCARD_TAU))
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup — a NEW batch against the existing corpus
+# ---------------------------------------------------------------------------
+
+# sampling is tier-1 in plans.registry.load_all_modules, so importing
+# its split helpers here (tier 2) cannot perturb registration order
+from .sampling import _BUCKETS as _INC_BUCKETS  # noqa: E402
+from .sampling import _SQL_BUCKET as _INC_SQL_BUCKET  # noqa: E402
+from .sampling import _hash_bucket as _inc_hash_bucket  # noqa: E402
+
+# deterministic 90/10 corpus/batch split of the fixture (the continuous
+# -crawl scenario: 90% already ingested, 10% arriving now)
+_INC_BATCH_FROM = 9_000
+
+_INC_ORACLE = f"""
+    WITH b AS (
+        SELECT doc_id, text,
+               {_INC_SQL_BUCKET.format(c="doc_id")} >= {_INC_BATCH_FROM} AS is_new
+        FROM documents
+    ),
+    docsh AS (
+        SELECT doc_id, is_new, LIST_DISTINCT(LIST_TRANSFORM(
+                   GENERATE_SERIES(1, GREATEST(LEN(t) - 2, 1)),
+                   i -> ARRAY_TO_STRING(t[i:LEAST(i+2, LEN(t))], ' ')
+               )) AS sh
+        FROM (SELECT doc_id, is_new, STRING_SPLIT(text, ' ') AS t FROM b)
+    ),
+    ds AS (SELECT doc_id, is_new, UNNEST(sh) AS s FROM docsh),
+    sizes AS (SELECT doc_id, LEN(sh) AS n FROM docsh),
+    pairs AS (
+        SELECT a.doc_id AS new_doc, c.doc_id AS corpus_doc, COUNT(*) AS n_common
+        FROM ds a JOIN ds c ON a.s = c.s AND a.is_new AND NOT c.is_new
+        GROUP BY 1, 2
+    ),
+    hits AS (
+        SELECT new_doc,
+               COUNT(*) AS n_matches,
+               MAX(n_common * 1.0 / (sa.n + sc.n - n_common)) AS best_j
+        FROM pairs
+        JOIN sizes sa ON new_doc = sa.doc_id
+        JOIN sizes sc ON corpus_doc = sc.doc_id
+        WHERE n_common * 1.0 / (sa.n + sc.n - n_common) >= {JACCARD_TAU}
+        GROUP BY new_doc
+    )
+    SELECT b.doc_id,
+           CAST(COALESCE(h.n_matches, 0) AS BIGINT) AS n_matches,
+           ROUND(h.best_j, 6) AS best_jaccard,
+           h.new_doc IS NULL AS keep
+    FROM b LEFT JOIN hits h ON b.doc_id = h.new_doc
+    WHERE b.is_new
+"""
+
+
+@query("q_dedup_incremental", _INC_ORACLE)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup dedup: an arriving BATCH (the hash-split
+    10% of the fixture) is checked against the EXISTING corpus (the
+    other 90%) — the production shape for continuously-crawled data,
+    where re-deduping the whole corpus per crawl is a non-starter.
+    Per new doc: how many corpus near-dups (Jaccard >= tau), the best
+    score, and ``keep`` (no corpus twin found).
+
+    Scale shape: only batch x corpus candidates exist — the banding
+    join is new-bands against corpus-bands, so candidate volume scales
+    with |batch| x bucket occupancy, NEVER |corpus|^2; within-batch and
+    within-corpus pairs are structurally excluded.  At 100 TB the
+    corpus band table is a precomputed, bucketed index the crawl probes
+    (same layout as the streaming variant q_dedup_minhash_stream's
+    state, built batch-side here); the verify join fetches shingle
+    arrays for the RARE candidates only.
+
+    Determinism: the split is md5-keyed (q_split_hash's discipline),
+    scores are exact integer ratios rounded at 6 dp, and LSH banding
+    recalls every tau pair on the fixtures (asserted in tests), so the
+    exact shingle-join oracle applies."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    is_new = _inc_hash_bucket("doc_id") >= _INC_BATCH_FROM
+    docsh = d.select(
+        "doc_id", is_new.alias("is_new"), hashed_shingles(F.col("text")).alias("sh")
+    ).cache()
+    new_bands = minhash_band_buckets(docsh.filter("is_new"))
+    corpus_bands = minhash_band_buckets(docsh.filter("NOT is_new"))
+    a, c = new_bands.alias("a"), corpus_bands.alias("c")
+    cands = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("c.band"))
+            & (F.col("a.bucket") == F.col("c.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("new_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+        )
+        .distinct()
+    )
+    sh_a = docsh.select(F.col("doc_id").alias("new_doc"), F.col("sh").alias("sh_a"))
+    sh_c = docsh.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("sh").alias("sh_c")
+    )
+    n_common = F.size(F.array_intersect("sh_a", "sh_c"))
+    jac = n_common / (F.size("sh_a") + F.size("sh_c") - n_common)
+    hits = (
+        cands.join(sh_a, "new_doc")
+        .join(sh_c, "corpus_doc")
+        .filter(jac >= JACCARD_TAU)
+        .groupBy("new_doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max(jac).alias("best_j"),
+        )
+    )
+    batch = docsh.filter("is_new").select("doc_id")
+    return (
+        batch.join(hits, batch.doc_id == hits.new_doc, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_matches"),
+            F.round(F.col("best_j"), 6).alias("best_jaccard"),
+            F.col("new_doc").isNull().alias("keep"),
+        )
+    )

@@ -1164,3 +1164,117 @@ def q_pipeline_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bottom (it needs dedup.JACCARD_TAU, and importing dedup here would
 # pull its tier-2 registrations into tier-1 order — see
 # plans.registry.load_all_modules).
+
+
+# ---------------------------------------------------------------------------
+# Quality ensemble — rule score + shape rules + learned classifier vote
+# ---------------------------------------------------------------------------
+
+# every signal reuses the CANONICAL expression of the operator it
+# composes (q_text_quality's score, q_quality_gopher's shape rules,
+# q_quality_classifier's weight sum) — the ensemble can never drift
+# from the standalone filters it claims to combine
+from .curation import (  # noqa: E402
+    _GOPHER_ALPHA_DEN,
+    _GOPHER_ALPHA_NUM,
+    _GOPHER_MAX_MEAN_LEN,
+    _GOPHER_MAX_WORDS,
+    _GOPHER_MIN_MEAN_LEN,
+    _GOPHER_MIN_STOPWORDS,
+    _GOPHER_MIN_WORDS,
+    _GOPHER_STOPWORDS,
+    QC_WEIGHT_SQL,
+    qc_weight_sum,
+)
+
+_ENSEMBLE_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, text, STRING_SPLIT(text, ' ') AS toks FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(LEN(toks) AS BIGINT) AS n_words,
+               CAST(LIST_SUM(LIST_TRANSFORM(toks, w -> LENGTH(w))) AS BIGINT)
+                   AS n_chars,
+               CAST(LEN(LIST_FILTER(toks, w -> REGEXP_MATCHES(w, '[a-z]')))
+                   AS BIGINT) AS n_alpha,
+               CAST(LEN(LIST_INTERSECT(toks,
+                   {_GOPHER_STOPWORDS!r})) AS BIGINT) AS n_stop,
+               CAST(LIST_SUM(LIST_TRANSFORM(toks,
+                   w -> {QC_WEIGHT_SQL.format(w="w")})) AS BIGINT) AS s,
+               {QUALITY_SQL} AS q
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN (n_words BETWEEN {_GOPHER_MIN_WORDS}
+                               AND {_GOPHER_MAX_WORDS})
+                      AND n_chars >= {_GOPHER_MIN_MEAN_LEN} * n_words
+                      AND n_chars <= {_GOPHER_MAX_MEAN_LEN} * n_words
+                      AND {_GOPHER_ALPHA_DEN} * n_alpha
+                          >= {_GOPHER_ALPHA_NUM} * n_words
+                      AND n_stop >= {_GOPHER_MIN_STOPWORDS}
+                 THEN 1 ELSE 0 END
+               + CASE WHEN s > 0 THEN 1 ELSE 0 END
+               + CASE WHEN q >= 0.3 THEN 1 ELSE 0 END AS INTEGER) AS votes,
+           (CASE WHEN (n_words BETWEEN {_GOPHER_MIN_WORDS}
+                           AND {_GOPHER_MAX_WORDS})
+                  AND n_chars >= {_GOPHER_MIN_MEAN_LEN} * n_words
+                  AND n_chars <= {_GOPHER_MAX_MEAN_LEN} * n_words
+                  AND {_GOPHER_ALPHA_DEN} * n_alpha
+                      >= {_GOPHER_ALPHA_NUM} * n_words
+                  AND n_stop >= {_GOPHER_MIN_STOPWORDS}
+             THEN 1 ELSE 0 END
+            + CASE WHEN s > 0 THEN 1 ELSE 0 END
+            + CASE WHEN q >= 0.3 THEN 1 ELSE 0 END) >= 2 AS keep
+    FROM m
+"""
+
+
+@query("q_quality_ensemble", _ENSEMBLE_ORACLE)
+def q_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority-vote quality gate: a document survives when at least 2
+    of 3 independent filters agree — the rule score (q_text_quality
+    >= 0.3), the Gopher shape rules (q_quality_gopher's conjunction),
+    and the learned hashed-feature classifier (q_quality_classifier's
+    integer margin > 0).  Ensembling is how production pipelines
+    actually gate (each filter has a distinct failure mode: rules miss
+    fluent spam, classifiers miss shape pathologies) and the vote is
+    robust to any single filter's bias.
+
+    Every signal reuses its operator's canonical expression, so the
+    ensemble is exactly "those three queries AND-ed into one pass" —
+    and the pass is still a PURE PROJECTION (zero shuffles, plan-gated:
+    the three signals share one token-array split and ride the same
+    scan).  At 100 TB this replaces three corpus scans with one.
+
+    Determinism: two integer-exact votes plus one 6-dp-rounded-score
+    comparison — no cross-row float arithmetic anywhere."""
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_words = F.size(toks).cast("long")
+    n_chars = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    n_alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-z]"))).cast("long")
+    n_stop = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]))
+    ).cast("long")
+    gopher_ok = (
+        n_words.between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & (n_chars >= _GOPHER_MIN_MEAN_LEN * n_words)
+        & (n_chars <= _GOPHER_MAX_MEAN_LEN * n_words)
+        & (_GOPHER_ALPHA_DEN * n_alpha >= _GOPHER_ALPHA_NUM * n_words)
+        & (n_stop >= _GOPHER_MIN_STOPWORDS)
+    )
+    clf_ok = qc_weight_sum(toks) > 0
+    rule_ok = F.round(quality_score(F.col("text")), 6) >= 0.3
+    votes = (
+        gopher_ok.cast("int") + clf_ok.cast("int") + rule_ok.cast("int")
+    )
+    return d.select(
+        "doc_id",
+        votes.alias("votes"),
+        (votes >= 2).alias("keep"),
+    )

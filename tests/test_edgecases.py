@@ -1946,3 +1946,80 @@ def test_pipeline_fuzzy_dedup_census_matches_union_find(spark):
     assert census["n_docs"].sum() == expected_total
     assert set(census["split"]).issubset({"train", "val", "test"})
     assert (census["n_tokens"] > 0).all()
+
+
+def test_quality_ensemble_votes_match_member_queries(spark):
+    """Per-doc votes must equal the sum of the three standalone
+    filters' verdicts (gopher passes, classifier keep, rule score
+    >= 0.3) — the ensemble is exactly its members AND-ed into one
+    pass."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    ens = (
+        QUERIES["q_quality_ensemble"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    gopher = (
+        QUERIES["q_quality_gopher"](spark, SF_SMOKE).toPandas().set_index("doc_id")
+    )
+    clf = (
+        QUERIES["q_quality_classifier"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    rule = (
+        QUERIES["q_text_quality"](spark, SF_SMOKE).toPandas().set_index("doc_id")
+    )
+    for doc_id in ens.index:
+        expected = (
+            int(bool(gopher.loc[doc_id, "passes"]))
+            + int(bool(clf.loc[doc_id, "keep"]))
+            + int(rule.loc[doc_id, "quality"] >= 0.3)
+        )
+        assert ens.loc[doc_id, "votes"] == expected
+        assert bool(ens.loc[doc_id, "keep"]) == (expected >= 2)
+
+
+def test_dedup_incremental_matches_global_pairs_recompute(spark):
+    """The batch census must agree with a python recompute off
+    q_dedup_minhash's global verified pairs: a new doc's matches are
+    exactly the global pairs linking it to a corpus doc, and the
+    returned doc set is exactly the md5-bucket >= 9000 split."""
+    import hashlib
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    inc = (
+        QUERIES["q_dedup_incremental"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10_000
+
+    new = {d for d in docs.doc_id if bucket(d) >= 9_000}
+    assert set(inc.index) == new
+    pairs = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).toPandas()
+    per_new: dict = {}
+    for r in pairs.itertuples():
+        for nd, cd in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if nd in new and cd not in new:
+                per_new.setdefault(nd, []).append(r.jaccard)
+    for d in new:
+        js = per_new.get(d, [])
+        assert inc.loc[d, "n_matches"] == len(js)
+        assert bool(inc.loc[d, "keep"]) == (not js)
+        if js:
+            assert abs(inc.loc[d, "best_jaccard"] - max(js)) < 1e-9

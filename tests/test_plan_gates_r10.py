@@ -56,3 +56,24 @@ def test_pipeline_fuzzy_dedup_prunes_before_shingling(spark):
     plan = _plan(spark, "q_pipeline_fuzzy_dedup")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quality_ensemble_is_pure_projection(spark):
+    """Three filters folded into one pass must still ride the scan:
+    zero exchanges, joins, windows — otherwise the ensemble costs more
+    than running its members separately."""
+    plan = _plan(spark, "q_quality_ensemble")
+    for bad in ("Exchange", "Join", "Window", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in q_quality_ensemble plan"
+
+
+def test_dedup_incremental_candidates_are_bucketed(spark):
+    """The batch-vs-corpus candidate join must be the (band, bucket)
+    equi-join — a cross product or an unbanded join would re-admit the
+    |batch| x |corpus| pair space the incremental design exists to
+    avoid."""
+    plan = _plan(spark, "q_dedup_incremental")
+    assert re.search(r"Join \[band#\d+, bucket#\d+L?\]", plan), (
+        "candidate join does not key on (band, bucket)"
+    )
+    assert "CartesianProduct" not in plan
