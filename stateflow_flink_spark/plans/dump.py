@@ -242,6 +242,27 @@ NOTES = {
         "C(catalog-per-user, 2), and the norm joins broadcast catalog-sized "
         "frames onto the pair result."
     ),
+    "q_quality_ensemble": (
+        "Three quality filters (rule score, Gopher shape rules, hashed "
+        "linear classifier) in ONE pass that is still a pure projection: "
+        "a single FileScan + Project, zero exchanges/joins/windows — the "
+        "token-array split is bound once and every signal folds over it "
+        "JVM-side. At 100 TB this replaces three corpus scans with one."
+    ),
+    "q_domain_cap": (
+        "Per-domain top-N without ranking the corpus: quality quantizes "
+        "to 6-dp integers, a (source, score) histogram aggregates FIRST, "
+        "and the only ordered window walks that histogram — a whale "
+        "domain contributes its distinct score levels, not its doc "
+        "count; the domain-total side arrives via BroadcastExchange."
+    ),
+    "q_dedup_incremental": (
+        "Batch-vs-corpus candidates only: new-doc bands equi-join corpus "
+        "bands on (band, bucket), so candidate volume scales with "
+        "|batch| x bucket occupancy — within-batch and within-corpus "
+        "pairs are structurally excluded, and at 100 TB the corpus band "
+        "table is the precomputed index a crawl increment probes."
+    ),
 }
 
 
