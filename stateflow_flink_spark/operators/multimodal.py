@@ -285,3 +285,130 @@ def q_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("doc_id", "payload").mapInPandas(
         resize, "doc_id long, n_in long, n_out long, out_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# Media dedup — exact payload dedup + fixed-block storage dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_BYTES = 64  # fixed-block chunk size for storage dedup
+
+
+@query(
+    "q_mm_dedup_exact",
+    """
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(COUNT(DISTINCT MD5(text)) AS BIGINT) AS n_distinct,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+           CAST(SUM(OCTET_LENGTH(ENCODE(text)))
+                - SUM(CASE WHEN rn = 1 THEN OCTET_LENGTH(ENCODE(text))
+                      ELSE 0 END) AS BIGINT) AS dup_bytes
+    FROM (
+        SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+               text,
+               ROW_NUMBER() OVER (PARTITION BY MD5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    GROUP BY media_type
+    """,
+)
+def q_mm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup census per media type: distinct payloads by
+    content digest and the byte volume duplicates waste — the first
+    number a multimodal lake audit produces (crawled media dup rates
+    run 30-60%; every duplicate byte is paid for in storage AND in
+    every training epoch).
+
+    The digest keys BYTES (md5 over the binary column), so the shuffle
+    moves 32-byte hashes regardless of asset size — q_dedup_exact's
+    discipline on the media axis.  The oracle hashes the source text,
+    which is byte-identical to the utf-8 payload by construction.
+
+    Scale shape: one digest-keyed window for the keep-first flag + one
+    type-keyed rollup; no payload bytes cross the wire after the
+    projection."""
+    m = with_payload(load(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("digest").orderBy("doc_id")
+    keyed = m.select(
+        "media_type",
+        "doc_id",
+        F.md5("payload").alias("digest"),
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+    ).withColumn("rn", F.row_number().over(w))
+    return keyed.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.countDistinct("digest").alias("n_distinct"),
+        F.sum("n_bytes").alias("total_bytes"),
+        (
+            F.sum("n_bytes")
+            - F.sum(F.when(F.col("rn") == 1, F.col("n_bytes")).otherwise(0))
+        ).alias("dup_bytes"),
+    )
+
+
+@query(
+    "q_mm_chunk_dedup",
+    f"""
+    WITH chunks AS (
+        SELECT media_type,
+               MD5(SUBSTRING(text, (i - 1) * {CHUNK_BYTES} + 1, {CHUNK_BYTES}))
+                   AS chunk_md5
+        FROM (
+            SELECT ['image', 'audio', 'video'][(doc_id % 3) + 1] AS media_type,
+                   text
+            FROM documents
+        ),
+        UNNEST(GENERATE_SERIES(1,
+            CAST(CEIL(LENGTH(text) * 1.0 / {CHUNK_BYTES}) AS BIGINT))) AS u(i)
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+           ROUND(1.0 - COUNT(DISTINCT chunk_md5) * 1.0 / COUNT(*), 6)
+               AS dedup_ratio
+    FROM chunks
+    GROUP BY media_type
+    """,
+)
+def q_mm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-block storage dedup census: payloads split into
+    {CHUNK_BYTES}-byte blocks, blocks keyed by digest — what fraction
+    of the lake's blocks a chunk-level dedup store (the ZFS/VAST/
+    backup-appliance model, and the CAS layer under multimodal training
+    caches) would NOT have to store twice.  Cross-asset near-dups that
+    exact dedup misses (same image re-encoded with different trailing
+    metadata) show up here as shared prefixes.
+
+    Per-asset chunking is a pure projection (sequence + transform over
+    the binary column, JVM-side slicing); the only shuffle is the
+    chunk-digest rollup keyed by 32-byte hashes.  Production swaps the
+    fixed boundary for content-defined chunking (rolling-hash cuts) in
+    the same plan shape.
+
+    Fixture payloads are ascii utf-8 of ``text``, so byte offsets equal
+    character offsets and the oracle chunks the source string."""
+    m = with_payload(load(spark, sf_dir, "documents"))
+    n_chunks = F.ceil(F.octet_length("payload") / float(CHUNK_BYTES)).cast("int")
+    chunks = m.select(
+        "media_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.md5(
+                    F.col("payload").substr(
+                        (i - 1) * CHUNK_BYTES + 1, F.lit(CHUNK_BYTES)
+                    )
+                ),
+            )
+        ).alias("chunk_md5"),
+    )
+    return chunks.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+        F.round(
+            1.0 - F.countDistinct("chunk_md5") / F.count(F.lit(1)), 6
+        ).alias("dedup_ratio"),
+    )

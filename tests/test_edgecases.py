@@ -2023,3 +2023,63 @@ def test_dedup_incremental_matches_global_pairs_recompute(spark):
         assert bool(inc.loc[d, "keep"]) == (not js)
         if js:
             assert abs(inc.loc[d, "best_jaccard"] - max(js)) < 1e-9
+
+
+def test_mm_dedup_censuses_match_python_recompute(spark):
+    """Both media-dedup censuses recomputed with hashlib over the
+    source text (payload == utf-8 bytes by construction)."""
+    import hashlib
+    from collections import defaultdict
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.multimodal import CHUNK_BYTES
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+    mtype = lambda d: ["image", "audio", "video"][d % 3]  # noqa: E731
+
+    exact = (
+        QUERIES["q_mm_dedup_exact"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("media_type")
+    )
+    seen, stats = set(), defaultdict(lambda: [0, 0, 0, 0])
+    for r in docs.sort_values("doc_id").itertuples():
+        t, h, nb = mtype(r.doc_id), hashlib.md5(r.text.encode()).hexdigest(), len(
+            r.text.encode()
+        )
+        s = stats[t]
+        s[0] += 1
+        s[2] += nb
+        if (t, h) not in seen:
+            seen.add((t, h))
+            s[1] += 1
+        else:
+            s[3] += nb
+    for t, (n, nd, tb, db) in stats.items():
+        assert exact.loc[t, "n_assets"] == n
+        assert exact.loc[t, "n_distinct"] == nd
+        assert exact.loc[t, "total_bytes"] == tb
+        assert exact.loc[t, "dup_bytes"] == db
+
+    chunk = (
+        QUERIES["q_mm_chunk_dedup"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("media_type")
+    )
+    tot, dist = defaultdict(int), defaultdict(set)
+    for r in docs.itertuples():
+        t, b = mtype(r.doc_id), r.text.encode()
+        for i in range(0, len(b), CHUNK_BYTES):
+            tot[t] += 1
+            dist[t].add(hashlib.md5(b[i : i + CHUNK_BYTES]).hexdigest())
+    for t in tot:
+        assert chunk.loc[t, "n_chunks"] == tot[t]
+        assert chunk.loc[t, "n_distinct_chunks"] == len(dist[t])
+        assert (
+            abs(chunk.loc[t, "dedup_ratio"] - round(1 - len(dist[t]) / tot[t], 6))
+            < 1e-9
+        )

@@ -77,3 +77,12 @@ def test_dedup_incremental_candidates_are_bucketed(spark):
         "candidate join does not key on (band, bucket)"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_mm_dedup_queries_shuffle_digests_not_payloads(spark):
+    """Both media-dedup censuses must shuffle 32-byte digests, never
+    asset bytes, and neither needs a join of any kind."""
+    for name in ("q_mm_dedup_exact", "q_mm_chunk_dedup"):
+        plan = _plan(spark, name)
+        for bad in ("Join", "CartesianProduct"):
+            assert bad not in plan, f"unexpected {bad} in {name} plan"
