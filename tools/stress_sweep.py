@@ -86,6 +86,15 @@ TARGETS = [
     "q_js_divergence",
     "q_zipf_topk",
     "q_gini_concentration",
+    # r10 additions (projections included — they should read ~1x flat)
+    "q_pipeline_fuzzy_dedup",
+    "q_dedup_domain",
+    "q_domain_cap",
+    "q_quality_classifier",
+    "q_quality_ensemble",
+    "q_dedup_incremental",
+    "q_mm_dedup_exact",
+    "q_mm_chunk_dedup",
 ]
 
 # Re-measure a subset without paying for the full table:
