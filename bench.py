@@ -142,17 +142,18 @@ def main() -> None:
     # plus whatever fits of line 1's alphabetical end — so per-round
     # driver timings for the first ~200 queries were unrecoverable from
     # committed BENCH_rNN.json artifacts.  Emit one ~55-query alphabetical
-    # chunk per round, chunk index = (#BENCH_r*.json in repo + 1) mod
-    # n_chunks — r10 has 9 archived rounds -> chunk 0 (the alphabetical
-    # HEAD, disjoint from r9's visible tail), r11 -> chunk 1, ... so any
-    # 5 consecutive rounds together cover every query.
+    # chunk per round, chunk index = (#BENCH_r*.json in repo - 9) mod
+    # n_chunks — anchored so the rotation starts at chunk 0 (the
+    # alphabetical HEAD, disjoint from r9's visible tail) in round 10
+    # (whose repo carries 9 archived BENCH_r files), r11 -> chunk 1, ...
+    # so any n_chunks consecutive rounds together cover every query.
     try:
         import glob
 
         chunk_sz = 55
         names = sorted(timings)
         n_chunks = max(1, -(-len(names) // chunk_sz))
-        idx = (len(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))) + 1) % n_chunks
+        idx = (len(glob.glob(os.path.join(os.path.dirname(__file__) or ".", "BENCH_r*.json"))) - 9) % n_chunks
         chunk = names[idx * chunk_sz : (idx + 1) * chunk_sz]
         print(
             json.dumps(
