@@ -40,7 +40,8 @@ _NEVER_DRIVER_SAMPLED = (
     # new in r10
     "q_pipeline_fuzzy_dedup", "q_dedup_domain", "q_domain_cap",
     "q_quality_classifier", "q_quality_ensemble", "q_dedup_incremental",
-    "q_mm_dedup_exact", "q_mm_chunk_dedup",
+    "q_mm_dedup_exact", "q_mm_chunk_dedup", "q_tokenizer_fertility",
+    "q_contamination_report",
     # dedup stragglers
     "q_dedup", "q_dedup_containment", "q_dedup_embedding_lsh",
     "q_dedup_first", "q_dedup_keep_best", "q_dedup_minhash_stream",

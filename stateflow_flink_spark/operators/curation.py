@@ -1570,3 +1570,75 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s.cast("double") / (1000.0 * n), 6).alias("margin"),
         (s > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination report — the per-source audit over q_decontaminate
+# ---------------------------------------------------------------------------
+
+_CONTAM_REPORT_ORACLE = f"""
+    WITH docsh AS ({_gram_sql(_DECON_N, distinct=True)}),
+    ev AS (SELECT DISTINCT UNNEST(gs) AS g FROM docsh
+           WHERE doc_id % {_EVAL_MOD} = 0),
+    tr AS (SELECT doc_id, UNNEST(gs) AS g FROM docsh
+           WHERE doc_id % {_EVAL_MOD} <> 0),
+    hits AS (SELECT DISTINCT tr.doc_id FROM tr JOIN ev USING (g))
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_contaminated,
+           ROUND(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS contamination_rate
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % {_EVAL_MOD} <> 0
+    GROUP BY d.source
+"""
+
+
+@query("q_contamination_report", _CONTAM_REPORT_ORACLE)
+def q_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source contamination audit: what fraction of each source's
+    training docs share at least one distinct {_DECON_N}-gram with the
+    eval slice — the rollup a data owner actually reads (and the
+    decision input for dropping or re-crawling a source), built on
+    q_decontaminate's broadcast hashed-gram probe.
+
+    Scale shape: identical to q_decontaminate (eval grams broadcast,
+    corpus grams stream through the probe as xxhash64 longs) plus one
+    |sources|-row rollup; the contaminated-doc set that crosses the
+    wire is doc_ids only.
+
+    Same hash-collision contract as the dedup family: a 64-bit gram
+    collision can only ADD a flagged doc, with odds ~n²/2⁶⁴."""
+    d = spread(load(spark, sf_dir, "documents"), spark)
+    docsh = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(grams_all(F.col("text"), _DECON_N), lambda s: F.xxhash64(s))
+        ).alias("gs"),
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ev = docsh.filter(is_eval).select(F.explode("gs").alias("g")).distinct()
+    tr = docsh.filter(~is_eval)
+    hits = (
+        tr.select("doc_id", F.explode("gs").alias("g"))
+        .join(F.broadcast(ev), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        tr.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("contamination_rate"),
+        )
+    )

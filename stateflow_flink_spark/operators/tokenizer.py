@@ -309,3 +309,51 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("tok"))
         .limit(BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — subword-per-word cost of the vocab
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]{1,4}')))
+               AS BIGINT) AS n_subwords,
+           ROUND(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]{1,4}'))) * 1.0
+                 / SUM(LEN(STRING_SPLIT(text, ' '))), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per language: subword tokens emitted per
+    whitespace word (q_text_token_count's BPE-ish ≤4-char subword regex
+    over the corpus, rolled up by lang).  The standard multilingual
+    tokenizer-equity readout (Rust et al., ACL 2021): a fertility of 2
+    means that language pays twice the sequence length — and twice the
+    compute and effective context cost — per word, which is exactly
+    what vocab-allocation and per-language sampling decisions consume.
+
+    Scale shape: per-doc token counts are projections riding the scan;
+    the only exchange is the |langs|-row partial-aggregated rollup.
+    Determinism: two exact integer sums and one correctly-rounded
+    division, rounded at 6 dp."""
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " ")).cast("long")
+    n_sub = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit("[a-z0-9]{1,4}"), 0)
+    ).cast("long")
+    return (
+        d.select("lang", n_words.alias("w"), n_sub.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("w").alias("n_words"),
+            F.sum("s").alias("n_subwords"),
+            F.round(F.sum("s") / F.sum("w"), 6).alias("fertility"),
+        )
+    )

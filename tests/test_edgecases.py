@@ -2083,3 +2083,66 @@ def test_mm_dedup_censuses_match_python_recompute(spark):
             abs(chunk.loc[t, "dedup_ratio"] - round(1 - len(dist[t]) / tot[t], 6))
             < 1e-9
         )
+
+
+def test_tokenizer_fertility_matches_python_regex(spark):
+    """Per-lang fertility recomputed with python re over the corpus."""
+    import re
+
+    from collections import defaultdict
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_tokenizer_fertility"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("lang")
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+    pat = re.compile(r"[a-z0-9]{1,4}")
+    agg = defaultdict(lambda: [0, 0, 0])
+    for r in docs.itertuples():
+        a = agg[r.lang]
+        a[0] += 1
+        a[1] += len(r.text.split(" "))
+        a[2] += len(pat.findall(r.text))
+    for lang, (n, w, s) in agg.items():
+        assert out.loc[lang, "n_docs"] == n
+        assert out.loc[lang, "n_words"] == w
+        assert out.loc[lang, "n_subwords"] == s
+        assert abs(out.loc[lang, "fertility"] - round(s / w, 6)) < 1e-9
+
+
+def test_contamination_report_matches_decontaminate(spark):
+    """The per-source rollup must agree with q_decontaminate's doc-level
+    output: contaminated train docs are exactly its rows."""
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.operators.curation import _EVAL_MOD
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    rep = (
+        QUERIES["q_contamination_report"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("source")
+    )
+    flagged = set(
+        QUERIES["q_decontaminate"](spark, SF_SMOKE).toPandas()["doc_id"]
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+    train = docs[docs.doc_id % _EVAL_MOD != 0]
+    for source, grp in train.groupby("source"):
+        n = len(grp)
+        n_cont = int(grp.doc_id.isin(flagged).sum())
+        assert rep.loc[source, "n_docs"] == n
+        assert rep.loc[source, "n_contaminated"] == n_cont
+        assert (
+            abs(rep.loc[source, "contamination_rate"] - round(n_cont / n, 6))
+            < 1e-9
+        )

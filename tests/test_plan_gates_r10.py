@@ -86,3 +86,20 @@ def test_mm_dedup_queries_shuffle_digests_not_payloads(spark):
         plan = _plan(spark, name)
         for bad in ("Join", "CartesianProduct"):
             assert bad not in plan, f"unexpected {bad} in {name} plan"
+
+
+def test_tokenizer_fertility_is_single_rollup(spark):
+    """Per-doc token counts ride the scan; the only structure is the
+    |langs|-keyed aggregate — no joins, no windows."""
+    plan = _plan(spark, "q_tokenizer_fertility")
+    for bad in ("Join", "Window", "CartesianProduct"):
+        assert bad not in plan, f"unexpected {bad} in q_tokenizer_fertility plan"
+
+
+def test_contamination_report_broadcasts_eval_grams(spark):
+    """The eval gram set must arrive at the corpus probe via broadcast
+    (eval suites are MBs, the corpus is TBs) — a shuffled gram join
+    would re-partition the whole corpus's grams."""
+    plan = _plan(spark, "q_contamination_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
