@@ -95,6 +95,8 @@ TARGETS = [
     "q_dedup_incremental",
     "q_mm_dedup_exact",
     "q_mm_chunk_dedup",
+    "q_tokenizer_fertility",
+    "q_contamination_report",
 ]
 
 # Re-measure a subset without paying for the full table:
