@@ -142,7 +142,10 @@ STATE_BUCKETS = 4096
 # bounds both the state blob and the per-event compare count for
 # boilerplate-hot buckets, whose retained members are mutual near-dups
 # after the first few anyway.
-BUCKET_MEMBER_CAP = 64
+# Env-overridable: the cap is deployment policy (recall-vs-state knob),
+# and the sweep harness disables it to adjudicate whether member-list
+# size is a cost term at all.
+BUCKET_MEMBER_CAP = int(os.environ.get("SPARK_GRAFT_BUCKET_MEMBER_CAP", "64"))
 
 
 def fold_bucket_members(

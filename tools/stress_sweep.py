@@ -440,6 +440,7 @@ THREE_POINT_TARGETS = [
     "q_tfidf_cosine_pairs",
     "q_dedup_embedding_lsh",  # output itself grows superlinearly
     "q_dedup_minhash_stream",
+    "q_dedup_domain",         # r11: within-domain LSH joined the weak list
 ]
 _TP_SCALES = (5_000, 50_000, 500_000)
 # second-decade ratio may exceed the first by this slack before it
