@@ -75,3 +75,52 @@ def test_frame_sample_stride_and_size(spark):
     for r in rows:
         assert r["frame_idx"] % FRAME_STRIDE == 0
         assert 1 <= r["frame_bytes"] <= FRAME_BYTES
+
+
+def test_cdc_chunks_realign_after_insertion_fixed_blocks_do_not(spark, tmp_path):
+    """The rsync/LBFS argument, executable: insert ONE byte mid-payload
+    and the content-defined chunker's boundaries re-align downstream
+    (most chunks dedup against the original), while fixed 64-byte
+    blocks shift at every later offset (almost nothing dedups).  This
+    is the property q_mm_chunk_cdc exists to provide over
+    q_mm_chunk_dedup."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    base = "".join(rng.choice("abcdefghij klmnopqrst") for _ in range(2000))
+    shifted = base[:501] + "X" + base[501:]
+    # doc_ids 0 and 3 -> both media_type 'image', so the census rolls
+    # the pair into one row
+    pd.DataFrame(
+        {
+            "doc_id": [0, 3],
+            "text": [base, shifted],
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [len(base), len(shifted)],
+        }
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    cdc = (
+        QUERIES["q_mm_chunk_cdc"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("media_type")
+        .loc["image"]
+    )
+    fixed = (
+        QUERIES["q_mm_chunk_dedup"](spark, str(tmp_path))
+        .toPandas()
+        .set_index("media_type")
+        .loc["image"]
+    )
+    # CDC: identical prefix chunks AND re-aligned suffix chunks dedup;
+    # only the chunk(s) spanning the insertion differ
+    assert cdc["dedup_ratio"] > 0.35, f"CDC failed to re-align: {cdc}"
+    # fixed blocks: the prefix (~500/2000 bytes) dedups, every block
+    # after the insertion offset is shifted and unique
+    assert fixed["dedup_ratio"] < cdc["dedup_ratio"] - 0.15, (
+        f"fixed blocks unexpectedly re-aligned: fixed={fixed['dedup_ratio']} "
+        f"cdc={cdc['dedup_ratio']}"
+    )
