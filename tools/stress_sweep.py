@@ -97,6 +97,10 @@ TARGETS = [
     "q_mm_chunk_dedup",
     "q_tokenizer_fertility",
     "q_contamination_report",
+    # r11 additions
+    "q_dedup_incremental_indexed",
+    "q_mm_chunk_cdc",
+    "q_mix_token_budget",
 ]
 
 # Re-measure a subset without paying for the full table:
