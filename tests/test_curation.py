@@ -5,6 +5,8 @@ the oracle-parity sweep can't express.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from stateflow_flink_spark.operators.curation import (
@@ -120,3 +122,42 @@ def test_merge_upsert_branch_consistency(spark):
             assert r.name == "NEW" and r.key >= 1_000_000
         else:
             assert r.key < 1_000_000
+
+
+def test_mix_token_budget_invariants(spark):
+    """Fertility-weighted budget arithmetic: per-language targets spend
+    (to rounding) the whole subword budget, epochs re-derive from the
+    target, and fertility matches the two counts it divides."""
+    from .conftest import SF_SMOKE
+
+    rows = QUERIES["q_mix_token_budget"](spark, SF_SMOKE).collect()
+    assert rows
+    budget = sum(r.n_subwords for r in rows)
+    # weights are 6-dp-rounded so the allocation is budget +/- |langs| ulps
+    assert abs(sum(r.target_subwords for r in rows) - budget) <= len(rows)
+    for r in rows:
+        # target is rounded to an integer AFTER epochs is computed from
+        # the unrounded product, so they agree to half a subword
+        assert r.epochs == pytest.approx(
+            r.target_subwords / r.n_subwords, abs=0.5 / r.n_subwords + 1e-6
+        )
+        assert r.fertility == pytest.approx(r.n_subwords / r.n_words, abs=1e-6)
+        assert r.fertility >= 1.0  # every word yields >= 1 subword on ascii text
+
+
+def test_dedup_incremental_indexed_equals_recompute(spark):
+    """The persisted-index probe must return EXACTLY the recompute
+    spelling's verdicts — same keys, same match counts, same best
+    scores (they already share one oracle; this pins Spark-vs-Spark
+    without DuckDB in the loop)."""
+    from .conftest import SF_SMOKE
+
+    a = {
+        r.doc_id: (r.n_matches, r.best_jaccard, r.keep)
+        for r in QUERIES["q_dedup_incremental"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        r.doc_id: (r.n_matches, r.best_jaccard, r.keep)
+        for r in QUERIES["q_dedup_incremental_indexed"](spark, SF_SMOKE).collect()
+    }
+    assert a == b and len(a) > 0
