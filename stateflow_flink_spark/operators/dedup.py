@@ -592,10 +592,15 @@ def label_propagation_cluster(pairs: DataFrame) -> DataFrame:
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).cache()
+    # Fused first round: init each node at min(self, min neighbor) —
+    # exactly one propagation step, computed by the SAME single shuffle
+    # the plain distinct-nodes init would pay (groupBy doc_a instead of
+    # distinct doc_a), so shallow dup groups (star-shaped clusters, the
+    # common case) converge one full join round earlier for free.
     labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
+        edges.select("doc_a", F.least("doc_a", "doc_b").alias("cand"))
+        .groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("cand").alias("label"))
     )
     labels = pin(labels, eager=True)
     prev_sum, n_nodes = labels.agg(F.sum("label"), F.count(F.lit(1))).collect()[0]
