@@ -39,6 +39,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_DRIVER_SAMPLED = (
     # new in r11
     "q_dedup_incremental_indexed", "q_mm_chunk_cdc", "q_mix_token_budget",
+    "q_sim_ann_ivf_indexed",
     # graph
     "q_graph_degree_dist", "q_graph_label_prop", "q_graph_pagerank",
     "q_graph_triangles",

@@ -58,6 +58,22 @@ def test_mm_chunk_cdc_is_projection_plus_digest_rollup(spark):
         assert bad not in plan, f"unexpected {bad} in q_mm_chunk_cdc plan"
 
 
+def test_sim_ann_ivf_indexed_scan_is_partition_pruned(spark):
+    """The persisted-IVF probe must read exactly its nprobe cells: the
+    index scan carries a static cent_id PartitionFilter (the file index
+    lists nprobe of the N_CENTROIDS cell directories, not the corpus) —
+    per-probe cost tracks cell occupancy, never corpus size."""
+    from stateflow_flink_spark.operators.similarity import N_PROBE_CELLS
+
+    plan = _plan(spark, "q_sim_ann_ivf_indexed")
+    scan = plan[plan.index("sfs_ivf_idx"):]
+    scan = scan[: scan.index("ReadSchema")]
+    assert "PartitionFilters: [cent_id" in scan, "no static partition filter"
+    assert f"InMemoryFileIndex({N_PROBE_CELLS} paths)" in scan, (
+        "probe scan lists more than nprobe cell directories"
+    )
+
+
 def test_minhash_candidates_prune_singleton_buckets(spark):
     """Same prune discipline on the shared global-LSH candidate path
     (q_dedup_minhash and the fuzzy pipeline both ride it)."""

@@ -101,6 +101,7 @@ TARGETS = [
     "q_dedup_incremental_indexed",
     "q_mm_chunk_cdc",
     "q_mix_token_budget",
+    "q_sim_ann_ivf_indexed",
 ]
 
 # Re-measure a subset without paying for the full table:
