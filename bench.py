@@ -160,9 +160,13 @@ def main() -> None:
     # was emitted in round 10, so idx = (max_round - 9) mod n_chunks gives
     # r10 -> 0, r11 -> 1, ... and any n_chunks consecutive rounds together
     # cover every query.  $SPARK_GRAFT_ROUND overrides the anchor outright.
+    # Anchor on COMMITTED archives (git ls-files), not the working tree:
+    # once the current round's BENCH_r{N}.json is written but not yet
+    # committed, a same-round re-run must not shift chunks (r11 ADVICE).
     try:
         import glob
         import re
+        import subprocess
 
         chunk_sz = 55
         names = sorted(timings)
@@ -172,9 +176,16 @@ def main() -> None:
             max_round = int(env_round) - 1
         else:
             here = os.path.dirname(__file__) or "."
+            try:
+                files = subprocess.run(
+                    ["git", "-C", here, "ls-files", "BENCH_r*.json"],
+                    capture_output=True, text=True, timeout=10, check=True,
+                ).stdout.split()
+            except Exception:  # not a git checkout — fall back to the tree
+                files = glob.glob(os.path.join(here, "BENCH_r*.json"))
             rounds = [
                 int(m.group(1))
-                for f in glob.glob(os.path.join(here, "BENCH_r*.json"))
+                for f in files
                 if (m := re.search(r"BENCH_r(\d+)\.json$", f))
             ]
             max_round = max(rounds, default=9)

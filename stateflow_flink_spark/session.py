@@ -131,6 +131,24 @@ def pin(df, eager: bool = False):
     return df.checkpoint(eager=eager)
 
 
+def session_token(spark: SparkSession) -> str:
+    """Stable identity for memoizing per-session catalog state.
+
+    ``id(spark)`` is unsafe as a memo key: after a SparkSession is
+    garbage-collected CPython can hand the same id to a NEW session,
+    which would then get a cache hit for catalog tables it never
+    created (r11 ADVICE).  The applicationId is unique per JVM
+    lifetime and — unlike per-Python-object identity — matches the
+    scope of ``saveAsTable`` catalog entries, which are shared by all
+    sessions of one context.  Callers still verify
+    ``spark.catalog.tableExists`` before trusting a hit, covering the
+    same-app-id-new-catalog case (e.g. a restarted derby metastore)."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - stopped context
+        return f"py-{id(spark)}"
+
+
 class rocksdb_state:
     """Context manager switching the streaming state-store provider to
     RocksDB for queries started within it, restoring the prior provider
