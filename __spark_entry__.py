@@ -27,16 +27,21 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["q_join_multiway"](spark, SMOKE_SF_DIR)
 
 
-# Queries that have never had a driver-green sample (51 after r10; the
-# union of all driver rounds covers 231/282 of the pre-r11 surface —
-# every one of CORRECTNESS_r10's 50 samples was a first-time name, so
-# this block is the FINAL backlog).  Fronted in queries() ordering so
-# the order-deterministic 50-query sampler retires it this round; a
-# random sampler is unaffected (same keys, same callables).  Priority
-# order within the block: queries NEW in r11 first (driver-sampled the
-# round they land — the r9 item-1 discipline), then the remaining 51
-# grouped by family; whatever overflows position 50 carries to r12.
+# Fronting list: names the order-deterministic ~50-query driver sampler
+# should hit first (a random sampler is unaffected — same keys, same
+# callables).  After r11 the union of all driver rounds covers 281/286;
+# the leading block is the 2 queries NEW in r12 plus the FINAL 5
+# never-sampled carryovers, so this round closes union coverage.  The
+# rest of the tuple (r11's front list, all sampled green in r11) keeps
+# queries() ordering stable for cross-round bench comparability.
 _NEVER_DRIVER_SAMPLED = (
+    # new in r12 (driver-sampled the round they land), then the FINAL
+    # 5 never-sampled carryovers (r11 judge item 2: these must stay
+    # inside the top 50 until sampled — after them, union driver
+    # coverage is total)
+    "q_dedup_index_maintain", "q_sim_ann_ivf_pq",
+    "q_agg_approx_quantile", "q_agg_mode", "q_skew_report",
+    "q_subquery_in", "q_window_first_last",
     # new in r11
     "q_dedup_incremental_indexed", "q_mm_chunk_cdc", "q_mix_token_budget",
     "q_sim_ann_ivf_indexed",
@@ -67,9 +72,6 @@ _NEVER_DRIVER_SAMPLED = (
     "q_text_token_count", "q_vocab_coverage",
     # timeseries
     "q_timeseries_acf", "q_timeseries_cusum",
-    # remainder
-    "q_agg_approx_quantile", "q_agg_mode", "q_skew_report",
-    "q_subquery_in", "q_window_first_last",
 )
 
 

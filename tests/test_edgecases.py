@@ -2146,3 +2146,104 @@ def test_contamination_report_matches_decontaminate(spark):
             abs(rep.loc[source, "contamination_rate"] - round(n_cont / n, 6))
             < 1e-9
         )
+
+
+def test_dedup_index_maintain_matches_python_two_stage_recompute(spark):
+    """The maintained-index census must agree with a python recompute of
+    the full two-stage cycle off q_dedup_minhash's global verified
+    pairs: dup1 = crawl-1 docs with a pair into the 80% corpus; the
+    maintained index is corpus ∪ (crawl-1 − dup1); crawl-2's matches
+    are exactly the global pairs linking it into that index."""
+    import hashlib
+
+    from stateflow_flink_spark.io import load
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    out = (
+        QUERIES["q_dedup_index_maintain"](spark, SF_SMOKE)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    docs = load(spark, SF_SMOKE, "documents").toPandas()
+
+    def bucket(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 10_000
+
+    corpus = {d for d in docs.doc_id if bucket(d) < 8_000}
+    crawl1 = {d for d in docs.doc_id if 8_000 <= bucket(d) < 9_000}
+    crawl2 = {d for d in docs.doc_id if bucket(d) >= 9_000}
+    assert set(out.index) == crawl2
+    pairs = QUERIES["q_dedup_minhash"](spark, SF_SMOKE).toPandas()
+    adj: dict = {}
+    for r in pairs.itertuples():
+        adj.setdefault(r.doc_a, []).append((r.doc_b, r.jaccard))
+        adj.setdefault(r.doc_b, []).append((r.doc_a, r.jaccard))
+    dup1 = {d for d in crawl1 if any(o in corpus for o, _ in adj.get(d, []))}
+    idx = corpus | (crawl1 - dup1)
+    for d in crawl2:
+        js = [j for o, j in adj.get(d, []) if o in idx]
+        assert out.loc[d, "n_matches"] == len(js)
+        assert bool(out.loc[d, "keep"]) == (not js)
+        if js:
+            assert abs(out.loc[d, "best_jaccard"] - max(js)) < 1e-9
+
+
+def test_ivfadc_matches_python_adc_recompute(spark):
+    """q_sim_ann_ivf_pq's top-10 must equal a full numpy recompute of
+    the IVFADC pipeline: floor(x*1000) quantization, first-16-vectors
+    codebook, packed-min code assignment, 6-dp-rounded cosine cell
+    assignment (cent_id tie-break), nprobe=2 cells for vec 0, LUT
+    scoring, (d2_adc, vec_id) ordering — every step integer- or
+    tie-deterministic, so the comparison is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from stateflow_flink_spark.operators.quantize import PQ_K, PQ_M, PQ_SUBDIM
+    from stateflow_flink_spark.operators.similarity import (
+        N_CENTROIDS,
+        N_PROBE_CELLS,
+    )
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    emb = pd.read_parquet(f"{SF_SMOKE}/embeddings.parquet").sort_values("vec_id")
+    vids = emb.vec_id.to_numpy()
+    X = np.stack(emb.embedding.values).astype(np.float64)
+    Q = np.floor(X * 1000).astype(np.int64)
+    # cell assignment: 6-dp cosine vs first-N centroids, tie -> low cent
+    C = X[vids < N_CENTROIDS]
+    cos = (X @ C.T) / (
+        np.linalg.norm(X, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+    )
+    cos = np.round(cos, 6)
+    cell = np.lexsort((np.arange(N_CENTROIDS)[None, :].repeat(len(X), 0), -cos), axis=1)[:, 0]
+    probe_cells = set(np.lexsort((np.arange(N_CENTROIDS), -cos[vids == 0][0]))[:N_PROBE_CELLS])
+    # PQ codes: packed-min per subspace against the first-PQ_K codebook
+    subs = Q.reshape(len(Q), PQ_M, PQ_SUBDIM)
+    cb = subs[vids < PQ_K]  # (K, M, SUBDIM)
+    d2 = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (n, K, M)
+    packed = (d2 * PQ_K + np.arange(PQ_K)[None, :, None]).min(axis=1)  # (n, M)
+    codes = (packed % PQ_K).astype(np.int64)
+    # LUT for vec 0 and ADC scores
+    q_subs = subs[vids == 0][0]  # (M, SUBDIM)
+    lut = ((q_subs[None, :, :] - cb[:, :, :]) ** 2).sum(axis=2)  # (K, M)
+    adc = lut[codes, np.arange(PQ_M)[None, :]].sum(axis=1)
+    cand = [
+        (int(a), int(v))
+        for a, v, c in zip(adc, vids, cell)
+        if v != 0 and c in probe_cells
+    ]
+    expect = sorted(cand)[:10]
+    got = [
+        (r.d2_adc, r.vec_id)
+        for r in QUERIES["q_sim_ann_ivf_pq"](spark, SF_SMOKE)
+        .orderBy("d2_adc", "vec_id")
+        .collect()
+    ]
+    assert got == expect
