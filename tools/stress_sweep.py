@@ -102,6 +102,13 @@ TARGETS = [
     "q_mm_chunk_cdc",
     "q_mix_token_budget",
     "q_sim_ann_ivf_indexed",
+    # r12 additions: q_knn_eval joins as a STANDING target (judge r11
+    # item 6 — driver read 2.34x, judge median 2.0x on a 0.69 s value;
+    # a decade row replaces the judgment call), plus the round's two
+    # new index queries
+    "q_knn_eval",
+    "q_dedup_index_maintain",
+    "q_sim_ann_ivf_pq",
 ]
 
 # Re-measure a subset without paying for the full table:
