@@ -40,6 +40,7 @@ _NEVER_DRIVER_SAMPLED = (
     # inside the top 50 until sampled — after them, union driver
     # coverage is total)
     "q_dedup_index_maintain", "q_sim_ann_ivf_pq",
+    "q_dedup_cluster_incremental",
     "q_agg_approx_quantile", "q_agg_mode", "q_skew_report",
     "q_subquery_in", "q_window_first_last",
     # new in r11

@@ -2247,3 +2247,54 @@ def test_ivfadc_matches_python_adc_recompute(spark):
         .collect()
     ]
     assert got == expect
+
+
+def test_incremental_cc_planted_bridge_cases(spark):
+    """The quotient-graph merge machinery on literal frames — cases the
+    fixture hash-split may not plant:
+      * a single crawl doc CHAINING two existing components (both must
+        relabel to the global min),
+      * a crawl edge WITHIN one component (labels unchanged),
+      * a crawl doc pairing a corpus doc that had no corpus-side pair
+        (both enter as raw doc nodes),
+      * an untouched component (label survives verbatim)."""
+    from stateflow_flink_spark.operators.dedup import incremental_cc
+
+    corpus = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (30, 30), (31, 30)],
+        ["doc_id", "cluster_id"],
+    )
+    # crawl doc 90 bridges components 1 and 5; crawl edge (30,31) is
+    # intra-component; crawl doc 91 pairs corpus doc 20 (no prior pairs)
+    edges = spark.createDataFrame(
+        [(2, 90), (90, 6), (30, 31), (20, 91)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in incremental_cc(corpus, edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 5: 1, 6: 1, 90: 1,   # merged through the bridge
+        30: 30, 31: 30,                   # untouched labels survive
+        20: 20, 91: 20,                   # fresh two-doc component
+    }
+
+
+def test_incremental_cc_equals_batch_recompute(spark):
+    """q_dedup_cluster_incremental's output must be SET-EQUAL to the
+    global batch recompute (q_dedup_cluster) — the maintenance spelling
+    may never drift from the from-scratch answer."""
+    from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
+
+    load_all_modules()
+    from .conftest import SF_SMOKE
+
+    inc = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["q_dedup_cluster_incremental"](spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r.doc_id, r.cluster_id)
+        for r in QUERIES["q_dedup_cluster"](spark, SF_SMOKE).collect()
+    }
+    assert inc == batch

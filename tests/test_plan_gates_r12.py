@@ -222,3 +222,23 @@ def test_ivf_index_partitioned_append_keeps_pruning(spark):
 
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         S._IVF_INDEX_READY.clear()
+
+
+def test_incremental_cc_reads_persisted_stores_only(spark):
+    """CC maintenance must touch PERSISTED artifacts, not re-derive
+    them: the plan reads the pairs table and the corpus label store,
+    with no LSH banding (xxhash64) and no documents `text` scan."""
+    from stateflow_flink_spark.operators.dedup import (
+        _ensure_cc_tables,
+        _ensure_corpus_cc,
+    )
+
+    t_members = _ensure_corpus_cc(spark, SF_SMOKE)
+    _ensure_cc_tables(spark, SF_SMOKE)
+    plan = _plan(spark, "q_dedup_cluster_incremental")
+    # the quotient LP runs eagerly inside the builder (pinned rounds),
+    # so the returned frame's lineage is: corpus label store + the
+    # checkpointed quotient labels — no banding, no text scan
+    assert t_members in plan, "label store not read from the persisted table"
+    assert "xxhash64" not in plan, "maintenance recomputes LSH banding"
+    assert "text:string" not in plan, "maintenance rescans document text"

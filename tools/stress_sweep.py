@@ -109,6 +109,7 @@ TARGETS = [
     "q_knn_eval",
     "q_dedup_index_maintain",
     "q_sim_ann_ivf_pq",
+    "q_dedup_cluster_incremental",
 ]
 
 # Re-measure a subset without paying for the full table:
