@@ -35,11 +35,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # rest of the tuple (r11's front list, all sampled green in r11) keeps
 # queries() ordering stable for cross-round bench comparability.
 _NEVER_DRIVER_SAMPLED = (
+    # new in r13 (the four forced index-build line items — judge r12
+    # item 3 — plus the residual-rewritten IVFADC whose oracle changed)
+    "q_build_cc_index", "q_build_dedup_index", "q_build_ivfadc_index",
+    "q_build_pca_state", "q_sim_ann_ivf_pq",
     # new in r12 (driver-sampled the round they land), then the FINAL
     # 5 never-sampled carryovers (r11 judge item 2: these must stay
     # inside the top 50 until sampled — after them, union driver
     # coverage is total)
-    "q_dedup_index_maintain", "q_sim_ann_ivf_pq",
+    "q_dedup_index_maintain",
     "q_dedup_cluster_incremental",
     "q_agg_approx_quantile", "q_agg_mode", "q_skew_report",
     "q_subquery_in", "q_window_first_last",

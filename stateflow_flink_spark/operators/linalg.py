@@ -204,14 +204,13 @@ def _normalized(z: Column) -> Column:
     return F.transform(z, lambda v: v / F.sqrt(_dots(z, z)))
 
 
-# (session token, sf_dir) -> persisted power-iteration state table.
-# The basis is a TRAINED ARTIFACT (mean + top component + final
-# iterate): at 100 TB the spectral job runs once per corpus snapshot
-# and every consumer (the PCA report, whitening, anisotropy monitors)
-# reads the 1-row result — the r12 persisted-derived-artifact
-# discipline (applicationId key + catalog re-verify, like
-# dedup._ensure_cc_tables).
-_PCA_STATE_READY: dict[tuple[str, str], str] = {}
+# Memo for the persisted power-iteration state table.  The basis is a
+# TRAINED ARTIFACT (mean + top component + final iterate): at 100 TB
+# the spectral job runs once per corpus snapshot and every consumer
+# (the PCA report, whitening, anisotropy monitors) reads the 1-row
+# result — the r12 persisted-derived-artifact discipline; lock /
+# fingerprint-key / cleanup now via artifacts.ensure_tables.
+_PCA_STATE_READY: dict[tuple[str, str, str], tuple[str, ...]] = {}
 
 
 def _embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,29 +240,23 @@ def _compute_pca_state(e: DataFrame) -> DataFrame:
     return state
 
 
-def _ensure_pca_state(spark: SparkSession, sf_dir: str) -> str:
-    import hashlib
-    import tempfile
+def _ensure_pca_state(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    from ..artifacts import ensure_tables
 
-    from ..session import session_token
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    t = f"sfs_pca_state_{tag}"
-    key = (session_token(spark), sf_dir)
-    if key in _PCA_STATE_READY and not spark.catalog.tableExists(
-        _PCA_STATE_READY[key]
-    ):
-        del _PCA_STATE_READY[key]
-    if key not in _PCA_STATE_READY:
-        base = tempfile.mkdtemp(prefix="sfs_pca_state_")
+    def build(spark: SparkSession, tables: tuple[str, ...], base: str) -> None:
         (
             _compute_pca_state(_embeddings_d(spark, sf_dir))
             .write.option("path", f"{base}/state")
             .mode("overwrite")
-            .saveAsTable(t)
+            .saveAsTable(tables[0])
         )
-        _PCA_STATE_READY[key] = t
-    return t
+
+    return ensure_tables(
+        spark, sf_dir, _PCA_STATE_READY, ("sfs_pca_state",), build,
+        tmp_prefix="sfs_pca_state_", force=force,
+    )[0]
 
 
 def _pca_state(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:

@@ -118,3 +118,6 @@ def load_all_modules() -> None:
         state,
         stream_queries,
     )
+    # tier 4 — forced index-build line items (each re-runs a full
+    # artifact build; the most expensive entries by construction)
+    from ..operators import builds  # noqa: F401

@@ -2194,18 +2194,25 @@ def test_dedup_index_maintain_matches_python_two_stage_recompute(spark):
 
 def test_ivfadc_matches_python_adc_recompute(spark):
     """q_sim_ann_ivf_pq's top-10 must equal a full numpy recompute of
-    the IVFADC pipeline: floor(x*1000) quantization, first-16-vectors
-    codebook, packed-min code assignment, 6-dp-rounded cosine cell
-    assignment (cent_id tie-break), nprobe=2 cells for vec 0, LUT
-    scoring, (d2_adc, vec_id) ordering — every step integer- or
-    tie-deterministic, so the comparison is exact."""
+    the RESIDUAL IVFADC pipeline (r13): floor(x*1000) quantization,
+    6-dp-rounded cosine cell assignment (cent_id tie-break), residual
+    r = q(x) - q(centroid(cell)), RES_K codebook seeded from the first
+    vectors' residual subvectors then refined by RES_ITERS Lloyd
+    rounds (packed-argmin assignment, floor(mean) integer update,
+    empty codeword keeps its coordinates), packed-min final codes,
+    per-probed-cell LUT from the probe's residual, (d2_adc, vec_id)
+    ordering — every step integer- or tie-deterministic, so the
+    comparison is exact."""
     import numpy as np
     import pandas as pd
 
-    from stateflow_flink_spark.operators.quantize import PQ_K, PQ_M, PQ_SUBDIM
     from stateflow_flink_spark.operators.similarity import (
         N_CENTROIDS,
         N_PROBE_CELLS,
+        RES_ITERS,
+        RES_K,
+        RES_M,
+        RES_SUBDIM,
     )
     from stateflow_flink_spark.plans.registry import QUERIES, load_all_modules
 
@@ -2224,22 +2231,38 @@ def test_ivfadc_matches_python_adc_recompute(spark):
     cos = np.round(cos, 6)
     cell = np.lexsort((np.arange(N_CENTROIDS)[None, :].repeat(len(X), 0), -cos), axis=1)[:, 0]
     probe_cells = set(np.lexsort((np.arange(N_CENTROIDS), -cos[vids == 0][0]))[:N_PROBE_CELLS])
-    # PQ codes: packed-min per subspace against the first-PQ_K codebook
-    subs = Q.reshape(len(Q), PQ_M, PQ_SUBDIM)
-    cb = subs[vids < PQ_K]  # (K, M, SUBDIM)
-    d2 = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # (n, K, M)
-    packed = (d2 * PQ_K + np.arange(PQ_K)[None, :, None]).min(axis=1)  # (n, M)
-    codes = (packed % PQ_K).astype(np.int64)
-    # LUT for vec 0 and ADC scores
-    q_subs = subs[vids == 0][0]  # (M, SUBDIM)
-    lut = ((q_subs[None, :, :] - cb[:, :, :]) ** 2).sum(axis=2)  # (K, M)
-    adc = lut[codes, np.arange(PQ_M)[None, :]].sum(axis=1)
-    cand = [
-        (int(a), int(v))
-        for a, v, c in zip(adc, vids, cell)
-        if v != 0 and c in probe_cells
-    ]
-    expect = sorted(cand)[:10]
+    # residual subvectors
+    QC = Q[vids < N_CENTROIDS]
+    R = Q - QC[cell]
+    subs = R.reshape(len(R), RES_M, RES_SUBDIM)
+
+    def assign(cb):
+        d2 = ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)
+        packed = (d2 * RES_K + np.arange(RES_K)[None, :, None]).min(axis=1)
+        return (packed % RES_K).astype(np.int64)
+
+    cb = subs[vids < RES_K].copy()  # (K, M, SUBDIM), exact ints
+    for _ in range(RES_ITERS):
+        c = assign(cb)
+        for s in range(RES_M):
+            for j in range(RES_K):
+                m = c[:, s] == j
+                if m.any():
+                    # floor of ONE IEEE division of exact integer sums
+                    cb[j, s] = np.floor(
+                        subs[m, s, :].sum(axis=0).astype(np.float64) / m.sum()
+                    ).astype(np.int64)
+    codes = assign(cb)
+    # per-probed-cell LUT from the probe residual, then ADC scores
+    pq = Q[vids == 0][0]
+    expect_cand = []
+    for pc in probe_cells:
+        pr = (pq - QC[pc]).reshape(RES_M, RES_SUBDIM)
+        lut = ((pr[None, :, :] - cb[:, :, :]) ** 2).sum(axis=2)  # (K, M)
+        for i in np.where((cell == pc) & (vids != 0))[0]:
+            d2 = lut[codes[i], np.arange(RES_M)].sum()
+            expect_cand.append((int(d2), int(vids[i])))
+    expect = sorted(expect_cand)[:10]
     got = [
         (r.d2_adc, r.vec_id)
         for r in QUERIES["q_sim_ann_ivf_pq"](spark, SF_SMOKE)
