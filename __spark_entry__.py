@@ -38,7 +38,7 @@ _NEVER_DRIVER_SAMPLED = (
     # new in r13 (the four forced index-build line items — judge r12
     # item 3 — plus the residual-rewritten IVFADC whose oracle changed)
     "q_build_cc_index", "q_build_dedup_index", "q_build_ivfadc_index",
-    "q_build_pca_state", "q_sim_ann_ivf_pq",
+    "q_build_pca_state", "q_sim_ann_ivf_pq", "q_sim_ann_ivf_pq_rerank",
     # new in r12 (driver-sampled the round they land), then the FINAL
     # 5 never-sampled carryovers (r11 judge item 2: these must stay
     # inside the top 50 until sampled — after them, union driver

@@ -2576,3 +2576,112 @@ def q_sim_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("d2_adc"), F.asc("vec_id"))
         .limit(ADC_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFADC + exact re-rank — the standard FAISS two-stage serving shape:
+# the compressed index proposes a shortlist by ADC, then ONLY those R
+# rows' raw vectors are fetched for exact scoring.  Read volume stays
+# codes-dominated (nprobe x occupancy x RES_M bytes + R full vectors),
+# while recall recovers to the cell-pruning ceiling the PQ error was
+# costing.
+# ---------------------------------------------------------------------------
+
+RERANK_R = 50  # ADC shortlist size handed to the exact stage
+
+_IVFADC_FINAL_SELECT = _IVFADC_ORACLE[_IVFADC_ORACLE.rindex("    SELECT k.vec_id"):]
+_IVFADC_RERANK_ORACLE = (
+    _IVFADC_ORACLE[: _IVFADC_ORACLE.rindex("    SELECT k.vec_id")]
+    + "    , short AS (\n"
+    + _IVFADC_FINAL_SELECT.replace(f"LIMIT {ADC_TOP}", f"LIMIT {RERANK_R}")
+    + "    ),\n"
+    + f"""    pq0 AS (SELECT qe FROM q WHERE vec_id = 0)
+    SELECT s.vec_id, s.label,
+           CAST(LIST_REDUCE(
+               LIST_TRANSFORM(RANGE(1, LEN(t.qe) + 1),
+                   i -> (t.qe[i] - pq0.qe[i]) * (t.qe[i] - pq0.qe[i])),
+               (x, y) -> x + y) AS BIGINT) AS d2_exact
+    FROM short s
+    JOIN q t ON t.vec_id = s.vec_id, pq0
+    ORDER BY d2_exact ASC, s.vec_id ASC
+    LIMIT {ADC_TOP}
+"""
+)
+
+
+@query("q_sim_ann_ivf_pq_rerank", _IVFADC_RERANK_ORACLE)
+def q_sim_ann_ivf_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage IVFADC serving (FAISS's production default): stage 1
+    is q_sim_ann_ivf_pq's codes-only ADC scan, widened to a
+    {RERANK_R}-candidate shortlist; stage 2 fetches ONLY those rows'
+    raw vectors (a broadcast semi-join on vec_id — R rows, not a
+    corpus scan) and re-scores them with the exact quantized-integer
+    L2.  Recall recovers to the cell-pruning ceiling (the PQ error
+    only reorders WITHIN the shortlist, and the shortlist covers the
+    probed cells' plausible set), while the corpus-side read volume
+    stays the compressed index: at 100 TB the exact stage touches
+    R x dim floats per probe — kilobytes — and the raw-vector store
+    can stay on cold storage keyed by vec_id.
+
+    Exactness: both stages are integer arithmetic end to end, so the
+    two-stage ranking is engine-identical down to tie-breaks."""
+    t_idx, t_cb = _ensure_ivfadc_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("ce")
+    )
+    q0 = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    probe_scored = q0.crossJoin(broadcast(cents)).select(
+        "cent_id",
+        F.round(cosine_arrow(F.col("qe"), F.col("ce")), 6).alias("cs"),
+    )
+    probe_cells = [
+        r.cent_id
+        for r in probe_scored.orderBy(F.desc("cs"), F.asc("cent_id"))
+        .limit(N_PROBE_CELLS)
+        .collect()
+    ]
+    qc = cents.filter(F.col("cent_id").isin(probe_cells)).select(
+        "cent_id", _q_ints(F.col("ce")).alias("qce")
+    )
+    presid = (
+        q0.select(_q_ints(F.col("qe")).alias("qe"))
+        .crossJoin(broadcast(qc))
+        .select(
+            "cent_id", F.zip_with("qe", "qce", lambda x, y: x - y).alias("rv")
+        )
+    )
+    psubs = presid.select("cent_id", _res_slices("rv").alias("p")).select(
+        "cent_id", "p.sub", "p.sv"
+    )
+    lut = psubs.join(broadcast(spark.table(t_cb)), "sub").select(
+        "cent_id", "sub", F.col("code_id").alias("code"), _l2q("sv", "cv").alias("d2")
+    )
+    short = (
+        spark.table(t_idx)
+        .filter(F.col("cent_id").isin(probe_cells) & (F.col("vec_id") != 0))
+        .join(broadcast(lut), ["cent_id", "sub", "code"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d2").cast("long").alias("d2_adc"))
+        .orderBy(F.asc("d2_adc"), F.asc("vec_id"))
+        .limit(RERANK_R)
+        .select("vec_id", "label")
+    )
+    # stage 2: exact integer L2 on the R shortlisted vectors only
+    qv = e.select("vec_id", _q_ints(F.col("embedding")).alias("qe"))
+    pq0 = q0.select(_q_ints(F.col("qe")).alias("pqe"))
+    return (
+        qv.join(broadcast(short), "vec_id")
+        .crossJoin(broadcast(pq0))
+        .select(
+            "vec_id",
+            "label",
+            F.aggregate(
+                F.zip_with("qe", "pqe", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ).alias("d2_exact"),
+        )
+        .orderBy(F.asc("d2_exact"), F.asc("vec_id"))
+        .limit(ADC_TOP)
+    )

@@ -168,3 +168,43 @@ def test_incremental_cc_does_not_build_global_members(spark, tmp_path):
     )
     for t in (f"sfs_cc_pairs_{tag}", f"sfs_ccinc_members_{tag}"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ivfadc_rerank_recovers_cell_ceiling(spark):
+    """The two-stage serving claim, measured: ADC shortlist + exact
+    re-rank must recover every exact-top-10 hit that survives cell
+    pruning (the shortlist covers the probed cells, and the exact
+    stage orders identically to the full exact scan there).  Measured
+    r13: 7/10 at sf0.001 (= the cell ceiling) and 10/10 at sf0.01
+    (= the ceiling); floors leave one-hit slack for fixture regen, and
+    re-rank must never fall below the ADC-only stage."""
+    import numpy as np
+    import pandas as pd
+
+    for sf_dir, floor in (("/root/testdata/sf0.001", 6), ("/root/testdata/sf0.01", 9)):
+        emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        q = np.floor(
+            np.stack(emb.embedding.values).astype(np.float64) * 1000
+        ).astype(np.int64)
+        vids = emb.vec_id.values
+        d2 = ((q - q[vids == 0][0]) ** 2).sum(axis=1)
+        exact10 = {
+            v for _, v in sorted(
+                (int(d), int(v)) for d, v in zip(d2, vids) if v != 0
+            )[:10]
+        }
+        got = {
+            r.vec_id
+            for r in QUERIES["q_sim_ann_ivf_pq_rerank"](spark, sf_dir).collect()
+        }
+        adc = {
+            r.vec_id
+            for r in QUERIES["q_sim_ann_ivf_pq"](spark, sf_dir).collect()
+        }
+        assert len(got) == 10
+        assert len(exact10 & got) >= floor, (
+            f"re-rank recall collapsed at {sf_dir}: {len(exact10 & got)}/10"
+        )
+        assert len(exact10 & got) >= len(exact10 & adc), (
+            "exact re-rank fell below the ADC-only stage"
+        )

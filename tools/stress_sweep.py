@@ -110,6 +110,10 @@ TARGETS = [
     "q_dedup_index_maintain",
     "q_sim_ann_ivf_pq",
     "q_dedup_cluster_incremental",
+    # r13 addition: the two-stage serving query (ADC shortlist + exact
+    # re-rank of R rows — the exact stage must stay R-bound, so its
+    # decade row should read FLAT like the other index probes)
+    "q_sim_ann_ivf_pq_rerank",
 ]
 
 # Re-measure a subset without paying for the full table:
