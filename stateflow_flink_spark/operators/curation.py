@@ -1131,6 +1131,13 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             # cast must happen BEFORE the multiply, not after.
             (F.col("tf") * idf_q).cast("decimal(19,0)").alias("wq"),
         )
+        # Three consumers read this frame (the norms aggregate and both
+        # sides of the term-keyed pair join); without the cache each one
+        # re-runs the shingle explode + tf/df aggregates + idf join —
+        # the q_dedup_fuzzy `ds.cache()` discipline applied here (r13
+        # optimization round, guide §1.2/§5; bench.py clearCache keeps
+        # every measured run cold).
+        .cache()
     )
     norms = w.groupBy("doc_id").agg(
         F.sum((F.col("wq") * F.col("wq")).cast("decimal(38,0)")).alias("s")

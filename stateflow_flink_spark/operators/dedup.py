@@ -1033,19 +1033,31 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     scored = pairs.join(sa, "doc_a").join(sb, "doc_b")
+    # Both directions of each unordered pair come from ONE explode over
+    # the scored row, not a union of two projections of `scored`: the
+    # union spelling planned the candidate self-join + count aggregate
+    # + both size joins TWICE (ReusedExchange dedupes the exchanges but
+    # every post-exchange operator still runs per branch), where the
+    # explode emits the two directed rows in the same pass (r13
+    # optimization round, guide §2.4 — same rows, same values).
     both = scored.select(
-        F.col("doc_a").alias("src"),
-        F.col("doc_b").alias("dst"),
-        "n_common",
-        F.col("na").alias("n_src"),
-    ).unionByName(
-        scored.select(
-            F.col("doc_b").alias("src"),
-            F.col("doc_a").alias("dst"),
-            "n_common",
-            F.col("nb").alias("n_src"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("na").alias("n_src"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src"),
+                    F.col("doc_a").alias("dst"),
+                    F.col("n_common").alias("n_common"),
+                    F.col("nb").alias("n_src"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.src", "d.dst", "d.n_common", "d.n_src")
     cont = F.col("n_common") / F.col("n_src")
     return both.filter(cont >= CONTAIN_TAU).select(
         "src", "dst", F.round(cont, 6).alias("containment")
@@ -1780,16 +1792,16 @@ def _ensure_maintained_index(
         t_bands, t_sh = tables
         d = spread(load(spark, sf_dir, "documents"), spark)
         bkt = _inc_hash_bucket("doc_id")
+        # The shingle kernel (tokenize + n-gram + xxhash64 per shingle)
+        # runs ONCE per corpus document: the signatures table is written
+        # first and the band table is derived from the just-written
+        # table instead of re-shingling the raw text (r13 optimization
+        # round, guide §1.2 "don't compute things twice" — and at
+        # corpus scale, reuse-from-storage beats a corpus-sized
+        # .cache(): no executor memory pressure, and the band pass
+        # reads back 8-byte shingle hashes, never the text).
         corpus = d.filter(bkt < _MAINT_CORPUS_TO).select(
             "doc_id", hashed_shingles(F.col("text")).alias("sh")
-        )
-        (
-            minhash_band_buckets(corpus)
-            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
-            .sortBy("band", "bucket")
-            .option("path", f"{base}/bands")
-            .mode("overwrite")
-            .saveAsTable(t_bands)
         )
         (
             corpus.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
@@ -1798,16 +1810,27 @@ def _ensure_maintained_index(
             .mode("overwrite")
             .saveAsTable(t_sh)
         )
-        # crawl-1 probe + append of the kept docs (the maintenance op)
+        (
+            minhash_band_buckets(spark.table(t_sh))
+            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
+            .sortBy("band", "bucket")
+            .option("path", f"{base}/bands")
+            .mode("overwrite")
+            .saveAsTable(t_bands)
+        )
+        # crawl-1 probe + append of the kept docs (the maintenance op).
+        # The crawl batch IS cached (it feeds the probe and both
+        # appends): a crawl batch is |batch|-sized by construction, so
+        # the cache never scales with the corpus.
         crawl1 = d.filter(
             (bkt >= _MAINT_CORPUS_TO) & (bkt < _INC_BATCH_FROM)
-        ).select("doc_id", hashed_shingles(F.col("text")).alias("sh"))
+        ).select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
         probe1 = _probe_band_index(
             crawl1, spark.table(t_bands), spark.table(t_sh)
         )
         kept1 = crawl1.join(
             probe1.filter("keep").select("doc_id"), "doc_id", "left_semi"
-        )
+        ).cache()
         (
             minhash_band_buckets(kept1)
             .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
@@ -1821,6 +1844,8 @@ def _ensure_maintained_index(
             .mode("append")
             .saveAsTable(t_sh)
         )
+        for frame in (kept1, crawl1):
+            frame.unpersist()
 
     t_bands, t_sh = ensure_tables(
         spark, sf_dir, _MAINT_INDEX_READY, ("sfs_maint_bands", "sfs_maint_sh"),

@@ -158,7 +158,13 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.expr(f"{PR_SCALE} div n").alias("r"), "n", "d"
     )
     for _ in range(2):
-        ranks = _pr_step(edges, ranks)
+        # pin per iteration: _pr_step consumes `ranks` twice (the
+        # contribution join and the join-back), so an unpinned state
+        # frame re-executes the whole previous iteration per consumer —
+        # lineage doubling per round (r13 optimization round, guide
+        # §1.2; the same discipline label_propagation / k-means / GD
+        # already apply to their per-round state)
+        ranks = pin(_pr_step(edges, ranks))
     node_type = F.when(
         F.col("node") >= PR_SUPP_OFFSET, "supplier"
     ).otherwise("customer")

@@ -170,33 +170,49 @@ PCA_DIM = 64
 
 def _power_step(e: DataFrame, state: DataFrame, do_pin: bool = True) -> DataFrame:
     """One matrix-free power-iteration step: broadcast (center, x) out,
-    per-row fold y = <e - c, x>, quantized product sums back — one
-    GLOBAL aggregate with {PCA_DIM} integer-sum expressions (z_d =
-    sum_i qy_i * q(v_id)), assembled into the z array on the 1-row
-    result.  The unrolled-aggregate spelling replaces a posexplode +
-    groupBy(pos): measured 5.6x faster at 20k vectors — a Generate
-    sitting next to the per-row fold re-evaluates it per exploded row
-    (no cross-operator subexpression elimination), and the n*d-row
-    shuffle moves 64x the bytes of the 64 partial sums.  Same integer
-    totals either way (order-free exact sums), so the oracle is
-    unchanged.  ``do_pin`` False keeps full lineage for plan gates."""
+    per-row fold y = <e - c, x> computed ONCE per row in its own
+    projection BELOW the Generate (CollapseProject does not merge
+    across Generate, so the fold is never re-evaluated per exploded
+    row — the trap the round-9 unrolled-aggregate spelling was built to
+    avoid), then posexplode the centered vector and take quantized
+    product sums per dimension in one map-side-combining hash
+    aggregate: the exchange carries {PCA_DIM} partial sums per task,
+    never the n x d exploded rows.
+
+    r13 optimization (guide §1.2/§2.3, measured): the round-9 spelling
+    was one GLOBAL aggregate with {PCA_DIM} unrolled decimal-sum
+    expressions — same totals, zero Generate — but its ~200-expression
+    generated class pays a per-plan JIT/compile constant measured at
+    2.3-3.6 s per step at sf0.1, vs 0.76-1.2 s for this spelling with
+    identical bit-exact output (the compile cost recurs every build
+    because fresh expression IDs defeat the codegen cache).  Both
+    spellings move only {PCA_DIM} partial sums per task across the
+    exchange, so the swap trades a constant, not the scale shape.
+    Same integer totals either way (order-free exact sums), so the
+    oracle is unchanged.  ``do_pin`` False keeps full lineage for plan
+    gates."""
     rows = e.crossJoin(broadcast(state)).select(
         _q(_dots(_center(F.col("e"), F.col("c")), F.col("x"))).alias("qy"),
         _center(F.col("e"), F.col("c")).alias("v"),
     )
-    zrow = rows.groupBy().agg(
-        *[
-            F.sum((F.col("qy") * _q(F.element_at(F.col("v"), d + 1))).cast("decimal(38,0)"))
+    z = (
+        rows.select("qy", F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(
+            F.sum((F.col("qy") * _q(F.col("val"))).cast("decimal(38,0)"))
             .cast("double")
-            .alias(f"z{d}")
-            for d in range(PCA_DIM)
-        ]
+            .alias("zd")
+        )
     )
-    zarr = zrow.select(
-        F.array(
-            *[(F.col(f"z{d}") / 1_000_000_000_000.0) for d in range(PCA_DIM)]
-        ).alias("z")
-    ).crossJoin(broadcast(state.select("c")))
+    zarr = (
+        _as_array(
+            z.select("pos", (F.col("zd") / 1_000_000_000_000.0).alias("zd")),
+            "pos",
+            "zd",
+        )
+        .withColumnRenamed("zd", "z")
+        .crossJoin(broadcast(state.select("c")))
+    )
     return pin(zarr) if do_pin else zarr
 
 
@@ -222,7 +238,14 @@ def _embeddings_d(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _compute_pca_state(e: DataFrame) -> DataFrame:
     """The {_PCA_ITERS}-iteration power method itself (module docstring
     has the layout and the bit-exactness contract) — runs once per
-    (session, sf_dir) via :func:`_ensure_pca_state`."""
+    (session, sf_dir) via :func:`_ensure_pca_state`.
+
+    The per-dimension mean stays the posexplode + groupBy(pos)
+    spelling: it partial-aggregates map-side (the exchange carries
+    {PCA_DIM} rows per task, never n x d), and the r13 measurement in
+    :func:`_power_step`'s docstring showed the unrolled-aggregate
+    alternative pays a multi-second per-plan JIT constant for no
+    shuffle saving."""
     means = e.select(F.posexplode("e").alias("pos", "val")).groupBy("pos").agg(
         (
             F.sum(_q(F.col("val")).cast("decimal(38,0)")).cast("double")

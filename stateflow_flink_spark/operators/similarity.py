@@ -2403,16 +2403,43 @@ def _residual_subspaces(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("vec_id", "label", "cent_id", "p.sub", "p.sv")
 
 
-def _packed_argmin(rsubs: DataFrame, cb: DataFrame, *keys: str) -> DataFrame:
-    """Nearest-codeword assignment per (*keys, sub): one broadcast of
-    the codebook, exact-BIGINT packed argmin (d2 * RES_K + code_id) in
-    a single hash aggregate — quantize.pq_encode's discipline at the
-    residual shape."""
-    return (
-        rsubs.join(broadcast(cb), "sub")
-        .groupBy(*keys, "sub")
-        .agg(F.min(_l2q("sv", "cv") * RES_K + F.col("code_id")).alias("packed"))
+def _codeword_argmin(rsubs: DataFrame, cb: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment as a PROJECTION: broadcast the
+    codebook pre-grouped to one 64-element array per subspace, join on
+    ``sub`` with NO row fan-out, and take the packed argmin
+    (d2 * RES_K + code_id, the exact-BIGINT lexicographic min) with
+    ``array_min(transform(...))`` over the codeword array.
+
+    Identical values to the r12 ``_packed_argmin`` spelling it replaces
+    (broadcast-join fan-out x{RES_K} + packed-min hash aggregate,
+    quantize.pq_encode's shape) — the min runs over the
+    same {RES_K} packed longs per (vec, sub) — but the plan shape drops
+    the x{RES_K} row multiplication AND the post-fan-out aggregation
+    exchange (guide §2.4 "remove shuffles outright"): assignment
+    becomes a zero-shuffle map over ``rsubs``, so every carried column
+    (label, cent_id, sv) rides through untouched instead of needing
+    first()-style re-aggregation.  Per-element cost is unchanged: the
+    integer L2 fold was already interpreted (CodegenFallback) in the
+    join spelling, evaluated exactly once per (vec, sub, codeword)
+    either way.  r13 optimization round, guide §2.3/§2.4."""
+    cbarr = cb.groupBy("sub").agg(
+        F.sort_array(F.collect_list(F.struct("code_id", "cv"))).alias("cbs")
     )
+    packed = F.array_min(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.aggregate(
+                F.zip_with(F.col("sv"), c["cv"], lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            * RES_K
+            + c["code_id"],
+        )
+    )
+    return rsubs.join(broadcast(cbarr), "sub").withColumn(
+        "packed", packed
+    ).drop("cbs")
 
 
 def _train_residual_codebook(rsubs: DataFrame) -> DataFrame:
@@ -2425,33 +2452,36 @@ def _train_residual_codebook(rsubs: DataFrame) -> DataFrame:
     floor(mean) per coordinate — floor of ONE IEEE division of exact
     integer sums/counts, bit-identical across engines; (c) a codeword
     with no members keeps its coordinates (left join + coalesce).
-    Scale shape per round: codebook broadcast out, one (vec, sub)-keyed
-    hash-agg assignment, one (sub, code, coord)-keyed integer-sum
-    update — nothing corpus-sized ever sorts or collects; ``pin``
-    truncates the growing lineage like every iterative operator here."""
+    Scale shape per round (r13 optimization, guide §2.3/§2.4): codebook
+    broadcast out pre-grouped per subspace, assignment is the
+    ZERO-shuffle :func:`_codeword_argmin` projection (sv rides through,
+    so no join-back of ``rsubs`` to its own assignment), and the update
+    is ONE (sub, code)-keyed hash aggregate with {RES_SUBDIM} integer
+    partial sums assembled into the codeword array in the same pass —
+    the posexplode + (sub, code, coord) aggregate + collect_list
+    re-assembly it replaces paid two extra exchanges and a x{RES_SUBDIM}
+    row multiplication per round for identical floor(mean) values.
+    Nothing corpus-sized ever sorts or collects; ``pin`` truncates the
+    growing lineage like every iterative operator here."""
     cb = rsubs.filter(F.col("vec_id") < RES_K).select(
         F.col("vec_id").alias("code_id"), "sub", F.col("sv").alias("cv")
     )
     for _ in range(RES_ITERS):
-        asg = _packed_argmin(rsubs, cb, "vec_id").select(
-            "vec_id", "sub", (F.col("packed") % RES_K).alias("code_id")
+        asg = _codeword_argmin(rsubs, cb).select(
+            "sub", (F.col("packed") % RES_K).alias("code_id"), "sv"
         )
-        upd = (
-            rsubs.join(asg, ["vec_id", "sub"])
-            .select("sub", "code_id", F.posexplode("sv").alias("pos", "val"))
-            .groupBy("sub", "code_id", "pos")
-            .agg(
-                F.floor(
-                    F.sum("val").cast("double") / F.count(F.lit(1))
-                ).cast("long").alias("cvi")
-            )
-        )
+        cnt = F.count(F.lit(1))
         newcv = (
-            upd.groupBy("sub", "code_id")
-            .agg(F.sort_array(F.collect_list(F.struct("pos", "cvi"))).alias("pc"))
-            .select(
-                "sub", "code_id",
-                F.transform("pc", lambda s: s.cvi).alias("cv"),
+            asg.groupBy("sub", "code_id")
+            .agg(
+                F.array(
+                    *[
+                        F.floor(
+                            F.sum(F.element_at("sv", d + 1)).cast("double") / cnt
+                        ).cast("long")
+                        for d in range(RES_SUBDIM)
+                    ]
+                ).alias("cv")
             )
         )
         cb = (
@@ -2486,9 +2516,7 @@ def _ensure_ivfadc_index(
             .mode("overwrite")
             .saveAsTable(tables[1])
         )
-        codes = _packed_argmin(
-            rsubs, spark.table(tables[1]), "vec_id", "label", "cent_id"
-        ).select(
+        codes = _codeword_argmin(rsubs, spark.table(tables[1])).select(
             "vec_id", "label", "sub",
             (F.col("packed") % RES_K).alias("code"), "cent_id",
         )
