@@ -1102,25 +1102,38 @@ def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("d").over(w).alias("prev_d"),
         F.lead("d").over(w).alias("next_d"),
     )
-    active = seq.select(
-        F.col("d").alias("day"),
+    # one pass over `seq`: each (user, day) row emits its activity
+    # class, plus a churned row for day d+1 when the user goes absent —
+    # the union-of-two-projections spelling re-ran the window sort per
+    # branch (r13 optimization, guide §2.4; same rows, same values)
+    max_d = ud.agg(F.max("d").alias("max_d"))
+    cls = (
         F.when(F.col("d") == F.col("first_d"), "new")
         .when(F.col("prev_d") == F.col("d") - 1, "retained")
         .otherwise("resurrected")
-        .alias("cls"),
     )
-    max_d = ud.agg(F.max("d").alias("max_d"))
-    churn = (
-        seq.filter(F.col("next_d").isNull() | (F.col("next_d") > F.col("d") + 1))
-        .crossJoin(F.broadcast(max_d))
-        .filter(F.col("d") + 1 <= F.col("max_d"))
-        .select((F.col("d") + 1).alias("day"), F.lit("churned").alias("cls"))
+    churns = F.when(
+        (F.col("next_d").isNull() | (F.col("next_d") > F.col("d") + 1))
+        & (F.col("d") + 1 <= F.col("max_d")),
+        F.array(
+            F.struct((F.col("d") + 1).alias("day"), F.lit("churned").alias("cls"))
+        ),
+    ).otherwise(F.array().cast("array<struct<day:bigint,cls:string>>"))
+    rows = (
+        seq.crossJoin(F.broadcast(max_d))
+        .select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(F.col("d").alias("day"), cls.alias("cls"))
+                    ),
+                    churns,
+                )
+            ).alias("r")
+        )
+        .select("r.day", "r.cls")
     )
-    return (
-        active.unionByName(churn)
-        .groupBy("day", "cls")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    return rows.groupBy("day", "cls").agg(F.count(F.lit(1)).alias("n"))
 
 
 # ---------------------------------------------------------------------------

@@ -192,9 +192,13 @@ def q_anomaly_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("smean6")
     )
+    # four downstream passes (residual median, deviations, MAD, the
+    # outlier census) re-derived the events scan + seasonal join per
+    # consumer without this cache (r13 optimization, guide §1.2/§5;
+    # bench.py clearCache keeps measured runs cold)
     resid = e.join(broadcast(seasonal), ["event_type", "hod"]).select(
         "event_type", (F.col("v6") - F.col("smean6")).alias("r6")
-    )
+    ).cache()
     med = resid.groupBy("event_type").agg(
         F.expr("percentile(r6, 0.5)").alias("med6")
     )

@@ -447,13 +447,25 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
     )
+    # both endpoints of each pair come from ONE explode, not a union of
+    # two projections of `pairs` — the union spelling planned the
+    # orders⋈lineitem distinct twice (ReusedExchange dedupes the
+    # exchange, but the post-exchange distinct aggregate ran per
+    # branch); same rows, same values (r13 optimization, guide §2.4)
     both = pairs.select(
-        F.lit("customer").alias("node_type"), F.col("c").alias("node_id")
-    ).unionByName(
-        pairs.select(
-            F.lit("supplier").alias("node_type"), F.col("s").alias("node_id")
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("customer").alias("node_type"),
+                    F.col("c").alias("node_id"),
+                ),
+                F.struct(
+                    F.lit("supplier").alias("node_type"),
+                    F.col("s").alias("node_id"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node_type", "e.node_id")
     deg = both.groupBy("node_type", "node_id").agg(F.count(F.lit(1)).alias("d"))
     return deg.groupBy("node_type", F.col("d").alias("degree")).agg(
         F.count(F.lit(1)).alias("n_nodes"),

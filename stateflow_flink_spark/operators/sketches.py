@@ -23,6 +23,7 @@ from pyspark.sql.functions import broadcast
 
 from ..io import load, spread
 from ..plans.registry import query
+from ..session import pin
 
 CMS_P = 1_000_000_007
 CMS_BASE = 131
@@ -208,8 +209,13 @@ def q_sketch_hll_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure sketch pipeline.  tests/test_edgecases.py bounds the raw
     estimates too."""
     e = load(spark, sf_dir, "events").select("event_type", "user_id")
-    sk = e.groupBy("event_type").agg(
-        F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
+    # per-type sketch blobs: read by the per-type estimate AND the
+    # lossless union — pin so the fact-table sketching pass runs once
+    # (which is the mergeability point of the query; r13 optimization)
+    sk = pin(
+        e.groupBy("event_type").agg(
+            F.expr(f"hll_sketch_agg(user_id, {_HLL_LGK})").alias("sk")
+        )
     )
     per_type_est = sk.select(
         "event_type", F.expr("hll_sketch_estimate(sk)").alias("est")
@@ -365,8 +371,6 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h")
     )
-    from ..session import pin
-
     pairs = pin(e.select("event_type", h).distinct())
     nd = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
@@ -394,6 +398,11 @@ def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.array_sort(F.collect_list("h")).alias("sk"))
     )
+    # one row per event_type; THREE consumers below (the per-type
+    # estimates and both sides of the click/purchase sketch algebra) —
+    # pin so the cutoff + bounded-sort lineage runs once, not per
+    # consumer (r13 optimization round, guide §1.2)
+    sk = pin(sk)
 
     per_type = sk.join(nd, "event_type").select(
         F.col("event_type").alias("scope"),

@@ -57,6 +57,12 @@ for q in (
     "q_dedup_containment",
     "q_tfidf_cosine_pairs",
     "q_graph_pagerank",
+    "q_graph_degree_dist",
+    "q_zorder_layout",
+    "q_growth_accounting",
+    "q_sketch_hll_partitioned",
+    "q_sketch_kmv",
+    "q_anomaly_seasonal",
 ):
     dump(q, QUERIES[q](spark, SF))
 
