@@ -1792,16 +1792,24 @@ def _ensure_maintained_index(
         t_bands, t_sh = tables
         d = spread(load(spark, sf_dir, "documents"), spark)
         bkt = _inc_hash_bucket("doc_id")
-        # The shingle kernel (tokenize + n-gram + xxhash64 per shingle)
-        # runs ONCE per corpus document: the signatures table is written
-        # first and the band table is derived from the just-written
-        # table instead of re-shingling the raw text (r13 optimization
-        # round, guide §1.2 "don't compute things twice" — and at
-        # corpus scale, reuse-from-storage beats a corpus-sized
-        # .cache(): no executor memory pressure, and the band pass
-        # reads back 8-byte shingle hashes, never the text).
+        # The bands and signatures writes are INDEPENDENT consumers of
+        # the corpus shingle frame, kept that way on purpose: at scale
+        # they run as overlapped jobs (guide §2.6), and the r13 sweep
+        # measured the derive-bands-from-the-written-signature-table
+        # alternative (one shingle pass, but serialized writes + a
+        # table read-back) at a consistent 1.2-1.4x PENALTY across two
+        # full-bench windows — the second shingle pass is cheaper than
+        # losing the write overlap (receipt in OPTIMIZATION_r13.md).
         corpus = d.filter(bkt < _MAINT_CORPUS_TO).select(
             "doc_id", hashed_shingles(F.col("text")).alias("sh")
+        )
+        (
+            minhash_band_buckets(corpus)
+            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
+            .sortBy("band", "bucket")
+            .option("path", f"{base}/bands")
+            .mode("overwrite")
+            .saveAsTable(t_bands)
         )
         (
             corpus.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
@@ -1809,14 +1817,6 @@ def _ensure_maintained_index(
             .option("path", f"{base}/signatures")
             .mode("overwrite")
             .saveAsTable(t_sh)
-        )
-        (
-            minhash_band_buckets(spark.table(t_sh))
-            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
-            .sortBy("band", "bucket")
-            .option("path", f"{base}/bands")
-            .mode("overwrite")
-            .saveAsTable(t_bands)
         )
         # crawl-1 probe + append of the kept docs (the maintenance op).
         # The crawl batch IS cached (it feeds the probe and both

@@ -58,7 +58,6 @@ for q in (
     "q_tfidf_cosine_pairs",
     "q_graph_pagerank",
     "q_graph_degree_dist",
-    "q_zorder_layout",
     "q_growth_accounting",
     "q_sketch_hll_partitioned",
     "q_sketch_kmv",
@@ -131,26 +130,10 @@ else:  # r12 spelling
 dump("q_build_ivfadc_index_lloyd_update", newcv)
 dump("q_build_ivfadc_index_codes", codes)
 
-# --- q_build_dedup_index: the band-table write input ------------------------
-from stateflow_flink_spark.io import load, spread  # noqa: E402
-from stateflow_flink_spark.operators import dedup as D  # noqa: E402
-
-d = spread(load(spark, SF, "documents"), spark)
-bkt = D._inc_hash_bucket("doc_id")
-corpus = d.filter(bkt < D._MAINT_CORPUS_TO).select(
-    "doc_id", D.hashed_shingles(F.col("text")).alias("sh")
-)
-if TAG == "after":
-    # r13: signatures table written first, bands derived from the table
-    corpus.write.bucketBy(D._INC_INDEX_BUCKETS, "doc_id").sortBy("doc_id").option(
-        "path", "/tmp/dump_r13_sigs"
-    ).mode("overwrite").saveAsTable("dump_r13_sigs")
-    dump("q_build_dedup_index_bands_input", D.minhash_band_buckets(spark.table("dump_r13_sigs")))
-    spark.sql("DROP TABLE IF EXISTS dump_r13_sigs")
-    import shutil
-
-    shutil.rmtree("/tmp/dump_r13_sigs", ignore_errors=True)
-else:
-    dump("q_build_dedup_index_bands_input", D.minhash_band_buckets(corpus))
+# q_build_dedup_index: no plan pair committed — the round's
+# derive-bands-from-the-written-table variant was tried and REVERTED
+# (bench receipts in OPTIMIZATION_r13.md); the final build keeps the two
+# independent corpus writes, so its band-input plan is unchanged from
+# the baseline.
 
 spark.stop()
