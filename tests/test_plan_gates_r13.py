@@ -208,3 +208,123 @@ def test_ivfadc_rerank_recovers_cell_ceiling(spark):
         assert len(exact10 & got) >= len(exact10 & adc), (
             "exact re-rank fell below the ADC-only stage"
         )
+
+
+def test_codeword_argmin_is_projection_no_fanout_exchange(spark):
+    """r13 optimization gate: the IVFADC nearest-codeword assignment is
+    a zero-shuffle PROJECTION — the codebook arrives pre-grouped via a
+    broadcast join on `sub` (16 rows, no x64 row fan-out) and the packed
+    argmin runs as array_min(transform(...)).  No aggregation, no
+    exchange other than the codebook's own tiny rollup, downstream of a
+    broadcast."""
+    from stateflow_flink_spark.operators.similarity import (
+        RES_K,
+        _codeword_argmin,
+        _residual_subspaces,
+    )
+
+    rsubs = _residual_subspaces(spark, SF_SMOKE)
+    cb = rsubs.filter(F.col("vec_id") < RES_K).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("sv").alias("cv")
+    )
+    plan = (
+        _codeword_argmin(rsubs, cb)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # the corpus side must reach the argmin WITHOUT an aggregation: the
+    # only aggregates allowed are the codebook grouping (collect_list
+    # over RES_M x RES_K rows) and upstream cell assignment — assert the
+    # packed argmin itself is expression-level
+    assert "array_min" in plan, "packed argmin no longer a projection"
+    assert "SortAggregate" not in plan.split("array_min")[0].split(
+        "BroadcastExchange"
+    )[0], "corpus-side aggregate re-appeared above the argmin"
+
+
+def test_lloyd_update_single_aggregate_no_posexplode(spark):
+    """r13 optimization gate: one Lloyd update round is ONE
+    (sub, code)-keyed hash aggregate with RES_SUBDIM per-coordinate sums
+    — no posexplode to (sub, code, coord) rows, no collect_list
+    re-assembly, no join-back of rsubs to its own assignment."""
+    from stateflow_flink_spark.operators.similarity import (
+        RES_K,
+        RES_SUBDIM,
+        _codeword_argmin,
+        _residual_subspaces,
+    )
+
+    rsubs = _residual_subspaces(spark, SF_SMOKE)
+    cb = rsubs.filter(F.col("vec_id") < RES_K).select(
+        F.col("vec_id").alias("code_id"), "sub", F.col("sv").alias("cv")
+    )
+    asg = _codeword_argmin(rsubs, cb).select(
+        "sub", (F.col("packed") % RES_K).alias("code_id"), "sv"
+    )
+    cnt = F.count(F.lit(1))
+    newcv = asg.groupBy("sub", "code_id").agg(
+        F.array(
+            *[
+                F.floor(
+                    F.sum(F.element_at("sv", d + 1)).cast("double") / cnt
+                ).cast("long")
+                for d in range(RES_SUBDIM)
+            ]
+        ).alias("cv")
+    )
+    plan = newcv._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" not in plan, "Lloyd update explodes coordinates again"
+    # exactly one collect_list is legitimate: _codeword_argmin's
+    # RES_M-row codebook grouping.  A second one means the coordinate
+    # re-assembly came back.
+    assert plan.count("collect_list") <= 2, (  # partial + final of the one agg
+        "Lloyd update re-assembles via collect_list"
+    )
+    assert "partial_sum" in plan or "partial_" in plan, (
+        "Lloyd update lost its map-side combine"
+    )
+
+
+def test_power_step_fold_below_generate(spark):
+    """r13 optimization gate: _power_step computes the per-row fold qy
+    in a projection BELOW the Generate (evaluated once per row), then
+    partial-aggregates the exploded coordinates map-side — and the
+    64-expression unrolled aggregate (per-plan JIT constant) is gone."""
+    from stateflow_flink_spark.io import load as load_tbl
+    from stateflow_flink_spark.operators.linalg import (
+        _as_array,
+        _power_step,
+        _q,
+    )
+
+    e = load_tbl(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda v: v.cast("double")).alias("e")
+    )
+    means = e.select(F.posexplode("e").alias("pos", "val")).groupBy("pos").agg(
+        (
+            F.sum(_q(F.col("val")).cast("decimal(38,0)")).cast("double")
+            / (F.count(F.lit(1)) * 1_000_000.0)
+        ).alias("c")
+    )
+    state = _as_array(means, "pos", "c").select(
+        "c", F.transform(F.col("c"), lambda _: F.lit(1.0)).alias("x")
+    )
+    plan = (
+        _power_step(e, state, do_pin=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" in plan, "power step no longer explodes coordinates"
+    # the z aggregate must be keyed by pos with ONE sum, not 64 unrolled
+    # z0..z63 sums (the r9 spelling this round replaced)
+    assert "z63" not in plan and " AS z0" not in plan, (
+        "unrolled 64-sum aggregate came back"
+    )
+    # fold-once property: exactly one qy-producing projection below the
+    # Generate (the fold appears once in the plan text, not per column)
+    assert plan.count("aggregate(zip_with") <= 2, (
+        "per-row fold is re-evaluated per exploded row"
+    )
