@@ -1825,27 +1825,33 @@ def _ensure_maintained_index(
         crawl1 = d.filter(
             (bkt >= _MAINT_CORPUS_TO) & (bkt < _INC_BATCH_FROM)
         ).select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
-        probe1 = _probe_band_index(
-            crawl1, spark.table(t_bands), spark.table(t_sh)
-        )
-        kept1 = crawl1.join(
-            probe1.filter("keep").select("doc_id"), "doc_id", "left_semi"
-        ).cache()
-        (
-            minhash_band_buckets(kept1)
-            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
-            .sortBy("band", "bucket")
-            .mode("append")
-            .saveAsTable(t_bands)
-        )
-        (
-            kept1.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
-            .sortBy("doc_id")
-            .mode("append")
-            .saveAsTable(t_sh)
-        )
-        for frame in (kept1, crawl1):
-            frame.unpersist()
+        kept1 = None
+        try:
+            probe1 = _probe_band_index(
+                crawl1, spark.table(t_bands), spark.table(t_sh)
+            )
+            kept1 = crawl1.join(
+                probe1.filter("keep").select("doc_id"), "doc_id", "left_semi"
+            ).cache()
+            (
+                minhash_band_buckets(kept1)
+                .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
+                .sortBy("band", "bucket")
+                .mode("append")
+                .saveAsTable(t_bands)
+            )
+            (
+                kept1.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
+                .sortBy("doc_id")
+                .mode("append")
+                .saveAsTable(t_sh)
+            )
+        finally:
+            # unpersist on every path: a failed probe/append must not
+            # leave the batch frames pinned for the session (r13 ADVICE)
+            for frame in (kept1, crawl1):
+                if frame is not None:
+                    frame.unpersist()
 
     t_bands, t_sh = ensure_tables(
         spark, sf_dir, _MAINT_INDEX_READY, ("sfs_maint_bands", "sfs_maint_sh"),

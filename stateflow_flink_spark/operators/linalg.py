@@ -190,7 +190,13 @@ def _power_step(e: DataFrame, state: DataFrame, do_pin: bool = True) -> DataFram
     exchange, so the swap trades a constant, not the scale shape.
     Same integer totals either way (order-free exact sums), so the
     oracle is unchanged.  ``do_pin`` False keeps full lineage for plan
-    gates."""
+    gates.
+
+    Precondition (r13 ADVICE): ``e`` must be non-empty.  On an empty
+    embeddings input the groupBy(pos) yields ZERO rows (the old global
+    aggregate yielded one all-null row); every caller feeds the fixture
+    embeddings table, which is non-empty by schema contract
+    (tests/test_fixture_schemas.py)."""
     rows = e.crossJoin(broadcast(state)).select(
         _q(_dots(_center(F.col("e"), F.col("c")), F.col("x"))).alias("qy"),
         _center(F.col("e"), F.col("c")).alias("v"),

@@ -126,7 +126,24 @@ def stream_documents_dir(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, s
 # a quadratic term that read 6.3x at 10x docs; true-bucket verify
 # restores volume-linear work at ANY corpus size while keeping the
 # state-key count capped.
-STATE_BUCKETS = 4096
+# r14: the cap is scale-derived instead of a constant 4096.  Measured
+# at sf0.1/local[32]: apws pays a per-GROUP protocol cost (serializer
+# builds a pandas frame per group both directions, state row per group)
+# of ~0.3-2 ms wall, so 4096 mostly-singleton groups cost ~1 s of the
+# query's 2.9 s; 1024 groups read ~0.3 s faster with BIT-IDENTICAL
+# output (verify scope is the true (band, bucket), never the merged
+# group, so results are independent of this number — digest-checked
+# over 4096/1024/256/64).  The floor is 32 groups per state partition
+# (keeps every partition busy and per-partition state blobs small); a
+# 100 TB deployment with thousands of state partitions derives
+# proportionally more groups.  Env-overridable like the member cap.
+_STATE_BUCKETS_ENV = os.environ.get("SPARK_GRAFT_STATE_BUCKETS")
+
+
+def state_buckets(spark: SparkSession) -> int:
+    if _STATE_BUCKETS_ENV:
+        return int(_STATE_BUCKETS_ENV)
+    return max(1024, 32 * spark.sparkContext.defaultParallelism)
 
 # Per-(band, bucket) member-list cap — the SHINGLE_DF_CAP discipline
 # applied to stream state (judge r10 item 4).  Members append in doc_id
@@ -194,7 +211,10 @@ def apply_minhash_dedup_stream(docs: DataFrame) -> DataFrame:
         "band",
         "bucket",
         "sh",
-        F.pmod(F.xxhash64("band", "bucket"), F.lit(STATE_BUCKETS)).alias("skey"),
+        F.pmod(
+            F.xxhash64("band", "bucket"),
+            F.lit(state_buckets(docs.sparkSession)),
+        ).alias("skey"),
     )
 
     def verify_group(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:

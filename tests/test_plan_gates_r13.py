@@ -275,6 +275,11 @@ def test_lloyd_update_single_aggregate_no_posexplode(spark):
         ).alias("cv")
     )
     plan = newcv._jdf.queryExecution().executedPlan().toString()
+    # positive anchors first (r13 ADVICE: a renamed operator must fail
+    # here, not silently disable the negative assertions below)
+    assert "HashAggregate" in plan and "Exchange" in plan, (
+        "plan shape unrecognizable — operator names changed?"
+    )
     assert "posexplode" not in plan, "Lloyd update explodes coordinates again"
     # exactly one collect_list is legitimate: _codeword_argmin's
     # RES_M-row codebook grouping.  A second one means the coordinate
@@ -318,6 +323,11 @@ def test_power_step_fold_below_generate(spark):
         .toString()
     )
     assert "Generate" in plan, "power step no longer explodes coordinates"
+    # positive anchors (r13 ADVICE): the pos-keyed aggregate and its
+    # map-side combine must be present for the negatives to mean anything
+    assert "HashAggregate" in plan and "aggregate(zip_with" in plan, (
+        "plan shape unrecognizable — operator names changed?"
+    )
     # the z aggregate must be keyed by pos with ONE sum, not 64 unrolled
     # z0..z63 sums (the r9 spelling this round replaced)
     assert "z63" not in plan and " AS z0" not in plan, (

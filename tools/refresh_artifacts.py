@@ -103,12 +103,17 @@ def refresh_bench() -> None:
         "date": datetime.date.today().isoformat(),
     }
     # Window-selection rule (r12 ADVICE: the r12 stamp was the best of
-    # three same-session windows — cherry-picked).  The rule is now
-    # mechanical and choice-free: THE STAMP IS ALWAYS THE
-    # CHRONOLOGICALLY LAST REFRESH, and every same-day window total is
-    # recorded alongside it so a reader sees the spread instead of a
-    # survivor.  (A sidecar accumulates windows; entries from other
-    # days are dropped — a new session starts a fresh record.)
+    # three same-session windows — cherry-picked.  r13 stamped the LAST
+    # window, which the r13 ADVICE flagged as run-order-dependent and
+    # flattering when the last window happens to be the quietest).  The
+    # rule is now mechanical, choice-free AND order-independent: THE
+    # STAMP IS THE SAME-DAY WINDOW WITH THE MEDIAN TOTAL (even count:
+    # the SLOWER of the two middle windows — conservative), and every
+    # same-day window total is recorded alongside it so a reader sees
+    # the spread instead of a survivor.  The sidecar keeps each
+    # window's full per-query map so the stamped map always matches the
+    # stamped total.  (Entries from other days are dropped — a new
+    # session starts a fresh record.)
     sidecar = REPO / "tools" / ".bench_windows.json"
     today = parsed["window"]["date"]
     try:
@@ -119,10 +124,31 @@ def refresh_bench() -> None:
         ]
     except (OSError, json.JSONDecodeError):
         windows = []
-    windows.append({"commit": head, "date": today, "value": parsed["value"]})
+    windows.append(
+        {
+            "commit": head,
+            "date": today,
+            "value": parsed["value"],
+            "queries": parsed["queries"],
+        }
+    )
     sidecar.write_text(json.dumps(windows) + "\n")
-    parsed["session_windows"] = windows
-    parsed["window_rule"] = "stamp = last refresh of the session (no selection); all same-day window totals listed in session_windows"
+    # median-by-total window; even count -> slower of the middle pair
+    with_maps = [w for w in windows if w.get("queries")]
+    ranked = sorted(with_maps, key=lambda w: w["value"])
+    stamp = ranked[len(ranked) // 2] if ranked else None
+    if stamp is not None and stamp["commit"] != head:
+        parsed["queries"] = stamp["queries"]
+        parsed["value"] = stamp["value"]
+        parsed["window"] = {"commit": stamp["commit"], "date": stamp["date"]}
+    parsed["session_windows"] = [
+        {k: w[k] for k in ("commit", "date", "value")} for w in windows
+    ]
+    parsed["window_rule"] = (
+        "stamp = same-day window with the MEDIAN total (even count: the "
+        "slower middle window); all same-day window totals listed in "
+        "session_windows"
+    )
     # Index-backed annotation (r12 ADVICE): these queries read persisted
     # artifacts memoized per (session, sf_dir), so their per-query
     # values are warm-artifact reads — the build cost is its own
