@@ -426,22 +426,38 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     at least one 3-of-6 block combination — complete for Hamming <=
     SIMHASH_HAMMING_K by the pigeonhole argument above.  One shuffle
     keyed by (combo, bucket-hash); hash collisions can only ADD
-    candidates (killed by the exact verify), never lose one.
+    probe-side rows, never lose a pair (see the emit-once rule below).
 
-    Pairs may repeat (once per agreeing combo, <= 20x): deduplication is
-    the CALLER's job, cheapest AFTER the Hamming verify where the rows
-    are (doc_a, doc_b, hamming) survivors rather than every bucket
-    collision (measured at sf0.1: distinct-before-verify 3.22 s,
-    distinct-after 2.50 s).  A band-wise union spelling — 20 per-combo
-    self-joins unioned, hoping AQE coalesces 20 small exchanges better
-    than one 20x-amplified posexplode shuffle — measured 4.90 s and
-    lost: ReusedExchange already dedupes the posexplode's two join
-    sides, while the union pays 20 separate join stages."""
+    Emit-once rule (r14; guide §2.3 — don't compute rows you throw
+    away): a pair agreeing on m combos used to surface m times (m = 20
+    for exact duplicates, which agree on ALL blocks), leaving the
+    CALLER a distinct() over a 20x-amplified quadratic pair set —
+    measured superlinear at sf1 (109.6 s: duplicate groups of size g
+    emit 20 x C(g,2) rows, and the distinct shuffles all of them).  The
+    set of agreeing combos is a pure function of (sig_a, sig_b), both
+    present on the joined row, so each pair is now emitted ONLY from
+    its FIRST agreeing combo: a residual join predicate, evaluated
+    inside the join's output loop — no extra shuffle, no distinct
+    needed downstream.  Completeness is unchanged: any pair at
+    Hamming <= K agrees exactly on >= 1 combo (pigeonhole), its block
+    values hash to the same bucket there, and it is emitted from
+    exactly that combo.  A pure-collision row (same xxhash bucket,
+    different block values, NO agreeing combo) is dropped — such pairs
+    have >= 4 differing blocks, i.e. Hamming > K, so the verified
+    output is identical row-for-row to the old distinct() spelling
+    (digest-checked at sf0.01/sf0.1).
 
-    def block(off: int, width: int):
-        return F.shiftright("sig", off).bitwiseAND(F.lit((1 << width) - 1))
+    A band-wise union spelling — 20 per-combo self-joins unioned,
+    hoping AQE coalesces 20 small exchanges better than one
+    20x-amplified posexplode shuffle — measured 4.90 s (vs 2.50 s) at
+    sf0.1 in r10 and lost: ReusedExchange already dedupes the
+    posexplode's two join sides, while the union pays 20 separate join
+    stages."""
 
-    blocks = [block(off, w) for off, w in _SIMHASH_BLOCKS]
+    def block(col, off: int, width: int):
+        return F.shiftright(col, off).bitwiseAND(F.lit((1 << width) - 1))
+
+    blocks = [block(F.col("sig"), off, w) for off, w in _SIMHASH_BLOCKS]
     # Exchange barrier: materializes the signature exactly once so the
     # self-join below feeds both sides from one run of the Arrow kernel
     # (and, historically, kept CollapseProject from re-inlining the
@@ -463,12 +479,43 @@ def simhash_candidate_pairs(sig: DataFrame) -> DataFrame:
     )
     a = keyed.alias("a")
     b = keyed.alias("b")
+    # Emit-once test, O(1) per probed row: the FIRST (lexicographic)
+    # agreeing combo's blocks are exactly the THREE SMALLEST agreeing
+    # block indices {i<j<k}, i.e. the agree-mask restricted to bits
+    # 0..k must equal {i,j,k} exactly.  Per row: one xor, 6 block-zero
+    # tests folded into a 6-bit mask, then one masked compare against
+    # this combo's two precomputed constants — far cheaper than
+    # scanning all 20 combos per row (an array_position spelling
+    # measured 3.8x slower at sf0.1).
+    x = F.col("a.sig").bitwiseXOR(F.col("b.sig"))
+    agree_mask = None
+    for bi, (off, w) in enumerate(_SIMHASH_BLOCKS):
+        bit = F.when(
+            F.shiftright(x, off).bitwiseAND(F.lit((1 << w) - 1)) == 0,
+            F.lit(1 << bi),
+        ).otherwise(F.lit(0))
+        agree_mask = bit if agree_mask is None else agree_mask + bit
+    combo_mask = [  # bits {i,j,k} of this combo
+        (1 << i) | (1 << j) | (1 << k) for i, j, k in _SIMHASH_COMBOS
+    ]
+    low_mask = [  # all bits 0..k (k = combo's highest block)
+        (1 << (k + 1)) - 1 for _, _, k in _SIMHASH_COMBOS
+    ]
+    is_first_combo = (
+        agree_mask.bitwiseAND(
+            F.element_at(F.array(*[F.lit(v) for v in low_mask]), F.col("a.combo") + 1)
+        )
+        == F.element_at(
+            F.array(*[F.lit(v) for v in combo_mask]), F.col("a.combo") + 1
+        )
+    )
     return (
         a.join(
             b,
             (F.col("a.combo") == F.col("b.combo"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & is_first_combo,
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -519,14 +566,58 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All document pairs within Hamming distance SIMHASH_HAMMING_K of
     each other's SimHash — exact-complete via the 3-of-6-block candidate
     generator, exact-verified with bit_count(xor)."""
+    # r14 restructure (guide §8: decide on a lightweight proxy, move
+    # heavy rows once).  The r13 spelling LSH-joined DOC rows: a
+    # duplicate group of g identical signatures collides in ALL 20
+    # combo buckets, so the join probed 20 x C(g,2) pairs and a
+    # downstream .distinct() shuffled them all — measured superlinear
+    # at sf1 (109.6 s; the hottest sf1 sig-group holds 1882 docs =
+    # 1.77M pairs x 20).  Identical docs are indistinguishable to
+    # SimHash, so the LSH probe now runs over DISTINCT signatures
+    # (16.4k at sf1 vs 50k docs), emit-once (first agreeing combo,
+    # see simhash_candidate_pairs), and doc pairs materialize exactly
+    # once at the end:
+    #   within — same signature, hamming 0 by definition: one
+    #     sig-keyed self-join over the shared exchange;
+    #   cross  — verified distinct-sig pairs (sig_u < sig_v) fanned
+    #     out to their doc lists; least/greatest orients each doc
+    #     pair once since u < v partitions the pair space.
+    # Output is row-identical to the old spelling (oracle + digest
+    # checked); the quadratic term now appears only in the OUTPUT,
+    # which is the query's contract, never in the probe or a shuffle.
     sig = simhash_signatures(spread(load(spark, sf_dir, "documents"), spark))
-    pairs = simhash_candidate_pairs(sig)
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.select("doc_a", "doc_b", hamming.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING_K)
-        .distinct()  # combo multiplicity; cheapest post-verify, see above
+    # one exchange materializes the Arrow-kernel signatures for ALL
+    # sig-keyed consumers below (distinct, within-join, two cross
+    # fan-outs) via ReusedExchange — the kernel runs once
+    sigp = sig.repartition("sig")
+    usig = sigp.select("sig").distinct()
+    upairs = simhash_candidate_pairs(
+        usig.select(F.col("sig").alias("doc_id"), "sig")
+    ).select(
+        F.col("sig_a").alias("u"),
+        F.col("sig_b").alias("v"),
+        F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_K)
+    l, r = sigp.alias("l"), sigp.alias("r")
+    within = l.join(
+        r,
+        (F.col("l.sig") == F.col("r.sig"))
+        & (F.col("l.doc_id") < F.col("r.doc_id")),
+    ).select(
+        F.col("l.doc_id").alias("doc_a"),
+        F.col("r.doc_id").alias("doc_b"),
+        F.lit(0).alias("hamming"),
     )
+    cross = (
+        upairs.join(sigp.select(F.col("sig").alias("u"), F.col("doc_id").alias("id_u")), "u")
+        .join(sigp.select(F.col("sig").alias("v"), F.col("doc_id").alias("id_v")), "v")
+        .select(
+            F.least("id_u", "id_v").alias("doc_a"),
+            F.greatest("id_u", "id_v").alias("doc_b"),
+            "hamming",
+        )
+    )
+    return within.unionByName(cross)
 
 
 # ---------------------------------------------------------------------------

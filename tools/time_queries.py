@@ -79,7 +79,12 @@ def main() -> None:
     plan_tag = os.environ.get("PLAN_TAG", "plan")
     out: dict[str, float] = {}
     for name in names:
-        samples = sorted(run(name) for _ in range(RUNS))
+        try:
+            samples = sorted(run(name) for _ in range(RUNS))
+        except Exception as exc:  # one broken query must not hide the rest
+            print(f"TIMEQ ERROR {name}: {exc}", file=sys.stderr)
+            out[name] = -1.0
+            continue
         out[name] = round(samples[len(samples) // 2], 3)
         if plans_out:
             import contextlib
