@@ -86,17 +86,20 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
 # spark.sql.shuffle.partitions at first checkpoint, and that number is
 # frozen into the checkpoint — AQE never coalesces it.  It is therefore
 # its own deployment knob: at 100 TB you run thousands of state
-# partitions (throughput / state-size bound); at fixture scale 32 state
-# stores per micro-batch is pure fixed overhead (measured 9.3 s -> 5.6 s
-# on the stateful fold at sf0.1 going 32 -> 8).
-# Round-5 sweep of the residual ~1.8 s fixed cost (medians of 3,
-# q_stateful_fold_stream / q_scd2_stream at sf0.1): 2 parts -> 4.1/4.3 s,
-# 4 -> 2.6/2.9 s, 8 -> 1.85/1.85 s, 16 -> 1.75/1.67 s, 32 -> 1.99/1.84 s.
-# The curve is flat from 8 up — the floor is availableNow query
-# spin-up/commit machinery, not state-store count — so 8 stays (16's
-# ~0.1 s edge is inside the sub-second noise band and costs 2x the
-# stores on every restart test).
-_STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+# partitions (throughput / state-size bound), overriding via
+# SPARK_GRAFT_STREAM_PARTITIONS.
+# History: the round-5 sweep pinned a constant 8 (flat curve 8..32 at
+# sf0.1 when the folds were scalar Python loops).  Re-measured in r14
+# with the vectorized folds: the per-batch Python work now parallelizes
+# across state partitions, so a constant tuned at fixture scale is
+# wrong at any larger size (guide §2 — scale-adaptive partitioning):
+# at sf1, 8 -> 32 parts HALVES the stateful members (fold 9.8 -> 5.2 s,
+# scd2 11.4 -> 5.7 s); even at sf0.1 it is ~0.2-0.5 s/query FASTER
+# (5-run medians: sessionize 2.08 -> 1.58, anomaly 2.11 -> 1.58, cep
+# 1.73 -> 1.42, scd2 1.98 -> 1.63).  Default = the session's
+# defaultParallelism (one state store per core locally; cluster
+# deployments set the env to their throughput-sized count).
+_STREAM_PARTITIONS_ENV = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
 
 # Reliable-checkpoint knob for iteratively-reused frames (pagerank /
 # triangles / star contraction).  Conf name, or the env var of the same
@@ -205,7 +208,11 @@ class stream_partitions:
 
     def __init__(self, spark: SparkSession, n: str | int | None = None) -> None:
         self._spark = spark
-        self._n = str(n or _STREAM_PARTITIONS)
+        self._n = str(
+            n
+            or _STREAM_PARTITIONS_ENV
+            or spark.sparkContext.defaultParallelism
+        )
         self._saved: str | None = None
 
     def __enter__(self) -> None:

@@ -246,7 +246,7 @@ def run_minhash_dedup_stream(
     across runs — the unbounded-ingest path the resume test exercises."""
     flags = apply_minhash_dedup_stream(docs)
     # Unlike the scalar fold queries (state-store COUNT is pure fixed
-    # overhead there — session._STREAM_PARTITIONS pins 8), this op does
+    # overhead there — session.stream_partitions defaults lower), this op does
     # real Python work per bucket group, so it wants every core: at
     # sf0.1 with 32 cores, 8 partitions run 17.6 s, 32 run 7.1 s.
     with stream_partitions(spark, spark.sparkContext.defaultParallelism):
