@@ -1910,39 +1910,38 @@ def _ensure_maintained_index(
             .saveAsTable(t_sh)
         )
         # crawl-1 probe + append of the kept docs (the maintenance op).
-        # The crawl batch IS cached (it feeds the probe and both
-        # appends): a crawl batch is |batch|-sized by construction, so
-        # the cache never scales with the corpus.
+        # The crawl batch is deliberately NOT cached: the r13 round
+        # cached it (probe + two appends re-derive it), but a matched
+        # A/B this round read the cache as a consistent ~1 s LOSS at
+        # BOTH scales (sf0.1: 5.58/4.72/5.47 cached vs 4.52/3.87/4.34
+        # uncached; sf1: 7.61/8.39/7.13 vs 6.87/6.48/6.42 — 6/6
+        # windows): re-hashing the |batch|-sized slice is cheaper than
+        # the cache materialization + memory-format conversion it was
+        # supposed to save.  This also closes the r13 verdict's open
+        # item — the query's 1.19x post-revert residue WAS the cache,
+        # not window noise.
         crawl1 = d.filter(
             (bkt >= _MAINT_CORPUS_TO) & (bkt < _INC_BATCH_FROM)
-        ).select("doc_id", hashed_shingles(F.col("text")).alias("sh")).cache()
-        kept1 = None
-        try:
-            probe1 = _probe_band_index(
-                crawl1, spark.table(t_bands), spark.table(t_sh)
-            )
-            kept1 = crawl1.join(
-                probe1.filter("keep").select("doc_id"), "doc_id", "left_semi"
-            ).cache()
-            (
-                minhash_band_buckets(kept1)
-                .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
-                .sortBy("band", "bucket")
-                .mode("append")
-                .saveAsTable(t_bands)
-            )
-            (
-                kept1.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
-                .sortBy("doc_id")
-                .mode("append")
-                .saveAsTable(t_sh)
-            )
-        finally:
-            # unpersist on every path: a failed probe/append must not
-            # leave the batch frames pinned for the session (r13 ADVICE)
-            for frame in (kept1, crawl1):
-                if frame is not None:
-                    frame.unpersist()
+        ).select("doc_id", hashed_shingles(F.col("text")).alias("sh"))
+        probe1 = _probe_band_index(
+            crawl1, spark.table(t_bands), spark.table(t_sh)
+        )
+        kept1 = crawl1.join(
+            probe1.filter("keep").select("doc_id"), "doc_id", "left_semi"
+        )
+        (
+            minhash_band_buckets(kept1)
+            .write.bucketBy(_INC_INDEX_BUCKETS, "band", "bucket")
+            .sortBy("band", "bucket")
+            .mode("append")
+            .saveAsTable(t_bands)
+        )
+        (
+            kept1.write.bucketBy(_INC_INDEX_BUCKETS, "doc_id")
+            .sortBy("doc_id")
+            .mode("append")
+            .saveAsTable(t_sh)
+        )
 
     t_bands, t_sh = ensure_tables(
         spark, sf_dir, _MAINT_INDEX_READY, ("sfs_maint_bands", "sfs_maint_sh"),

@@ -88,18 +88,35 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
 # its own deployment knob: at 100 TB you run thousands of state
 # partitions (throughput / state-size bound), overriding via
 # SPARK_GRAFT_STREAM_PARTITIONS.
-# History: the round-5 sweep pinned a constant 8 (flat curve 8..32 at
-# sf0.1 when the folds were scalar Python loops).  Re-measured in r14
-# with the vectorized folds: the per-batch Python work now parallelizes
-# across state partitions, so a constant tuned at fixture scale is
-# wrong at any larger size (guide §2 — scale-adaptive partitioning):
-# at sf1, 8 -> 32 parts HALVES the stateful members (fold 9.8 -> 5.2 s,
-# scd2 11.4 -> 5.7 s); even at sf0.1 it is ~0.2-0.5 s/query FASTER
-# (5-run medians: sessionize 2.08 -> 1.58, anomaly 2.11 -> 1.58, cep
-# 1.73 -> 1.42, scd2 1.98 -> 1.63).  Default = the session's
-# defaultParallelism (one state store per core locally; cluster
-# deployments set the env to their throughput-sized count).
-_STREAM_PARTITIONS_ENV = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+#
+# The r14 sweep split the family in two (measured at sf0.1 AND sf1):
+#   * JVM stateful ops (windowed aggregates, stream-stream joins,
+#     dropDuplicates) are STATE-STORE-COMMIT-bound: going 8 -> 32
+#     partitions makes them 2-3x SLOWER at both scales (stream_left
+#     1.97 -> 5.89 s at sf0.1, 2.68 -> 5.68 s at sf1) — more stores,
+#     same work.  They keep this default (8, the r5 sweep's number).
+#   * Python-stateful (applyInPandasWithState) ops keyed by a
+#     high-cardinality key are PYTHON-WORKER-bound and want one
+#     partition per core — see python_state_partitions below.
+_STREAM_PARTITIONS = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "8")
+
+
+def python_state_partitions(spark: SparkSession) -> int | str:
+    """State-partition count for applyInPandasWithState operators over
+    a high-cardinality key (user_id: 1.5k groups at sf0.1, 15k at sf1).
+
+    Their per-batch cost is the Python side (per-group serializer
+    round-trips + the fold), which parallelizes across state
+    partitions, so the scale-adaptive choice is one partition per core
+    (guide §2 — not a constant tuned for either local mode or the
+    cluster).  Measured r14, 8 -> defaultParallelism(32): sf1 fold
+    9.8 -> 5.2 s, scd2 11.4 -> 5.7 s (~2x); sf0.1 is also faster
+    across the family (sessionize 2.08 -> 1.58, anomaly 2.11 -> 1.58,
+    cep 1.73 -> 1.42, 5-run medians).  The env override (same knob as
+    everything else) wins when set, so a cluster deployment sizes both
+    families together."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS")
+    return env or spark.sparkContext.defaultParallelism
 
 # Reliable-checkpoint knob for iteratively-reused frames (pagerank /
 # triangles / star contraction).  Conf name, or the env var of the same
@@ -208,11 +225,7 @@ class stream_partitions:
 
     def __init__(self, spark: SparkSession, n: str | int | None = None) -> None:
         self._spark = spark
-        self._n = str(
-            n
-            or _STREAM_PARTITIONS_ENV
-            or spark.sparkContext.defaultParallelism
-        )
+        self._n = str(n or _STREAM_PARTITIONS)
         self._saved: str | None = None
 
     def __enter__(self) -> None:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from ..operators.cep import _CEP_ORACLE
 from ..plans.registry import query
-from ..session import stream_partitions
+from ..session import python_state_partitions, stream_partitions
 from .state import stream_events_dir
 
 _CEP_OUTPUT = (
@@ -105,7 +105,7 @@ def q_stream_cep(spark: SparkSession, sf_dir: str) -> DataFrame:
     events, _ = stream_events_dir(spark, sf_dir)
     ops = events.select("user_id", "ts", "event_id", "event_type")
     result = apply_cep_stream(ops)
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_stream_cep")

@@ -218,12 +218,12 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_sessionize_stream): emits every CLOSED session; the oracle is
     the batch gaps-and-islands result minus each user's final (still
     open) session."""
-    from ..session import stream_partitions
+    from ..session import python_state_partitions, stream_partitions
     from .state import stream_events_dir
 
     events, _ = stream_events_dir(spark, sf_dir)
     result = apply_sessionize_stream(events.select("user_id", "ts", "event_id"))
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_stream_sessionize")

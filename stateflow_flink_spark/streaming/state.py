@@ -43,7 +43,7 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-from ..session import stream_partitions
+from ..session import python_state_partitions, stream_partitions
 
 # transformWithStateInPandas (Spark >= 4.0) runs a protobuf-based Python
 # driver worker; fall back to applyInPandasWithState (Spark >= 3.4,
@@ -330,7 +330,7 @@ def run_stateful_stream(
     per-key state lifetime (see apply_stateful); ``latency`` records
     the per-invoke histogram (see metrics.InvokeLatency)."""
     result = apply_stateful(events, operator_name, ttl_ms=ttl_ms, latency=latency)
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         writer = (
             result.writeStream.format("memory")
             .queryName(query_name)
@@ -497,7 +497,7 @@ def q_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = apply_scd2_stream(
         events.select("user_id", "event_type", "ts", "event_id")
     )
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_scd2_stream")
@@ -605,7 +605,7 @@ def q_stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = apply_ewma_stream(
         events.select("user_id", "ts", "event_id", "value")
     )
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_stream_ewma")
@@ -875,7 +875,7 @@ def q_stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = apply_anomaly_stream(
         events.select("user_id", "ts", "event_id", "value")
     )
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_stream_anomaly")
@@ -1007,7 +1007,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", "event_id", "event_type", "value"
     )
     result = apply_cdc_stream(ops)
-    with stream_partitions(spark):
+    with stream_partitions(spark, python_state_partitions(spark)):
         qy = (
             result.writeStream.format("memory")
             .queryName("sfs_stream_cdc_apply")
